@@ -1,0 +1,682 @@
+"""The engine's query catalog: every SURVEY §2 operator (plus the
+training-data extensions) as a ``(spark, sf_dir) -> DataFrame`` callable
+with a matching DuckDB oracle SQL string.
+
+Cross-engine parity conventions (these make the driver's order-
+insensitive value-hash comparison deterministic):
+  * every computed column is aliased identically in Spark and SQL;
+  * money/quantity sums use the **cents trick** — ``CAST(round(x*100) AS
+    BIGINT)`` before summing, so aggregation is exact integer arithmetic
+    (double summation order would otherwise differ between engines);
+  * ratios/similarities are ``round(..., 6)``;
+  * hashing is md5-based (never engine-native hash functions);
+  * orderings always carry an id tie-breaker;
+  * timestamps render under UTC (session.py pins the zone).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import expressions as E
+from .operators import dedup as DD
+from .operators import multimodal as MM
+from .operators import similarity as SIM
+from .operators import text as TX
+from .operators.flatmap import explode_counted
+from .operators.joins import lookup_join
+from .operators.setops import union_by_name
+from .operators.surrogate import assign_surrogate_ids
+from .operators.upsert import update_from
+from .session import configure_session
+from .sources.parquet import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure_session(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def cents(c: Column) -> Column:
+    """Exact money/quantity integerization (see module docstring)."""
+    return F.round(c * 100, 0).cast("bigint")
+
+
+# ===========================================================================
+# Reference surface — SURVEY §2
+# ===========================================================================
+
+@query(
+    "rename_project",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def q_rename_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 — bulk rename + project/reorder (reference
+    ``prepare_contacts.py:23-30`` rename, ``cut`` sites)."""
+    return (
+        read_table(spark, sf_dir, "customer")
+        .withColumnsRenamed(
+            {"c_custkey": "custkey", "c_name": "name", "c_mktsegment": "segment"}
+        )
+        .select("custkey", "name", "segment")
+    )
+
+
+@query(
+    "extend_provenance",
+    oracle="""
+    SELECT
+      c_custkey AS custkey,
+      'phone triage' AS category,
+      to_json(struct_pack(c_name := c_name, c_mktsegment := c_mktsegment))
+        AS import_data,
+      concat_ws(', ',
+        nullif(c_name, ''),
+        nullif(CASE WHEN c_custkey % 5 = 0 THEN '' ELSE c_mktsegment END, '')
+      ) AS address
+    FROM customer
+    """,
+)
+def q_extend_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 + X1 (serialize_row provenance JSON, ``helpers.py:4-5``) +
+    X3 (concat_address skipping blanks, ``prepare_contacts.py:47-52``)."""
+    c = read_table(spark, sf_dir, "customer")
+    seg_maybe_blank = F.when(F.col("c_custkey") % 5 == 0, F.lit("")).otherwise(
+        F.col("c_mktsegment")
+    )
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("phone triage").alias("category"),
+        E.json_provenance(["c_name", "c_mktsegment"]).alias("import_data"),
+        E.concat_address([F.col("c_name"), seg_maybe_blank]).alias("address"),
+    )
+
+
+@query(
+    "date_parse_null_on_error",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+        CASE
+          WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+          WHEN o_orderkey % 3 = 1 THEN 'callback on 99/99/9999 maybe'
+          ELSE 'ring back ' || strftime(o_orderdate, '%d.%m.%Y') || ' pm'
+        END AS date_str
+      FROM orders
+    )
+    SELECT o_orderkey AS orderkey, date_str,
+      CAST(coalesce(
+        try_strptime(nullif(regexp_extract(date_str, '(\\d+[/\\.]\\d+[/\\.]\\d+)', 1), ''), '%d/%m/%Y'),
+        try_strptime(nullif(regexp_extract(date_str, '(\\d+[/\\.]\\d+[/\\.]\\d+)', 1), ''), '%d.%m.%Y')
+      ) AS DATE) AS parsed_date
+    FROM base
+    """,
+)
+def q_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X14/P5 — error-as-null date parsing incl. the regex-embedded
+    two-format variant (``helpers.py:8-11``, ``prepare_calls.py:292-306``;
+    petl convert failonerror=False)."""
+    o = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    date_str = (
+        F.when(k % 3 == 0, F.date_format("o_orderdate", "dd/MM/yyyy"))
+        .when(k % 3 == 1, F.lit("callback on 99/99/9999 maybe"))
+        .otherwise(
+            F.concat(
+                F.lit("ring back "),
+                F.date_format("o_orderdate", "dd.MM.yyyy"),
+                F.lit(" pm"),
+            )
+        )
+    )
+    df = o.select(k.alias("orderkey"), date_str.alias("date_str"))
+    extracted = E.regex_extract_or_null("date_str", r"(\d+[/\.]\d+[/\.]\d+)", 1)
+    parsed = F.coalesce(
+        F.to_date(extracted, "d/M/yyyy"), F.to_date(extracted, "d.M.yyyy")
+    )
+    return df.withColumn("parsed_date", parsed)
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           l_returnflag AS returnflag, l_discount AS discount
+    FROM lineitem
+    WHERE (l_returnflag = 'R' OR l_discount > 0.05)
+      AND l_quantity >= 10
+      AND l_shipdate IS NOT NULL
+    """,
+)
+def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1–F5 — compound boolean filter trees (non-empty checks,
+    membership + disjunction; ``prepare_calls.py:36,72,85,121``)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    pred = (
+        ((F.col("l_returnflag") == "R") | (F.col("l_discount") > 0.05))
+        & (F.col("l_quantity") >= 10)
+        & F.col("l_shipdate").isNotNull()
+    )
+    return l.filter(pred).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_discount").alias("discount"),
+    )
+
+
+@query(
+    "case_tristate",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+      CASE WHEN lower(o_orderstatus) = 'f' THEN TRUE
+           WHEN lower(o_orderstatus) = 'o' THEN FALSE END AS is_final,
+      CASE WHEN lower(o_orderstatus) IN ('f')
+           THEN CAST(o_orderdate AS DATE) END AS completed_on,
+      CASE WHEN o_orderpriority LIKE '1%' THEN 1001
+           WHEN o_orderpriority LIKE '2%' THEN 1002
+           ELSE 1000 END AS assigned_user
+    FROM orders
+    """,
+)
+def q_case_tristate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9/X10/X16 — 3-valued boolean parse, conditional completion date,
+    3-way user assignment (``prepare_calls.py:235-246,342-348``)."""
+    o = read_table(spark, sf_dir, "orders")
+    status = F.lower(F.col("o_orderstatus"))
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.when(status == "f", F.lit(True))
+        .when(status == "o", F.lit(False))
+        .alias("is_final"),
+        E.determine_completion(
+            "o_orderstatus", ["f"], F.to_date("o_orderdate")
+        ).alias("completed_on"),
+        F.when(F.col("o_orderpriority").startswith("1"), 1001)
+        .when(F.col("o_orderpriority").startswith("2"), 1002)
+        .otherwise(1000)
+        .alias("assigned_user"),
+    )
+
+
+@query(
+    "flatmap_attempts",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS orderkey,
+        CASE WHEN o_orderpriority = '1-URGENT' THEN 3
+             WHEN o_orderpriority = '2-HIGH' THEN 2
+             WHEN o_orderpriority = '3-MEDIUM' THEN 1
+             ELSE 0 END AS cnt,
+        CASE WHEN o_orderstatus = 'F' THEN 'phone_success'
+             WHEN o_orderpriority = '1-URGENT' THEN 'phone_message'
+             ELSE 'phone_failure' END AS category
+      FROM orders
+    )
+    SELECT orderkey, category, CAST(u + 1 AS INT) AS attempt_number
+    FROM (SELECT orderkey, category, unnest(range(cnt)) AS u FROM base) t
+    """,
+)
+def q_flatmap_attempts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G2 — the rowmapmany note generator: 0–3 rows per input row,
+    zero-count rows silently dropped (``prepare_calls.py:248-274``)."""
+    o = read_table(spark, sf_dir, "orders")
+    cnt = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 3)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(0)
+    )
+    category = (
+        F.when(F.col("o_orderstatus") == "F", "phone_success")
+        .when(F.col("o_orderpriority") == "1-URGENT", "phone_message")
+        .otherwise("phone_failure")
+    )
+    base = o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        cnt.alias("cnt"),
+        category.alias("category"),
+    )
+    return explode_counted(base, F.col("cnt"), ["orderkey", "category"])
+
+
+@query(
+    "union_by_name",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_quantity AS qty, l_returnflag AS returnflag
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL BY NAME
+    SELECT l_orderkey AS orderkey, l_quantity AS qty, l_tax AS tax
+    FROM lineitem WHERE l_linenumber = 2
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — etl.cat: union by name, missing columns padded NULL, bag
+    semantics (``prepare_calls.py:152-155,180,187-190``)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_linenumber") == 1).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_returnflag").alias("returnflag"),
+    )
+    b = l.filter(F.col("l_linenumber") == 2).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_tax").alias("tax"),
+    )
+    return union_by_name([a, b])
+
+
+@query(
+    "first_wins_dedup",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+           CAST(o_orderdate AS DATE) AS first_orderdate
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+    """,
+)
+def q_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — dictlookupone first-wins dedup under an explicit order
+    (``prepare_calls.py:148-151``; SURVEY §4.3.5)."""
+    o = read_table(spark, sf_dir, "orders")
+    return DD.first_wins(o, "o_custkey", ["o_orderdate", "o_orderkey"]).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.to_date("o_orderdate").alias("first_orderdate"),
+    )
+
+
+@query(
+    "string_agg_group",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           string_agg(o_orderpriority, ', ' ORDER BY o_orderpriority)
+             AS priorities,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 + X18/X21 — grouped collect + deterministic string_agg
+    (``prepare_calls.py:149,354-358``)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        E.string_agg("o_orderpriority").alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "qa_left_joins",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             min(CAST(o_orderdate AS DATE)) AS first_order
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+      CASE WHEN a.n_orders IS NOT NULL THEN 'Completed' ELSE 'To do' END
+        AS triage_status,
+      coalesce(a.n_orders, 0) AS n_orders,
+      a.first_order AS first_order
+    FROM customer c LEFT JOIN agg a ON c.c_custkey = a.o_custkey
+    """,
+)
+def q_qa_left_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 + X17 — the QA probe: broadcast left join against a derived
+    lookup, null-match → 'To do' (``prepare_calls.py:157-173,350-352``)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.to_date("o_orderdate")).alias("first_order"),
+    )
+    joined = lookup_join(
+        c, agg.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey", "left"
+    )
+    return joined.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.when(F.col("n_orders").isNotNull(), "Completed")
+        .otherwise("To do")
+        .alias("triage_status"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.col("first_order"),
+    )
+
+
+@query(
+    "multiway_join_cte",
+    oracle="""
+    WITH cmap AS (
+      SELECT c_custkey, n_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name AS nation, count(*) AS n_orders,
+      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders JOIN cmap ON o_custkey = c_custkey
+    GROUP BY n_name
+    """,
+)
+def q_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 + J4/J5 — CTE + multi-way equi join, Spark SQL text path
+    (``sql/import_identified_needs.sql:1-27``,
+    ``import_original_triage_needs_and_notes.sql:29-39``)."""
+    for t in ("customer", "nation", "orders"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH cmap AS (
+          SELECT c_custkey, n_name
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name AS nation, count(*) AS n_orders,
+          sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+        FROM orders JOIN cmap ON o_custkey = c_custkey
+        GROUP BY n_name
+        """
+    )
+
+
+@query(
+    "surrogate_returning",
+    oracle="""
+    WITH ins AS (
+      SELECT o_orderkey,
+             1000000 + row_number() OVER (ORDER BY o_orderkey) AS need_id
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT i.need_id AS need_id, l.l_orderkey AS orderkey,
+           l.l_linenumber AS linenumber
+    FROM ins i JOIN lineitem l ON l.l_orderkey = i.o_orderkey
+    """,
+)
+def q_surrogate_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — the RETURNING emulation: pre-assigned surrogate ids reused in
+    the notes join (``sql/import_original_triage_needs_and_notes.sql:5-39``;
+    SURVEY §4.3.1)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    ins = assign_surrogate_ids(o, ["o_orderkey"], "need_id", 1_000_000)
+    ins = ins.select(F.col("need_id").cast("bigint").alias("need_id"), "o_orderkey")
+    l = read_table(spark, sf_dir, "lineitem")
+    return ins.join(l, l.l_orderkey == ins.o_orderkey).select(
+        "need_id",
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+    )
+
+
+@query(
+    "update_from_coalesce",
+    oracle="""
+    WITH staged AS (
+      SELECT o_custkey,
+             CASE WHEN o_totalprice > 200000 THEN 'BIG SPENDER' END AS new_seg
+      FROM orders
+      QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    )
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           coalesce(s.new_seg, c.c_mktsegment) AS segment
+    FROM customer c LEFT JOIN staged s ON c.c_custkey = s.o_custkey
+    """,
+)
+def q_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/J6/X22 — UPDATE…FROM as join-coalesce-overwrite with first-wins
+    staging dedup (``sql/import_contact_profile_updates.sql:1-7``;
+    SURVEY §4.3.2)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    staging = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_totalprice") > 200000, "BIG SPENDER").alias("c_mktsegment"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    updated = update_from(
+        c,
+        staging,
+        "c_custkey",
+        ["c_mktsegment"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return updated.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@query(
+    "json_extract_construct",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    )
+    SELECT event_id, k,
+      CASE WHEN k >= 50 THEN to_json(struct_pack(
+             food_service_type := 'Grocery delivery', food_priority := k))
+           ELSE to_json(struct_pack(food_service_type := 'Grocery delivery'))
+      END AS supplemental_data
+    FROM base
+    """,
+)
+def q_json_extract_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13/X19 — JSON extraction + key-presence-conditional JSON
+    construction (``prepare_calls.py:283-290,360-374``)."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    base = e.select("event_id", k.alias("k"))
+    with_prio = F.to_json(
+        F.struct(
+            F.lit("Grocery delivery").alias("food_service_type"),
+            F.col("k").alias("food_priority"),
+        )
+    )
+    without = F.to_json(
+        F.struct(F.lit("Grocery delivery").alias("food_service_type"))
+    )
+    return base.withColumn(
+        "supplemental_data", F.when(F.col("k") >= 50, with_prio).otherwise(without)
+    )
+
+
+@query(
+    "compose_body",
+    oracle="""
+    SELECT c_custkey AS custkey,
+      concat_ws(chr(10), '[Import]', 'Contact made',
+        CASE WHEN trim(c_name) != '' THEN 'Name: ' || trim(c_name) END,
+        CASE WHEN trim(CASE WHEN c_custkey % 7 = 0 THEN '  '
+                           ELSE c_mktsegment END) != ''
+             THEN 'Segment: ' || trim(CASE WHEN c_custkey % 7 = 0 THEN '  '
+                                          ELSE c_mktsegment END) END
+      ) AS body
+    FROM customer
+    """,
+)
+def q_compose_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4–X7 — labeled note-body composition, blank-after-trim fields
+    skipped (``prepare_calls.py:193-201``)."""
+    c = read_table(spark, sf_dir, "customer")
+    seg = F.when(F.col("c_custkey") % 7 == 0, F.lit("  ")).otherwise(
+        F.col("c_mktsegment")
+    )
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        E.compose_body(
+            [("Name", F.col("c_name")), ("Segment", seg)],
+            prefix_lines=["[Import]", "Contact made"],
+        ).alias("body"),
+    )
+
+
+@query(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (missing from the reference — SURVEY §2.4 notes Spark
+    covers it natively): customers with no orders."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+
+
+@query(
+    "window_rank_lag",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      CAST(row_number() OVER w AS INT) AS rn,
+      CAST(rank() OVER (PARTITION BY o_custkey
+                        ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC)
+           AS INT) AS price_rank,
+      lag(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS prev_price_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (beyond-reference; SURVEY §2.7 notes none exist
+    there) — row_number / rank / lag over a per-customer order history."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price_c = cents(F.col("o_totalprice"))
+    wp = Window.partitionBy("o_custkey").orderBy(price_c.desc())
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wp).alias("price_rank"),
+        F.lag(price_c).over(w).alias("prev_price_cents"),
+    )
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+      count(*) AS n_items,
+      sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup/grouping-sets aggregation (beyond-reference; free in Spark,
+    SURVEY §2.5)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.rollup(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("price_cents"),
+    )
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+      sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+      sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+      sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        AS sum_disc_price_cents,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the headline scan+agg benchmark
+    query (hash agg with map-side partials; one shuffle on the tiny
+    2×2 group key)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_revenue",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+      sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+        AS revenue_cents,
+      CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue_cents DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join+agg+topk — the headline multi-join benchmark.
+    customer is the small side (broadcast-able); AQE picks the strategy."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+        )
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("orderkey"))
+        .limit(10)
+        .select("orderkey", "revenue_cents", "orderdate")
+    )

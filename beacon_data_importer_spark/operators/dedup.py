@@ -1,0 +1,256 @@
+"""Deduplication operators — reference surface + scale extensions.
+
+Reference surface: petl ``dictlookupone`` is a first-row-wins unique-key
+dedup (J1, ``prepare_calls.py:148-151``).  Spark has no implicit row
+order, so first-wins needs an explicit deterministic ordering (SURVEY
+§4.3.5) — expressed as a window ``row_number() = 1``.
+
+Scale extensions (the training-data-pipeline surface): exact content
+dedup via content hashing, and near-dup via MinHash signatures + LSH
+banding.  All hashing is md5-based (`portable_hash64` rationale) so a SQL
+oracle reproduces signatures bit-for-bit.
+
+100 TB posture:
+  * first_wins / exact_dedup: one hash-partitioned shuffle on the key —
+    the minimum possible; no driver materialization, no collect.
+  * minhash: per-row narrow computation (tokens → shingles → k mins),
+    then LSH banding turns the O(n²) pair problem into a shuffle on
+    (band, bucket) — only same-bucket docs are ever paired.  Skewed
+    buckets (boilerplate docs) are bounded by ``max_bucket`` before the
+    self-join, the standard guard against quadratic bucket blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def first_wins(
+    df: DataFrame, key: str | list[str], order_by: list[str | Column]
+) -> DataFrame:
+    """Keep one row per key — the first under ``order_by`` (deterministic
+    replacement for petl dictlookupone's source-order first-wins).
+
+    One shuffle on the key.  At scale, prefer keys already co-partitioned
+    with downstream joins so the exchange is reused.
+    """
+    keys = [key] if isinstance(key, str) else key
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact-content dedup: group by md5(content), keep the lowest id.
+
+    Returns (content_hash, keep_id, dup_count).  The groupBy gets a
+    map-side partial min/count, so the shuffle carries one record per
+    distinct hash per partition — not per row.
+    """
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of the lower-trimmed text; short docs fall
+    back to one whole-text shingle.  Pure array expressions — runs in
+    codegen, no UDF."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(F.lower(F.trim(text))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: for each seed s, the lexicographic
+    min of md5(s || shingle) over the doc's shingle set.
+
+    Output: (id, sig) where sig is array<string> of length num_hashes.
+    Narrow (no shuffle); signatures are ~num_hashes × 32 bytes regardless
+    of doc size, which is what makes 100 TB near-dup feasible.
+    """
+    # Two projections so the shingle array is built ONCE per row and the
+    # 16 seed-mins read the materialized column — inlining the shingle
+    # expression into every min would recompute tokenization num_hashes×.
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        _shingles(F.col(text_col), shingle_n).alias("__sh"),
+    )
+
+    # NB: the hasher must be a ONE-argument lambda — F.transform treats a
+    # two-parameter callable (even via default args) as the
+    # (element, index) form.
+    def seed_hasher(s: int):
+        return lambda g: F.md5(F.concat(F.lit(f"{s}|"), g))
+
+    mins = [
+        F.array_min(F.transform(F.col("__sh"), seed_hasher(s))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return shingled.select("id", *mins).select(
+        "id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """LSH banding over minhash signatures → candidate near-dup pairs.
+
+    Band key = md5 of the band's signature slice; docs sharing any band
+    bucket become a candidate pair.  Output: (id_a, id_b) distinct,
+    id_a < id_b.
+
+    The self-join happens per (band, bucket) after a size guard drops
+    degenerate buckets (> max_bucket docs) — bounding worst-case pair
+    fan-out to max_bucket² per bucket.
+    """
+    banded = sig_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    bucket_sizes = banded.groupBy("band", "bucket").count()
+    small = banded.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket).drop("count"),
+        ["band", "bucket"],
+    )
+    left = small.alias("l")
+    right = small.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_similarity(pairs: DataFrame, sig_df: DataFrame) -> DataFrame:
+    """Estimated Jaccard for candidate pairs: fraction of equal signature
+    positions.  Two broadcast-able joins against the compact signature
+    table; the zip/aggregate is a narrow array op."""
+    s1 = sig_df.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    s2 = sig_df.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    eq = F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int"))
+    return (
+        pairs.join(s1, "id_a")
+        .join(s2, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.aggregate(eq, F.lit(0), lambda acc, x: acc + x)
+                / F.size("sig_a")
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash_agg(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 60
+) -> DataFrame:
+    """SimHash via explode + hash-aggregate — the scale formulation.
+
+    Tokens explode in place (narrow), each contributes ±1 per bit to 60
+    aggregate columns, and one shuffle on the doc id combines them
+    (map-side partial sums make the shuffle O(docs × 60 ints), not
+    O(tokens)).  Semantically identical to :func:`simhash64` but ~100×
+    faster: the per-row nested-array form re-evaluates the token hash
+    array per bit, this one hashes each token once.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("bigint")
+    tok = tok.select("id", h.alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b).cast("bigint")) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per_doc = tok.groupBy("id").agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = (
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+        sim = term if sim is None else sim + term
+    return per_doc.select("id", sim.alias("simhash"))
+
+
+def simhash64(text: Column, token_pattern: str = r"\s+") -> Column:
+    """64-bit-ish (60-bit) SimHash over whitespace tokens, md5-portable.
+
+    Per token: a 60-bit hash (15 hex digits of md5).  For each bit,
+    sum(+1 if set else -1) over tokens; the simhash sets bits with a
+    positive sum.  Pure array/bit expressions — no UDF, no shuffle.
+    """
+    toks = F.split(F.lower(F.trim(text)), token_pattern)
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+    )
+    # Literal powers-of-two table (shiftleft needs a literal shift amount,
+    # so bit masks are indexed from this array instead).
+    pows = F.array(*[F.lit(1 << i).cast("bigint") for i in range(60)])
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.element_at(pows, b + 1)) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(59)),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc
+        + F.when(
+            F.element_at(bit_votes, b + 1) > 0, F.element_at(pows, b + 1)
+        ).otherwise(F.lit(0).cast("bigint")),
+    )

@@ -1,0 +1,124 @@
+"""Multimodal (image/audio/video) column plumbing (north-star extension).
+
+Design: media are opaque ``binary`` columns travelling next to a typed
+metadata struct.  Decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas iterators (``mapInPandas``) — the sanctioned escape
+hatch when JVM expressions can't express the semantics.  The actual
+codec calls are STUBBED (image/audio libraries are not in this
+container): ``decode_stub=True`` substitutes a deterministic fake decode
+so the Spark-side plumbing — schema, batch shape, partitioning — is real
+and tested; swapping in PIL/ffmpeg later changes one inner function.
+
+100 TB posture:
+  * binary payloads never hit the driver; batches stream executor-side
+    through Arrow (zero-copy into pandas).
+  * ``repartition`` before heavy decode balances work when payload sizes
+    are skewed (a few huge videos starve fixed partitions).
+  * metadata-only queries (the common case) never touch the binary
+    column — column pruning drops it at the parquet scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("source_uri", StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("byte_len", LongType(), True),
+        StructField("content_md5", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real codec: derives (width, height,
+    n_frames) from the payload hash.  Replace with PIL / soundfile /
+    pyav in a real deployment."""
+    import hashlib
+
+    h = hashlib.md5(payload).digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    n_frames = 1 if media_type == "image" else 1 + h[2] % 64
+    return width, height, n_frames
+
+
+def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Decode a MEDIA_SCHEMA frame into DECODED_SCHEMA via Arrow-batched
+    ``mapInPandas``.  With ``decode_stub=False`` this raises
+    NotImplementedError at the codec call site (libraries not present)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for media_id, media_type, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                if decode_stub:
+                    w, h, nf = _fake_decode(raw, media_type)
+                else:
+                    raise NotImplementedError(
+                        "real codecs unavailable in this environment; "
+                        "use decode_stub=True"
+                    )
+                rows.append(
+                    (
+                        media_id,
+                        media_type,
+                        len(raw),
+                        hashlib.md5(raw).hexdigest(),
+                        w,
+                        h,
+                        nf,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODED_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a synthetic MEDIA_SCHEMA frame from the documents table
+    (text → utf-8 bytes as the payload) — test fixture generator that
+    exercises the binary-column path with real Spark types."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.concat(F.lit("synthetic://"), F.col("doc_id")).alias("source_uri"),
+    )

@@ -1,0 +1,151 @@
+"""Operator-level tests: dedup (first-wins, exact, minhash, simhash),
+flatMap, union-by-name, surrogate ids, update-from, similarity, text."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from beacon_data_importer_spark.operators import dedup as DD
+from beacon_data_importer_spark.operators import multimodal as MM
+from beacon_data_importer_spark.operators import similarity as SIM
+from beacon_data_importer_spark.operators import text as TX
+from beacon_data_importer_spark.operators.flatmap import explode_counted
+from beacon_data_importer_spark.operators.setops import union_by_name
+from beacon_data_importer_spark.operators.surrogate import assign_surrogate_ids
+from beacon_data_importer_spark.operators.upsert import update_from
+
+
+def test_first_wins_keeps_first_by_order(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", seq=2, v="late"), Row(k="a", seq=1, v="early"), Row(k="b", seq=5, v="only")]
+    )
+    out = {r.k: r.v for r in DD.first_wins(df, "k", ["seq"]).collect()}
+    assert out == {"a": "early", "b": "only"}
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="same"), Row(id=2, t="same"), Row(id=3, t="other")]
+    )
+    out = {r.content_hash: (r.keep_id, r.dup_count) for r in DD.exact_dedup(df, "t", "id").collect()}
+    assert out[hashlib.md5(b"same").hexdigest()] == (1, 2)
+    assert out[hashlib.md5(b"other").hexdigest()] == (3, 1)
+
+
+def test_minhash_signature_matches_python(spark):
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame([Row(id=1, t=text)])
+    sig = DD.minhash_signatures(df, "t", "id", num_hashes=4).collect()[0].sig
+    toks = text.lower().split()
+    shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    for s in range(4):
+        expect = min(
+            hashlib.md5(f"{s}|{g}".encode()).hexdigest() for g in shingles
+        )
+        assert sig[s] == expect
+
+
+def test_minhash_short_doc_fallback(spark):
+    df = spark.createDataFrame([Row(id=1, t="two words")])
+    sig = DD.minhash_signatures(df, "t", "id", num_hashes=2).collect()[0].sig
+    assert sig[0] == hashlib.md5(b"0|two words").hexdigest()
+
+
+def test_minhash_near_dup_finds_identical_docs(spark):
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=t), Row(doc_id=2, text=t), Row(doc_id=3, text="totally different words here completely")]
+    )
+    sigs = DD.minhash_signatures(df, "text", "doc_id", 16)
+    pairs = DD.lsh_candidate_pairs(sigs, 4, 4)
+    sim = DD.minhash_similarity(pairs, sigs).collect()
+    assert len(sim) == 1
+    assert (sim[0].id_a, sim[0].id_b) == (1, 2)
+    assert sim[0].est_jaccard == 1.0
+
+
+def test_simhash_agg_matches_column_form(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="spark data engine"), Row(id=2, t="completely other words")]
+    )
+    agg = {r.id: r.simhash for r in DD.simhash_agg(df, "t", "id").collect()}
+    col = {
+        r.id: r.sh
+        for r in df.select("id", DD.simhash64(F.col("t")).alias("sh")).collect()
+    }
+    assert agg == col
+
+
+def test_explode_counted_zero_drops_row(spark):
+    df = spark.createDataFrame([Row(k="a", n=2), Row(k="b", n=0), Row(k="c", n=1)])
+    out = [(r.k, r.attempt_number) for r in explode_counted(df, F.col("n"), ["k"]).collect()]
+    assert sorted(out) == [("a", 1), ("a", 2), ("c", 1)]
+
+
+def test_union_by_name_pads_missing(spark):
+    a = spark.createDataFrame([Row(x=1, y="a")])
+    b = spark.createDataFrame([Row(x=2, z="b")])
+    out = union_by_name([a, b]).orderBy("x").collect()
+    assert out[0].y == "a" and out[0].z is None
+    assert out[1].y is None and out[1].z == "b"
+
+
+def test_surrogate_ids_dense_and_deterministic(spark):
+    df = spark.createDataFrame([Row(k="b"), Row(k="a"), Row(k="c")])
+    out = {r.k: r.id for r in assign_surrogate_ids(df, ["k"], start_after=100).collect()}
+    assert out == {"a": 101, "b": 102, "c": 103}
+
+
+def test_update_from_coalesce_keeps_old_on_null(spark):
+    target = spark.createDataFrame([Row(k=1, v="old1"), Row(k=2, v="old2")])
+    staging = spark.createDataFrame(
+        [Row(k=1, v=None, seq=1), Row(k=1, v="newer", seq=2), Row(k=3, v="x", seq=1)]
+    )
+    out = {
+        r.k: r.v
+        for r in update_from(
+            target, staging, "k", ["v"], [F.col("seq").desc()]
+        ).collect()
+    }
+    # k=1: first-wins under seq DESC picks 'newer'; k=2 untouched
+    assert out == {1: "newer", 2: "old2"}
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+        Row(vec_id=3, embedding=[0.7, 0.7]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = SIM.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r.neighbor_id for r in out] == [1, 3]
+    assert out[0].cosine_sim_e6 in (999999, 1000000)  # floor at representation edge
+
+
+def test_text_metrics(spark):
+    df = spark.createDataFrame([Row(t="The cat, and a dog!")])
+    r = df.select(
+        TX.token_count_ws("t").alias("ws"),
+        TX.token_count_wordlike("t").alias("wl"),
+        TX.fingerprint("t").alias("fp"),
+    ).collect()[0]
+    assert r.ws == 5
+    assert r.wl == 7  # 5 words + ',' + '!'
+    assert r.fp == hashlib.md5(b"the cat, and a dog!").hexdigest()
+
+
+def test_multimodal_decode_stub(spark):
+    docs = spark.createDataFrame([Row(doc_id=3, text="hello")])
+    media = MM.media_from_documents(docs)
+    out = MM.decode_media(media).collect()[0]
+    h = hashlib.md5(b"hello").digest()
+    assert out.media_id == 3
+    assert out.media_type == "image"
+    assert out.byte_len == 5
+    assert out.width == 16 + h[0] % 240
+    assert out.n_frames == 1

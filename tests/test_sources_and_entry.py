@@ -1,0 +1,45 @@
+"""Scan-layer semantics (petl string/empty-cell compatibility) and the
+driver-contract smoke check."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from beacon_data_importer_spark.sources.csv import read_csv_stringly
+
+
+def test_csv_stringly_empty_cells_are_empty_strings(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("a,b,c\n1,,x\n,2,\n")
+    df = read_csv_stringly(spark, str(p))
+    rows = [tuple(r) for r in df.orderBy("a").collect()]
+    assert rows == [("", "2", ""), ("1", "", "x")]
+    assert all(t == "string" for _, t in df.dtypes)
+
+
+def test_csv_windows_1252(spark, tmp_path):
+    p = tmp_path / "legacy.csv"
+    p.write_bytes("name\ncaf\xe9\n".encode("windows-1252"))
+    df = read_csv_stringly(spark, str(p), encoding="windows-1252")
+    assert df.collect()[0].name == "café"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["orderkey", "revenue_cents", "orderdate"]
+
+
+def test_queries_and_oracles_aligned():
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every oracle-less query is an explicitly documented weaker check
+    assert len(qs) >= 30
