@@ -1,0 +1,72 @@
+"""CLI with the reference's command surface (``cli.py:7-12``,
+``setup.py:11-14``):
+
+    python -m beacon_data_importer_spark.cli prepare-contacts GDS.csv
+    python -m beacon_data_importer_spark.cli prepare-calls \\
+        -o OUT_DIR -fnu 1 -cnu 2 -snu 3 -clru 4 CALLS.csv
+
+argparse instead of click (zero extra dependencies); same arguments,
+same outputs (stdout CSV / seven CSVs in the output dir).  ``--now``
+parameterizes the contacts timestamp for reproducible runs (the
+reference stamps wall-clock ``datetime.now()``,
+``prepare_contacts.py:14``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import datetime
+from os.path import join
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="beacon-spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    pc = sub.add_parser("prepare-contacts", help="Prepare GDS contact records")
+    pc.add_argument("gds_file_path")
+    pc.add_argument("--now", default=None, help="ISO timestamp override")
+
+    pl = sub.add_parser("prepare-calls", help="Prepare call log records")
+    pl.add_argument("calls_file_path")
+    pl.add_argument("-o", "--output-dir", required=True)
+    pl.add_argument("-fnu", "--food-needs-user", required=True, type=int)
+    pl.add_argument("-cnu", "--complex-needs-user", required=True, type=int)
+    pl.add_argument("-snu", "--simple-needs-user", required=True, type=int)
+    pl.add_argument("-clru", "--call-log-review-user", required=True, type=int)
+
+    args = parser.parse_args(argv)
+
+    from .session import get_spark
+    from .sources.csv import csv_to_stdout, write_csv_file
+
+    spark = get_spark(app_name=f"beacon-spark-{args.command}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.command == "prepare-contacts":
+        from .plans.contacts import prepare_contacts
+
+        now = args.now or datetime.now().isoformat()
+        csv_to_stdout(prepare_contacts(spark, args.gds_file_path, now))
+        return 0
+
+    if args.command == "prepare-calls":
+        from .plans.calls import CallsUsers, prepare_calls
+
+        users = CallsUsers(
+            food_needs_user=args.food_needs_user,
+            complex_needs_user=args.complex_needs_user,
+            simple_needs_user=args.simple_needs_user,
+            call_log_review_user=args.call_log_review_user,
+        )
+        outputs = prepare_calls(spark, args.calls_file_path, users)
+        for name, df in outputs.items():
+            write_csv_file(df, join(args.output_dir, f"{name}.csv"))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -100,17 +100,37 @@ def concat_address(parts: Sequence[Column | str], sep: str = ", ") -> Column:
     return F.concat_ws(sep, *[blank_to_null(p) for p in parts])
 
 
+def py_strip(c: Column | str) -> Column:
+    """Python ``str.strip()`` parity: removes ALL leading/trailing
+    whitespace (Spark ``trim`` only removes spaces)."""
+    return F.regexp_replace(_col(c).cast("string"), r"^\s+|\s+$", "")
+
+
+def labeled_pieces(labeled: Iterable[tuple[str, Column | str]]) -> list[Column]:
+    """The per-field pieces of compose_body: ``"{label}: {stripped}"``
+    when the stripped value is non-empty, else NULL (skipped by
+    concat_ws).  Exposed so callers can mix in conditional prefix lines
+    as extra Column pieces (e.g. the closed-food-need message,
+    ``prepare_calls.py:214-218``)."""
+    out: list[Column] = []
+    for label, c in labeled:
+        t = py_strip(c)
+        out.append(F.when(t != "", F.concat(F.lit(f"{label}: "), t)))
+    return out
+
+
 def compose_body(
     labeled: Iterable[tuple[str, Column | str]],
     prefix_lines: Sequence[str] = (),
+    prefix_cols: Sequence[Column] = (),
 ) -> Column:
     """X4 (``prepare_calls.py:193-201``): for each (label, col) emit
-    ``"{label}: {trimmed value}"`` when the trimmed value is non-empty;
-    newline-join, with optional literal prefix lines."""
+    ``"{label}: {stripped value}"`` when the stripped value is non-empty;
+    newline-join, with optional prefix lines (literal or conditional
+    Column pieces — NULL prefixes are skipped)."""
     pieces: list[Column] = [F.lit(p) for p in prefix_lines]
-    for label, c in labeled:
-        t = F.trim(_col(c))
-        pieces.append(F.when(t != "", F.concat(F.lit(f"{label}: "), t)))
+    pieces.extend(prefix_cols)
+    pieces.extend(labeled_pieces(labeled))
     return F.concat_ws("\n", *pieces)
 
 

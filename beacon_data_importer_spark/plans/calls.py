@@ -1,0 +1,543 @@
+"""The call-log pipeline — Spark plans with the semantics of the
+reference's ``prepare-calls`` command (``prepare_calls.py:20-191``).
+
+One shared base frame (cached — the direct fix for the reference's ~12×
+CSV re-parse, ``prepare_calls.py:145-156,176-191``), nine derived frames,
+and a QA frame expressed as five real left joins instead of five
+driver-memory hash maps.
+
+Faithfully reproduced quirks (SURVEY §7.6.5):
+  * the ``support_already_geting`` typo silently drops that field from
+    additional_info (``prepare_calls.py:221``);
+  * ``book_weekly_food_delivery == True`` is a dead branch (string
+    compared to Python True, ``prepare_calls.py:316``) — omitted as dead,
+    flagged here;
+  * trailing-space literals ``'Food referral '`` / ``'Call back '``
+    (``prepare_calls.py:310,317``);
+  * rows whose ``was_contact_made`` matches no branch produce ZERO note
+    rows (petl swallows the generator's UnboundLocalError, G2).
+
+First-wins QA lookups need an explicit order (petl used source order;
+Spark has none) — the base frame carries ``__source_row`` assigned from
+CSV file order via zipWithIndex.
+
+100 TB posture: everything below is filters/projections/explode (narrow)
+plus the QA joins (broadcast — need-tables are per-import batches,
+bounded).  ``.cache()`` replaces re-parse; at warehouse scale the base
+would be a written staging table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config.calls_schema import FIELDS, LABELED_FIELDS, LOGICAL_NAMES
+from ..functions import expressions as E
+from ..operators.flatmap import explode_counted
+from ..sources.csv import col_exact, read_csv_stringly
+
+MSG_ORIGINAL_TRIAGE_NEED = "[Import]: Imported from call log spreadsheet"
+MSG_CALL_LOG_NOTE = "[Import]: Imported call log"
+MSG_GENERIC_NEED = "[Import]: Need created automatically from imported call log"
+MSG_CALLBACK_NEED = (
+    "[Import]: Callback need created automatically because the imported "
+    "call log had a food need or callback date specified"
+)
+MSG_CLOSED_FOOD_NEED = (
+    "[Import]: Marked completed because priority 1 and 2 food needs were "
+    "all met by the time the call log was imported"
+)
+MSG_OTHER_NEED = (
+    '[Import]: Need created automatically because the imported call log '
+    'had an "Other referral" or filled in "Additional support"'
+)
+
+NEEDS_FIELDS = ["nhs_number", "category", "name", "created_at", "updated_at"]
+NOTES_FIELDS = ["nhs_number", "category", "body", "created_at", "updated_at"]
+
+ROW = "__source_row"
+
+
+@dataclass(frozen=True)
+class CallsUsers:
+    """The four CLI user-id parameters (``prepare_calls.py:24-27``) —
+    query parameters bound as literals at plan-build time."""
+
+    food_needs_user: int
+    complex_needs_user: int
+    simple_needs_user: int
+    call_log_review_user: int
+
+
+def _with_source_row(df: DataFrame) -> DataFrame:
+    """Attach the CSV file-order row index (petl's implicit order, made
+    explicit; SURVEY §4.3.5).  zipWithIndex is deterministic for a fixed
+    file: partition order follows file-split order."""
+    schema = df.schema.add(ROW, "long", nullable=False)
+    rdd = df.rdd.zipWithIndex().map(lambda p: (*p[0], p[1]))
+    return df.sparkSession.createDataFrame(rdd, schema)
+
+
+def base_spreadsheet(spark: SparkSession, calls_file_path: str) -> DataFrame:
+    """The shared base plan (``prepare_calls.py:33-41``): windows-1252
+    scan → rename → non-empty-date filter → provenance JSON (over RAW
+    values — serialization happens before date conversion) → date parse →
+    created/updated stamps.  Cached: ~12 downstream consumers."""
+    df = read_csv_stringly(spark, calls_file_path, encoding="windows-1252")
+    # rename via aliasing select: the original headers contain dots/colons
+    # that name-parsing APIs (withColumnsRenamed/F.col) misread; df[...]
+    # resolves exact names.  Also pins the 29-column order.
+    df = df.select(
+        *[col_exact(orig).alias(logical) for logical, orig, _ in FIELDS]
+    )
+    df = _with_source_row(df)
+    df = df.filter(F.col("latest_attempt_date") != "")  # F1: raw truthiness
+    df = df.withColumn("import_data", E.json_provenance(list(LOGICAL_NAMES)))
+    df = df.withColumn(
+        "latest_attempt_date", E.parse_date_dmy("latest_attempt_date")
+    )
+    df = df.withColumn("created_at", F.col("latest_attempt_date"))
+    df = df.withColumn("updated_at", F.col("latest_attempt_date"))
+    return df.cache()
+
+
+def _compose(overrides: dict[str, Column] | None = None, **kw) -> Column:
+    """compose_body over the full labeled field list, with per-pipeline
+    overrides for converted columns (food_priority, callback_date)."""
+    overrides = overrides or {}
+    labeled = [
+        (label, overrides.get(logical, F.col(logical)))
+        for label, logical in LABELED_FIELDS
+    ]
+    return E.compose_body(labeled, **kw)
+
+
+# ---------------------------------------------------------------------------
+# predicates (F3–F5, ``prepare_calls.py:308-336``)
+# ---------------------------------------------------------------------------
+
+def _needs_food_raw() -> Column:
+    # trailing space in 'Food referral ' is source-data-faithful
+    return F.col("outcome").isin("Food referral ", "Food and Other referral") | (
+        F.col("food_priority") != ""
+    )
+
+
+def _has_complex_other_need() -> Column:
+    return (
+        (F.col("addl_adult_social_care") != "")
+        | (F.col("addl_children_services") != "")
+        | (F.col("addl_safeguarding") != "")
+    )
+
+
+def _has_simple_other_need() -> Column:
+    return (
+        (F.col("addl_housing_waste") != "")
+        | (F.col("addl_medical_appt_transport") != "")
+        | (F.col("addl_referrals") != "")
+    )
+
+
+def _has_misc_other_need() -> Column:
+    return (F.col("addl_misc_other1") != "") | (F.col("addl_misc_other2") != "")
+
+
+def _needs_other_support() -> Column:
+    return (
+        F.col("outcome").isin("Other referral", "Food and Other referral")
+        | _has_complex_other_need()
+        | _has_simple_other_need()
+        | _has_misc_other_need()
+    )
+
+
+# ---------------------------------------------------------------------------
+# the nine derived frames
+# ---------------------------------------------------------------------------
+
+def derive_frames(base: DataFrame, users: CallsUsers) -> dict[str, DataFrame]:
+    """All derived frames, each still carrying __source_row (callers
+    project it away via the *_FIELDS lists; QA uses it for source-order
+    string aggregation)."""
+    frames: dict[str, DataFrame] = {}
+
+    # original_triage_needs (``prepare_calls.py:46-52``)
+    frames["original_triage_needs"] = base.select(
+        ROW,
+        *[F.col(c) for c in ("nhs_number", "created_at", "updated_at")],
+        F.lit("phone triage").alias("category"),
+        F.lit(MSG_ORIGINAL_TRIAGE_NEED).alias("name"),
+        E.determine_completion(
+            "was_contact_made", ["yes", "no 3 attempts made"], "latest_attempt_date"
+        ).alias("completed_on"),
+    )
+
+    # original_triage_call_notes via flatMap (``prepare_calls.py:55-61,248-274``)
+    lwcm = F.lower(F.col("was_contact_made"))
+    failure_cat = F.when(
+        F.col("outcome") == "Left voicemail", "phone_message"
+    ).otherwise("phone_failure")
+    category = (
+        F.when(lwcm == "yes", "phone_success")
+        .when(
+            lwcm.isin(
+                "no -1 attempt made",
+                "invalid phone numbers",
+                "no 2 attempts made",
+                "no 3 attempts made",
+            ),
+            failure_cat,
+        )
+    )
+    count = (
+        F.when(lwcm == "yes", 1)
+        .when(lwcm.isin("no -1 attempt made", "invalid phone numbers"), 1)
+        .when(lwcm == "no 2 attempts made", 2)
+        .when(lwcm == "no 3 attempts made", 3)
+        .otherwise(0)  # G2: unmatched rows yield zero note rows
+    )
+    notes_base = base.select(
+        ROW,
+        "nhs_number",
+        "created_at",
+        "updated_at",
+        category.alias("category"),
+        count.alias("__count"),
+    )
+    frames["original_triage_call_notes"] = explode_counted(
+        notes_base,
+        F.col("__count"),
+        [ROW, "nhs_number", "created_at", "updated_at", "category"],
+        attempt_col="__attempt",
+    ).withColumn("body", F.lit(MSG_CALL_LOG_NOTE))
+
+    # original_triage_import_notes (``prepare_calls.py:63-68``)
+    frames["original_triage_import_notes"] = base.select(
+        ROW,
+        "nhs_number",
+        "created_at",
+        "updated_at",
+        F.lit("phone_import").alias("category"),
+        _compose().alias("body"),
+        "import_data",
+    )
+
+    # food_needs (``prepare_calls.py:70-80``)
+    food = base.filter(_needs_food_raw()).withColumn(
+        "food_priority", E.parse_food_priority("food_priority")
+    )
+    supplemental = F.when(
+        F.col("food_priority").isNotNull(),
+        F.to_json(
+            F.struct(
+                F.lit("Grocery delivery").alias("food_service_type"),
+                F.col("food_priority").alias("food_priority"),
+            )
+        ),
+    ).otherwise(
+        F.to_json(F.struct(F.lit("Grocery delivery").alias("food_service_type")))
+    )
+    completed = F.when(
+        F.col("food_priority").isin("1", "2"), F.col("latest_attempt_date")
+    )
+    food = (
+        food.withColumn("supplemental_data", supplemental)
+        .withColumn("completed_on", completed)
+        .withColumn("user_id", F.lit(users.food_needs_user))
+    )
+    frames["food_needs"] = food.withColumn(
+        "category", F.lit("groceries and cooked meals")
+    ).withColumn(
+        "name",
+        _compose(
+            overrides={"food_priority": F.col("food_priority")},
+            prefix_lines=[MSG_GENERIC_NEED],
+            prefix_cols=[
+                F.when(F.col("completed_on").isNotNull(), MSG_CLOSED_FOOD_NEED)
+            ],
+        ),
+    )
+
+    # callback_needs (``prepare_calls.py:82-90``); the reference's
+    # `book_weekly_food_delivery == True` disjunct is dead (string vs
+    # Python True) and is reproduced as dead.
+    cb = base.withColumn("callback_date", E.parse_embedded_date("callback_date"))
+    cb = cb.filter(
+        F.col("callback_date").isNotNull()
+        | _needs_food_raw()
+        | (F.col("outcome") == "Call back ")  # trailing space faithful
+    )
+    frames["callback_needs"] = cb.select(
+        ROW,
+        "nhs_number",
+        "created_at",
+        "updated_at",
+        F.lit("phone triage").alias("category"),
+        _compose(
+            overrides={"callback_date": F.col("callback_date").cast("string")},
+            prefix_lines=[MSG_CALLBACK_NEED],
+        ).alias("name"),
+        F.coalesce(
+            F.col("callback_date"), F.date_add(F.col("latest_attempt_date"), 6)
+        ).alias("start_on"),
+    )
+
+    # prescription / mental-wellbeing / financial needs
+    # (``prepare_calls.py:92-117``)
+    for key, flag, cat, user in (
+        (
+            "prescription_needs",
+            "addl_medication_prescriptions",
+            "prescription pickups",
+            users.simple_needs_user,
+        ),
+        (
+            "mental_wellbeing_needs",
+            "addl_mental_wellbeing",
+            "physical and mental wellbeing",
+            users.complex_needs_user,
+        ),
+        (
+            "financial_needs",
+            "addl_financial",
+            "financial support",
+            users.complex_needs_user,
+        ),
+    ):
+        frames[key] = base.filter(F.col(flag) != "").select(
+            ROW,
+            "nhs_number",
+            "created_at",
+            "updated_at",
+            F.lit(cat).alias("category"),
+            _compose(prefix_lines=[MSG_OTHER_NEED]).alias("name"),
+            F.lit(user).alias("user_id"),
+        )
+
+    # other_needs (``prepare_calls.py:119-129,342-348``)
+    other_user = (
+        F.when(_has_complex_other_need(), users.complex_needs_user)
+        .when(_has_simple_other_need(), users.simple_needs_user)
+        .otherwise(users.call_log_review_user)
+    )
+    frames["other_needs"] = base.filter(_needs_other_support()).select(
+        ROW,
+        "nhs_number",
+        "created_at",
+        "updated_at",
+        F.lit("other").alias("category"),
+        _compose(prefix_lines=[MSG_OTHER_NEED]).alias("name"),
+        other_user.alias("user_id"),
+    )
+
+    # contact_profile_updates (``prepare_calls.py:132-143``); the
+    # additional_info pluck reproduces the reference's
+    # 'support_already_geting' typo — that field is silently excluded.
+    frames["contact_profile_updates"] = base.select(
+        ROW,
+        "nhs_number",
+        E.compose_body(
+            [
+                ("How many people in household", F.col("household_count")),
+                ("Notes", F.col("notes")),
+            ]
+        ).alias("additional_info"),
+        E.compose_body(
+            [
+                ("Delivery contact details", F.col("delivery_contact")),
+                ("Any special delivery information", F.col("delivery_special_info")),
+            ]
+        ).alias("delivery_details"),
+        E.nullify_no("dietary_requirements").alias("dietary_details"),
+        E.parse_yes_no("has_covid_symptoms").alias("has_covid_symptoms"),
+    )
+
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# QA (five left joins replacing five driver hash maps,
+# ``prepare_calls.py:145-173``)
+# ---------------------------------------------------------------------------
+
+def _first_by_source(df: DataFrame, cols: list[str]) -> DataFrame:
+    w = Window.partitionBy("nhs_number").orderBy(ROW)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("nhs_number", *cols)
+    )
+
+
+def quality_assurance(base: DataFrame, frames: dict[str, DataFrame]) -> DataFrame:
+    qa = base.withColumn("call_log", _compose())
+
+    # original_triage_status — every base row has a triage need
+    otn = _first_by_source(frames["original_triage_needs"], ["completed_on"])
+    qa = qa.join(
+        F.broadcast(otn.withColumnRenamed("completed_on", "__otn_completed")),
+        "nhs_number",
+        "left",
+    ).withColumn(
+        "original_triage_status",
+        F.when(F.col("__otn_completed").isNotNull(), "Completed").otherwise("To do"),
+    )
+
+    # call-note categories, source-order comma-joined (multi-valued lookup)
+    notes = frames["original_triage_call_notes"]
+    notes_agg = notes.groupBy("nhs_number").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(ROW, "__attempt", "category"))
+                ),
+                lambda x: x["category"],
+            ),
+            ", ",
+        ).alias("original_triage_call_notes")
+    )
+    qa = qa.join(F.broadcast(notes_agg), "nhs_number", "left")
+
+    # food need status block
+    food = _first_by_source(
+        frames["food_needs"], ["completed_on", "user_id", "supplemental_data"]
+    )
+    food_block = F.concat(
+        F.lit("Food need created\nPriority: "),
+        F.coalesce(
+            F.get_json_object(F.col("supplemental_data"), "$.food_priority"),
+            F.lit(""),
+        ),
+        F.lit("\nStatus: "),
+        F.when(F.col("completed_on").isNotNull(), "Completed").otherwise("To do"),
+        F.lit("\nAssigned to: "),
+        F.col("user_id").cast("string"),
+    )
+    qa = qa.join(
+        F.broadcast(food.select("nhs_number", food_block.alias("food_need"))),
+        "nhs_number",
+        "left",
+    )
+
+    # callback need block
+    cbn = _first_by_source(frames["callback_needs"], ["start_on"])
+    cb_block = F.concat(
+        F.lit("Callback need created\nStart on: "),
+        F.col("start_on").cast("string"),
+    )
+    qa = qa.join(
+        F.broadcast(cbn.select("nhs_number", cb_block.alias("callback_need"))),
+        "nhs_number",
+        "left",
+    )
+
+    # remaining needs: 4-way cat in pipeline order, then per-key
+    # newline-joined "Category.title() (Assigned to N)" lines
+    remaining = None
+    for idx, key in enumerate(
+        ("prescription_needs", "mental_wellbeing_needs", "financial_needs", "other_needs")
+    ):
+        f = frames[key].select(
+            "nhs_number",
+            F.lit(idx).alias("__pipe"),
+            F.col(ROW).alias("__r"),
+            "category",
+            "user_id",
+        )
+        remaining = f if remaining is None else remaining.unionByName(f)
+    remaining_agg = (
+        remaining.groupBy("nhs_number")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pipe", "__r", "category", "user_id"))
+            ).alias("__items")
+        )
+        .select(
+            "nhs_number",
+            F.array_join(
+                F.transform(
+                    F.col("__items"),
+                    lambda x: F.concat(
+                        F.initcap(x["category"]),
+                        F.lit(" (Assigned to "),
+                        x["user_id"].cast("string"),
+                        F.lit(")"),
+                    ),
+                ),
+                "\n",
+            ).alias("remaining_needs"),
+        )
+    )
+    qa = qa.join(F.broadcast(remaining_agg), "nhs_number", "left")
+
+    return qa.select(
+        "nhs_number",
+        "latest_attempt_date",
+        "original_triage_status",
+        "original_triage_call_notes",
+        "food_need",
+        "callback_need",
+        "remaining_needs",
+        "call_log",
+    )
+
+
+# ---------------------------------------------------------------------------
+# public outputs (the seven CSVs, ``prepare_calls.py:176-191``)
+# ---------------------------------------------------------------------------
+
+def prepare_calls(
+    spark: SparkSession, calls_file_path: str, users: CallsUsers
+) -> dict[str, DataFrame]:
+    """All output frames keyed by their reference CSV name (sans .csv)."""
+    base = base_spreadsheet(spark, calls_file_path)
+    frames = derive_frames(base, users)
+
+    def cut(name: str, cols: list[str]) -> DataFrame:
+        return frames[name].select(*cols)
+
+    call_notes = cut("original_triage_call_notes", NOTES_FIELDS)
+    import_notes = cut(
+        "original_triage_import_notes", [*NOTES_FIELDS, "import_data"]
+    )
+    remaining = None
+    for key in (
+        "prescription_needs",
+        "mental_wellbeing_needs",
+        "financial_needs",
+        "other_needs",
+    ):
+        f = cut(key, [*NEEDS_FIELDS, "user_id"])
+        remaining = f if remaining is None else remaining.unionByName(f)
+
+    return {
+        "quality_assurance": quality_assurance(base, frames),
+        "contact_profile_updates": cut(
+            "contact_profile_updates",
+            [
+                "nhs_number",
+                "additional_info",
+                "delivery_details",
+                "dietary_details",
+                "has_covid_symptoms",
+            ],
+        ),
+        "original_triage_needs": cut(
+            "original_triage_needs", [*NEEDS_FIELDS, "completed_on"]
+        ),
+        # etl.cat(import_notes, call_notes): call notes have no
+        # import_data -> padded NULL (U1 semantics)
+        "original_triage_notes": import_notes.unionByName(
+            call_notes, allowMissingColumns=True
+        ),
+        "food_needs": cut(
+            "food_needs",
+            [*NEEDS_FIELDS, "completed_on", "supplemental_data", "user_id"],
+        ),
+        "callback_needs": cut("callback_needs", [*NEEDS_FIELDS, "start_on"]),
+        "remaining_needs": remaining,
+    }

@@ -18,8 +18,15 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def col_exact(name: str) -> Column:
+    """Column reference by EXACT name, immune to the attribute-name
+    parser (messy spreadsheet headers contain dots/colons that plain
+    ``F.col``/``df[...]`` misread as nested-field access)."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def read_csv_stringly(
@@ -42,8 +49,10 @@ def read_csv_stringly(
         .csv(path)
     )
     # Normalize NULL -> '' per petl semantics; fused into the scan stage.
+    # Headers may contain dots/colons the attribute-name parser misreads
+    # as nested access — backtick-quote every reference.
     return df.select(
-        *[F.coalesce(F.col(c), F.lit(empty_as)).alias(c) for c in df.columns]
+        *[F.coalesce(col_exact(c), F.lit(empty_as)).alias(c) for c in df.columns]
     )
 
 
@@ -62,6 +71,33 @@ def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     on large frames).
     """
     df.coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
+def _petl_cell(v) -> str:
+    """petl tocsv cell formatting: None → '', bool → 'True'/'False',
+    dates → ISO (reference writes Python str())."""
+    if v is None:
+        return ""
+    if v is True:
+        return "True"
+    if v is False:
+        return "False"
+    return str(v)
+
+
+def write_csv_file(df: DataFrame, path: str) -> None:
+    """Write ONE real CSV file at ``path`` with petl-compatible cell
+    formatting — byte-parity with the reference's ``.tocsv(path)``
+    (``prepare_calls.py:176-191``).  Streams through the driver
+    (toLocalIterator): CLI-parity path for council-sized outputs; the
+    scale path is :func:`write_csv`."""
+    import csv as _csv
+
+    with open(path, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(df.columns)
+        for row in df.toLocalIterator():
+            w.writerow([_petl_cell(v) for v in row])
 
 
 def csv_to_stdout(df: DataFrame) -> None:
