@@ -1,0 +1,399 @@
+"""Additional operator coverage: join families the reference lacks
+(semi/anti/as-of/range), distinct aggregation, top-k per group, hopping
+windows, exact quantiles, and vector LSH (random-hyperplane) near-dup +
+IVF search — all DuckDB-oracle-checked.
+
+Random hyperplanes are generated deterministically in Python from md5
+parity, so the SAME literal plane vectors are embedded in the Spark plan
+and the oracle SQL (no RNG, resume-safe).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import cents, query
+from .operators import similarity as SIM
+from .sources.parquet import read_table
+
+# ---------------------------------------------------------------------------
+# join families
+# ---------------------------------------------------------------------------
+
+@query(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — SURVEY §2.4 notes the reference has no
+    semi/anti family; Spark covers it natively."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+
+
+@query(
+    "asof_join",
+    oracle="""
+    SELECT orderkey, custkey, asof_event, asof_ts FROM (
+      SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+             e.event_id AS asof_event, e.ts AS asof_ts,
+             row_number() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM orders o
+      LEFT JOIN events e
+        ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    ) t WHERE rn = 1
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each order picks the latest event of the same
+    user at-or-before the order date (composition of a non-equi join +
+    per-key top-1 window — the Spark-native as-of pattern).
+
+    Scale note: the equality conjunct (user_id = custkey) keys the
+    shuffle, so the non-equi part only fans out within a key's group —
+    not a cross join."""
+    o = read_table(spark, sf_dir, "orders")
+    e = read_table(spark, sf_dir, "events")
+    joined = o.join(
+        e,
+        (e.user_id == o.o_custkey) & (e.ts <= o.o_orderdate),
+        "left",
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("event_id").alias("asof_event"),
+            F.col("ts").alias("asof_ts"),
+        )
+    )
+
+
+@query(
+    "range_join_pairs",
+    oracle="""
+    SELECT e1.user_id, count(*) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_id < e2.event_id
+     AND abs(epoch(e2.ts) - epoch(e1.ts)) <= 300
+    GROUP BY e1.user_id
+    """,
+)
+def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) self-join: same-user event pairs within 5
+    minutes.  Equality on user_id keys the shuffle; the range predicate
+    filters within groups."""
+    e = read_table(spark, sf_dir, "events")
+    e1 = e.select(
+        F.col("user_id"), F.col("event_id").alias("id1"), F.col("ts").alias("ts1")
+    )
+    e2 = e.select(
+        F.col("user_id"), F.col("event_id").alias("id2"), F.col("ts").alias("ts2")
+    )
+    pairs = e1.join(
+        e2,
+        ["user_id"],
+    ).filter(
+        (F.col("id1") < F.col("id2"))
+        & (
+            F.abs(F.col("ts2").cast("long") - F.col("ts1").cast("long")) <= 300
+        )
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# aggregation families
+# ---------------------------------------------------------------------------
+
+@query(
+    "distinct_count",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           count(DISTINCT c_nationkey) AS n_nations,
+           count(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation (expand + two-phase agg under the hood)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count_distinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                        o_orderkey) AS rk
+      FROM orders
+    ) t WHERE rk <= 2
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer — per-group top-k via ranked window (the
+    distributed replacement for per-key heaps)."""
+    o = read_table(spark, sf_dir, "orders")
+    price = cents(F.col("o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy(price.desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            price.alias("price_cents"),
+            F.col("rk"),
+        )
+    )
+
+
+@query(
+    "exact_quantiles",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+      CAST(floor(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT)
+        AS median_qty_cents,
+      CAST(floor(quantile_cont(l_extendedprice, 0.9) * 100) AS BIGINT)
+        AS p90_price_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation quantiles (Spark ``percentile`` ↔
+    DuckDB ``quantile_cont``), integerized via floor-micro-cents.  At
+    scale the approx_percentile sketch is the right tool; the exact form
+    is the correctness baseline."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.floor(F.expr("percentile(l_quantity, 0.5)") * 100)
+        .cast("bigint")
+        .alias("median_qty_cents"),
+        F.floor(F.expr("percentile(l_extendedprice, 0.9)") * 100)
+        .cast("bigint")
+        .alias("p90_price_cents"),
+    )
+
+
+@query(
+    "hopping_window",
+    oracle="""
+    WITH contrib AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w, event_type FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+             event_type
+      FROM events
+    )
+    SELECT w AS window_start, event_type, count(*) AS n_events
+    FROM contrib GROUP BY w, event_type
+    """,
+)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time window: 1h length, 30min hop — each
+    event lands in two windows (native F.window fan-out)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# vector LSH (random hyperplanes) + IVF search
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+DIM = 64
+
+
+def _plane(p: int) -> list[float]:
+    """Deterministic ±1 hyperplane from md5 parity — identical literals
+    on both engines."""
+    return [
+        1.0 if int(hashlib.md5(f"{p}|{i}".encode()).hexdigest(), 16) % 2 else -1.0
+        for i in range(DIM)
+    ]
+
+
+PLANES = [_plane(p) for p in range(N_PLANES)]
+
+
+def _duck_bucket() -> str:
+    bits = []
+    for p in range(N_PLANES):
+        lit = "[" + ",".join(str(x) for x in PLANES[p]) + "]"
+        bits.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}::DOUBLE[]) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+def _spark_bucket() -> F.Column:
+    bits = []
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(x) for x in PLANES[p]])
+        bits.append(
+            F.when(SIM.dot(F.col("embedding"), plane) >= 0, "1").otherwise("0")
+        )
+    return F.concat(*bits)
+
+
+@query(
+    "vector_lsh_near_dup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_duck_bucket()} AS bucket FROM embeddings
+    )
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+      CAST(floor(
+        list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[])))
+        * 1e6) AS BIGINT) AS cosine_sim_e6
+    FROM b l JOIN b r
+      ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    """,
+)
+def q_vector_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH: 8 sign bits bucket
+    the corpus; exact cosine only within buckets.  The O(n²) pair space
+    shrinks to same-bucket pairs (expected n²/2^bits)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", _spark_bucket().alias("bucket"))
+    left = b.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    right = b.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = left.join(right, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.floor(SIM.cosine("emb_a", "emb_b") * 1e6).alias("cosine_sim_e6"),
+    )
+
+
+@query(
+    "ivf_search",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cell_id, embedding AS cvec
+                  FROM embeddings WHERE vec_id % 100 = 0),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) /
+              (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+               sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]))) DESC,
+            c.cell_id) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) t WHERE rn = 1
+    ),
+    qcells AS (SELECT cell_id FROM (
+        SELECT c.cell_id,
+          row_number() OVER (ORDER BY
+            list_dot_product(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) /
+              (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+               sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]))) DESC,
+            c.cell_id) AS rn
+        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id = 0
+      ) t WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN assign a ON a.vec_id = e.vec_id
+      WHERE a.cell_id IN (SELECT cell_id FROM qcells) AND e.vec_id != 0
+    )
+    SELECT c.vec_id AS neighbor_id,
+      CAST(floor(
+        list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))
+        * 1e6) AS BIGINT) AS cosine_sim_e6
+    FROM cand c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY
+      list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) DESC,
+      c.vec_id
+    LIMIT 10
+    """,
+)
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF query path: probe the 2 nearest cells for the query vector and
+    exact-rank only their members — the nprobe/cells fraction of the
+    corpus is scanned instead of all of it."""
+    e = read_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = SIM.assign_cells(e, centroids).select("vec_id", "cell_id")
+
+    qvec = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qemb")
+    )
+    scored_cells = centroids.crossJoin(F.broadcast(qvec)).select(
+        "cell_id", SIM.cosine("centroid", "qemb").alias("__s")
+    )
+    wq = Window.orderBy(F.col("__s").desc(), F.col("cell_id"))
+    qcells = (
+        scored_cells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("cell_id")
+    )
+
+    cand = (
+        e.join(assigned, "vec_id")
+        .join(F.broadcast(qcells), "cell_id", "left_semi")
+        .filter(F.col("vec_id") != 0)
+    )
+    scored = cand.crossJoin(F.broadcast(qvec)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        SIM.cosine("embedding", "qemb").alias("__raw"),
+    )
+    return (
+        scored.orderBy(F.col("__raw").desc(), F.col("neighbor_id"))
+        .limit(10)
+        .select(
+            "neighbor_id", F.floor(F.col("__raw") * 1e6).alias("cosine_sim_e6")
+        )
+    )

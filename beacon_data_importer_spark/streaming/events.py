@@ -1,0 +1,102 @@
+"""Structured Streaming surface (SURVEY §2.10: the reference is strictly
+batch — this is the engine's forward-looking extension for the driver's
+``events`` table shape).
+
+Patterns covered:
+  * file-source stream over parquet events (``readStream``), with the
+    same NANOS-timestamp conversion as the batch scan layer;
+  * watermarked tumbling-window aggregation (late data dropped after the
+    watermark horizon);
+  * session windows via ``F.session_window`` (gap-merged);
+  * ``Trigger.AvailableNow`` batch-parity execution for tests: the same
+    query semantics, run incrementally to completion.
+
+100 TB posture: streaming aggregation state is partitioned by group key
+across executors; the watermark bounds state size (windows older than
+the horizon are evicted).  File sources at scale become Kafka/queue
+sources with identical plan shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (schema taken from the
+    batch reader; nano-long ts converted to a real timestamp).
+
+    The file-stream source requires a DIRECTORY; the testdata ships one
+    file, so a temp dir with a symlink stands in (a real deployment
+    streams an arriving-files directory or a queue source)."""
+    import os
+    import tempfile
+
+    src = f"{sf_dir}/events.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(os.path.abspath(src), os.path.join(stream_dir, "events.parquet"))
+
+    batch_schema = spark.read.parquet(src).schema
+    df = spark.readStream.schema(batch_schema).parquet(stream_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type.  In streaming
+    mode, state for a (window, event_type) group is dropped once the
+    watermark passes window.end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-merged session windows per user (native session_window —
+    streaming state merges adjacent sessions as events arrive)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, table_name: str) -> None:
+    """Execute a streaming frame to completion against current data
+    (Trigger.AvailableNow) into an in-memory sink table — the test/batch
+    parity harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
