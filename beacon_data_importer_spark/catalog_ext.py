@@ -430,3 +430,59 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "media_type", "byte_len", "content_md5", "width", "height",
         "n_frames",
     )
+
+
+_DUCK_SHD = f"list_distinct({_DUCK_SHINGLES.strip()})"
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_duck_minhash_sig_cte()},
+    banded AS ({_duck_band_exprs()}),
+    sizes AS (SELECT band, bucket, count(*) AS c FROM banded GROUP BY band, bucket),
+    small AS (SELECT banded.* FROM banded JOIN sizes USING (band, bucket)
+              WHERE c <= {MAX_BUCKET}),
+    pairs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+              FROM small l JOIN small r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+    shd AS (SELECT doc_id AS id, {_DUCK_SHD} AS sh FROM documents)
+    SELECT p.id_a, p.id_b,
+      CAST(floor(
+        len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) /
+        CAST(len(sa.sh) + len(sb.sh)
+             - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+             AS DOUBLE) * 1e6) AS BIGINT) AS jaccard_e6
+    FROM pairs p
+    JOIN shd sa ON sa.id = p.id_a
+    JOIN shd sb ON sb.id = p.id_b
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard for the LSH candidate pairs (the verify step
+    after MinHash estimation): |A∩B| / |A∪B| over distinct word-3-gram
+    shingle sets.  Exact set math only runs on same-bucket pairs, never
+    all n² — the two-tier (estimate → verify) near-dup pattern."""
+    from .operators.dedup import _shingles, lsh_candidate_pairs, minhash_signatures
+
+    d = _docs_parallel(spark, sf_dir)
+    sigs = minhash_signatures(d, "text", "doc_id", NUM_HASHES).persist()
+    pairs = lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND, MAX_BUCKET)
+
+    shd = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(_shingles(F.col("text"))).alias("sh"),
+    )
+    sa = shd.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shd.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(inter / union.cast("double") * 1e6).alias("jaccard_e6"),
+        )
+    )

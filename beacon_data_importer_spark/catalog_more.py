@@ -397,3 +397,41 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id", F.floor(F.col("__raw") * 1e6).alias("cosine_sim_e6")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# skew-salted aggregation + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+      sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+      count(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a deliberately skewed key (3
+    distinct returnflags hold all rows): phase 1 spreads the hot keys
+    across 32 salt buckets, phase 2 combines #keys×32 partials.  Results
+    identical to the plain GROUP BY (oracle)."""
+    from .operators.skew import salted_aggregate
+
+    l = read_table(spark, sf_dir, "lineitem").withColumn(
+        "qty_cents", cents(F.col("l_quantity"))
+    )
+    out = salted_aggregate(
+        l,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty_cents": ("qty_cents", "sum"),
+            "n_items": (F.lit(1), "count"),
+        },
+        salt_cols=["l_orderkey", "l_linenumber"],
+        buckets=32,
+    )
+    return out.select(
+        F.col("l_returnflag").alias("returnflag"), "sum_qty_cents", "n_items"
+    )

@@ -109,6 +109,65 @@ def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_md5", StringType(), True),
+    ]
+)
+
+
+def sample_frames(decoded: DataFrame, every_k: int = 8) -> DataFrame:
+    """Frame sampling: one output row per k-th frame of each video/audio
+    item — a 1→N pandas iterator (the UDTF shape for media).  The frame
+    payload extraction is stubbed (deterministic md5 of id+idx); the
+    Spark-side contract (schema, fan-out, batch iteration) is real.
+
+    Scale note: fan-out happens inside the Arrow batch iterator — no
+    shuffle; downstream per-frame work keys on (media_id, frame_idx)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for media_id, n_frames in zip(pdf["media_id"], pdf["n_frames"]):
+                for idx in range(0, int(n_frames), every_k):
+                    out.append(
+                        (
+                            media_id,
+                            idx,
+                            hashlib.md5(f"{media_id}|{idx}".encode()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return decoded.select("media_id", "n_frames").mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize_meta(decoded: DataFrame, max_side: int = 64) -> DataFrame:
+    """Resize planning as a pure Column expression: target dims scaled so
+    the longer side == max_side, aspect preserved (integer floor).  The
+    actual pixel resample would live in the decode stub; the metadata
+    contract is the real engine surface."""
+    scale = F.least(
+        F.lit(float(max_side)) / F.col("width"),
+        F.lit(float(max_side)) / F.col("height"),
+    )
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * scale).cast("int").alias("target_width"),
+        F.floor(F.col("height") * scale).cast("int").alias("target_height"),
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a synthetic MEDIA_SCHEMA frame from the documents table
     (text → utf-8 bytes as the payload) — test fixture generator that

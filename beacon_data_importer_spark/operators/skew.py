@@ -1,0 +1,64 @@
+"""Skew-mitigation operators.
+
+AQE's skew-join splitting handles joins; for *aggregations* over heavily
+skewed group keys (a handful of keys holding most rows — the classic
+100 TB failure mode where one reducer gets 10 TB), the standard fix is
+salted two-phase aggregation: partially aggregate on (key, salt), then
+combine partials on the key.  Works for any algebraic aggregate
+(sum/count/min/max) because partials compose.
+
+Salt is DETERMINISTIC (hash of caller-chosen high-cardinality columns,
+never rand()) so results are reproducible and resume-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_COMBINE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts combine by summing partial counts
+    "min": F.min,
+    "max": F.max,
+}
+_PARTIAL = {
+    "sum": F.sum,
+    "count": lambda c: F.count(c),
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column | str, str]],
+    salt_cols: list[str],
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs`` maps output name -> (column, fn) with fn in
+    {sum, count, min, max}.  ``salt_cols`` must be high-cardinality so the
+    hot key's rows spread across ``buckets`` reducers in phase 1; phase 2
+    shuffles only #keys×buckets partial rows.
+    """
+    for name, (_, fn) in aggs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"{name}: non-algebraic aggregate {fn!r} cannot be salted")
+    salt = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(buckets))
+    ).alias("__salt")
+    partial = df.groupBy(*keys, salt).agg(
+        *[
+            _PARTIAL[fn](c if isinstance(c, Column) else F.col(c)).alias(f"__p_{name}")
+            for name, (c, fn) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _COMBINE[fn](F.col(f"__p_{name}")).alias(name)
+            for name, (_, fn) in aggs.items()
+        ]
+    )

@@ -43,3 +43,34 @@ def test_streaming_session_windows_complete(spark, sf_dir):
     assert len(rows) > 0
     # sessions are per-user, end >= start, n_events >= 1
     assert all(r.session_end >= r.session_start and r.n_events >= 1 for r in rows)
+
+
+def test_streaming_first_seen_matches_batch_first_wins(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.operators.dedup import first_wins
+    from beacon_data_importer_spark.streaming.stateful import streaming_first_seen
+
+    stream = SE.stream_events(spark, sf_dir)
+    out = streaming_first_seen(stream.select("user_id", "ts", "event_id"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.first_ts, r.first_event_id)
+        for r in spark.table("first_seen").collect()
+    }
+
+    batch = read_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.ts, r.event_id)
+        for r in first_wins(batch, "user_id", ["ts", "event_id"])
+        .select("user_id", "ts", "event_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
