@@ -68,13 +68,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(d, "text", "doc_id")
 
 
-def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_parallel(
+    spark: SparkSession, sf_dir: str, n: int | None = None
+) -> DataFrame:
     """documents scan repartitioned to the core count: the testdata is a
     single small parquet file (one input split), which would serialize
     the CPU-heavy hashing onto one core.  At warehouse scale the source
-    has many splits and this repartition is a no-op to omit."""
+    has many splits and this repartition is a no-op to omit.  ``n``
+    overrides the partition count (Python-batched operators want fewer
+    partitions locally — per-partition Arrow/worker overhead dominates
+    small inputs)."""
     d = read_table(spark, sf_dir, "documents")
-    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return d.repartition(n or spark.sparkContext.defaultParallelism, "doc_id")
 
 
 @query(
@@ -424,7 +429,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → decoded metadata via Arrow-batched
     ``mapInPandas`` (deterministic stub codec — the oracle reproduces it
     from md5, proving the Python batch path end-to-end)."""
-    d = _docs_parallel(spark, sf_dir)
+    d = _docs_parallel(spark, sf_dir, n=8)
     media = MM.media_from_documents(d)
     return MM.decode_media(media).select(
         "media_id", "media_type", "byte_len", "content_md5", "width", "height",

@@ -435,3 +435,56 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("l_returnflag").alias("returnflag"), "sum_qty_cents", "n_items"
     )
+
+
+@query(
+    "grouped_zscore_pandas",
+    oracle="""
+    WITH stats AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+      CAST(floor((CAST(round(o.o_totalprice * 100) AS BIGINT)
+                  - CAST(st.s AS DOUBLE) / st.n) * 1000) AS BIGINT)
+        AS centered_milli
+    FROM orders o JOIN stats st ON o.o_custkey = st.o_custkey
+    """,
+)
+def q_grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas operator (``applyInPandas``) — the engine's
+    sanctioned per-group Python escape hatch (SURVEY §2.10), demonstrated
+    with an oracle-checkable computation: per-customer mean-centering in
+    exact integer cents (float ops on exact ints < 2^53 are bitwise
+    portable).  Arrow-batched; one shuffle on the group key — the same
+    plan shape a JVM groupBy would get."""
+    from pyspark.sql.types import StructField, StructType
+    import pyspark.sql.types as T
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents(F.col("o_totalprice")).alias("price_cents")
+    )
+    schema = StructType(
+        [
+            StructField("orderkey", T.LongType()),
+            StructField("custkey", T.LongType()),
+            StructField("centered_milli", T.LongType()),
+        ]
+    )
+
+    def center(pdf):
+        import math
+
+        mean = pdf["price_cents"].sum() / len(pdf)
+        out = pdf.assign(
+            centered_milli=[
+                math.floor((c - mean) * 1000) for c in pdf["price_cents"]
+            ]
+        )
+        return out.rename(
+            columns={"o_orderkey": "orderkey", "o_custkey": "custkey"}
+        )[["orderkey", "custkey", "centered_milli"]]
+
+    return o.groupBy("o_custkey").applyInPandas(center, schema)

@@ -34,6 +34,17 @@ HEADLINE = [
     "ivf_assign",
     "text_quality",
     "multimodal_decode",
+    "ngram_jaccard_pairs",
+    "vector_lsh_near_dup",
+    "ivf_search",
+    "asof_join",
+    "hopping_window",
+    "skew_salted_agg",
+    "topk_per_group",
+    # grouped_zscore_pandas deliberately excluded: it exists to measure
+    # the applyInPandas escape hatch (~20s at sf0.1 vs ~0.6s native for
+    # the same math — see PERF.md); headline numbers track the engine's
+    # intended JVM-expression paths.
 ]
 
 
