@@ -488,3 +488,44 @@ def q_grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )[["orderkey", "custkey", "centered_milli"]]
 
     return o.groupBy("o_custkey").applyInPandas(center, schema)
+
+
+@query(
+    "scd2_merge",
+    oracle="""
+    WITH upd AS (
+      SELECT o_custkey AS custkey, 'BIG SPENDER' AS segment,
+             min(CAST(o_orderdate AS DATE)) AS eff
+      FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+    )
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+           DATE '1990-01-01' AS valid_from, u.eff AS valid_to
+    FROM customer c LEFT JOIN upd u ON c.c_custkey = u.custkey
+    UNION ALL
+    SELECT u.custkey, u.segment, u.eff, CAST(NULL AS DATE)
+    FROM upd u
+    """,
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge — the versioned upgrade of the reference's
+    UPDATE…FROM: changed keys close their current row at the effective
+    date and open a new one; history is preserved, not overwritten."""
+    from .operators.scd import scd2_merge
+
+    c = read_table(spark, sf_dir, "customer")
+    history = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    o = read_table(spark, sf_dir, "orders")
+    updates = (
+        o.filter(F.col("o_totalprice") > 200000)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.min(F.to_date("o_orderdate")).alias("eff"))
+        .withColumn("segment", F.lit("BIG SPENDER"))
+    )
+    return scd2_merge(
+        history, updates, "custkey", ["segment"], effective_col="eff"
+    )

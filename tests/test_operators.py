@@ -149,3 +149,69 @@ def test_multimodal_decode_stub(spark):
     assert out.byte_len == 5
     assert out.width == 16 + h[0] % 240
     assert out.n_frames == 1
+
+
+def test_kmeans_matches_numpy(spark):
+    import numpy as np
+
+    from beacon_data_importer_spark.operators.kmeans import kmeans_fit
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, assigned = kmeans_fit(df, k=4, max_iter=3)
+    got = {r.id: r.cluster for r in assigned.collect()}
+
+    rows = sorted(
+        df.collect(), key=lambda r: r.vec_id
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+    C = X[:4].copy()
+    for _ in range(3):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        C = np.array(
+            [X[a == j].mean(axis=0) if (a == j).any() else C[j] for j in range(4)]
+        )
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    want = dict(zip(ids, d.argmin(axis=1)))
+
+    np.testing.assert_allclose(
+        np.array([v for _, v in sorted(cents, key=lambda t: t[0])]), C, atol=1e-6
+    )
+    assert got == want
+
+
+def test_scd2_merge_semantics(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from beacon_data_importer_spark.operators.scd import scd2_merge
+
+    D = datetime.date
+    history = spark.createDataFrame(
+        [
+            ("K1", "old", D(2019, 1, 1), D(2020, 1, 1)),  # closed history
+            ("K1", "mid", D(2020, 1, 1), None),           # current, will change
+            ("K2", "same", D(2020, 1, 1), None),          # current, no change
+            ("K3", "gone", D(2020, 1, 1), None),          # current, no update
+        ],
+        "k string, v string, valid_from date, valid_to date",
+    )
+    updates = spark.createDataFrame(
+        [
+            Row(k="K1", v="new", eff=D(2021, 6, 1)),
+            Row(k="K2", v="same", eff=D(2021, 6, 1)),
+            Row(k="K9", v="born", eff=D(2021, 6, 1)),
+        ]
+    )
+    out = scd2_merge(history, updates, "k", ["v"], effective_col="eff")
+    rows = {(r.k, r.v, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        ("K1", "old", D(2019, 1, 1), D(2020, 1, 1)),
+        ("K1", "mid", D(2020, 1, 1), D(2021, 6, 1)),   # closed at eff
+        ("K1", "new", D(2021, 6, 1), None),            # opened
+        ("K2", "same", D(2020, 1, 1), None),           # untouched
+        ("K3", "gone", D(2020, 1, 1), None),           # untouched
+        ("K9", "born", D(2021, 6, 1), None),           # brand-new key
+    }

@@ -1,0 +1,100 @@
+"""Physical-plan regression guards: the plans that make the engine
+scale-viable must KEEP their shape — pushdown reaching the scan,
+broadcast where declared, bucketed joins avoiding the exchange,
+partition pruning on partitioned layouts."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_explain(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    q = entrymod.queries()["filter_compound"]
+    txt = optimized_explain(q(spark, sf_dir))
+    assert "PushedFilters:" in txt
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in txt
+    # column pruning: only the 6 needed columns in ReadSchema
+    assert "l_tax" not in txt.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_topk_join_uses_broadcast_and_takeordered(spark, sf_dir):
+    q = entrymod.queries()["top_revenue"]
+    txt = optimized_explain(q(spark, sf_dir))
+    assert "BroadcastHashJoin" in txt
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_qa_left_join_is_broadcast(spark, sf_dir):
+    q = entrymod.queries()["qa_left_joins"]
+    txt = optimized_explain(q(spark, sf_dir))
+    assert "BroadcastHashJoin LeftOuter" in txt
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join: two tables bucketed on the join key join without
+    any Exchange — the pre-partitioning strategy for repeated big joins
+    at scale (SURVEY's 'bucketing for co-located joins')."""
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    for name, df, key in (("b_orders", o, "o_orderkey"), ("b_lineitem", l, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    try:
+        # disable broadcast so the join would otherwise shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            spark.table("b_orders").o_orderkey
+            == spark.table("b_lineitem").l_orderkey,
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucket co-location
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partition layout: a filter on the partition column must
+    prune at planning time (PartitionFilters), reading only matching
+    directories."""
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    out = str(tmp_path / "events_by_type")
+    e = read_table(spark, sf_dir, "events")
+    e.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    txt = optimized_explain(back)
+    assert "PartitionFilters" in txt and "event_type" in txt
+    n_click = back.count()
+    assert n_click == e.filter(F.col("event_type") == "click").count()
+    assert n_click > 0
