@@ -8,7 +8,9 @@ insensitive value-hash comparison deterministic):
   * money/quantity sums use the **cents trick** — ``CAST(round(x*100) AS
     BIGINT)`` before summing, so aggregation is exact integer arithmetic
     (double summation order would otherwise differ between engines);
-  * ratios/similarities are ``round(..., 6)``;
+  * ratios/similarities surface as ``floor(x*1e6)`` micro-unit integers
+    (engine ``round`` tie-rules differ; floor of a bitwise-identical
+    double does not);
   * hashing is md5-based (never engine-native hash functions);
   * orderings always carry an id tie-breaker;
   * timestamps render under UTC (session.py pins the zone).
@@ -23,9 +25,6 @@ from pyspark.sql import functions as F
 
 from .functions import expressions as E
 from .operators import dedup as DD
-from .operators import multimodal as MM
-from .operators import similarity as SIM
-from .operators import text as TX
 from .operators.flatmap import explode_counted
 from .operators.joins import lookup_join
 from .operators.setops import union_by_name

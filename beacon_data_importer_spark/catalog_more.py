@@ -529,3 +529,22 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(
         history, updates, "custkey", ["segment"], effective_col="eff"
     )
+
+
+@query(
+    "high_cardinality_agg",
+    oracle="""
+    SELECT l_orderkey AS orderkey, count(*) AS n_lines,
+      sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_high_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cardinality groupBy (one group per order, ~n/4 groups) — the
+    shuffle-throughput benchmark shape: partial aggregation barely
+    reduces, so this measures raw exchange + final-agg performance."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(cents(F.col("l_quantity"))).alias("qty_cents"),
+    )

@@ -41,6 +41,7 @@ HEADLINE = [
     "hopping_window",
     "skew_salted_agg",
     "topk_per_group",
+    "high_cardinality_agg",
     # grouped_zscore_pandas deliberately excluded: it exists to measure
     # the applyInPandas escape hatch (~20s at sf0.1 vs ~0.6s native for
     # the same math — see PERF.md); headline numbers track the engine's

@@ -215,3 +215,21 @@ def test_scd2_merge_semantics(spark):
         ("K3", "gone", D(2020, 1, 1), None),           # untouched
         ("K9", "born", D(2021, 6, 1), None),           # brand-new key
     }
+
+
+def test_approx_sketches_within_bounds(spark):
+    """Sketch aggregates (the 100 TB path for distincts/quantiles) are
+    rows-only w.r.t. the oracle (sketch internals differ by engine), so
+    bounds are asserted here instead."""
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    exact = df.select(F.count_distinct("o_custkey")).collect()[0][0]
+    approx = df.select(
+        F.approx_count_distinct("o_custkey", rsd=0.05)
+    ).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.15
+
+    med_exact = df.selectExpr("percentile(o_totalprice, 0.5)").collect()[0][0]
+    med_approx = df.selectExpr(
+        "approx_percentile(o_totalprice, 0.5, 1000)"
+    ).collect()[0][0]
+    assert abs(med_approx - med_exact) / med_exact < 0.05
