@@ -1,0 +1,84 @@
+"""Scale probe: amplify sf0.1 via self-union (8× lineitem ≈ 4.8M rows)
+and measure the shuffle-heavy shapes — evidence that throughput holds as
+data grows, beyond what the fixed testdata SFs show.
+
+Prints one JSON line: rows/sec per shape at 1× and 8×.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from beacon_data_importer_spark.session import get_spark
+from beacon_data_importer_spark.sources.parquet import read_table
+
+
+def amplify(df, times: int, key_cols: list[str]):
+    """Union `times` shifted copies (keys offset so cardinality scales
+    too, not just row count)."""
+    out = None
+    for i in range(times):
+        c = df
+        for k in key_cols:
+            c = c.withColumn(k, F.col(k) + F.lit(i * 100_000_000))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def timed(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+    for factor in (1, 8):
+        l = amplify(read_table(spark, sf_dir, "lineitem"), factor, ["l_orderkey"])
+        o = amplify(read_table(spark, sf_dir, "orders"), factor, ["o_orderkey"])
+        n_rows = l.count()
+
+        shapes = {
+            "scan_agg": l.groupBy("l_returnflag", "l_linestatus").agg(
+                F.sum(F.round(F.col("l_quantity") * 100, 0).cast("bigint")),
+                F.count(F.lit(1)),
+            ),
+            "high_card_agg": l.groupBy("l_orderkey").agg(
+                F.count(F.lit(1)), F.sum("l_quantity")
+            ),
+            "sort_merge_join": l.hint("merge").join(
+                o, l.l_orderkey == o.o_orderkey
+            ).select("l_orderkey", "o_totalprice"),
+            "window_rank": l.withColumn(
+                "rk",
+                F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("l_orderkey")
+                    .orderBy("l_linenumber")
+                ),
+            ),
+        }
+        for name, df in shapes.items():
+            dt = timed(df)
+            results.setdefault(name, {})[f"x{factor}"] = {
+                "rows": n_rows,
+                "sec": round(dt, 2),
+                "rows_per_sec": int(n_rows / dt),
+            }
+
+    print(json.dumps({"metric": "scale_probe", "shapes": results}))
+
+
+if __name__ == "__main__":
+    main()
