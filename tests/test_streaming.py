@@ -74,3 +74,13 @@ def test_streaming_first_seen_matches_batch_first_wins(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "sink")
+    stream = SE.stream_events(spark, sf_dir)
+    SE.run_foreach_batch_to_parquet(stream.select("event_id", "user_id"), out)
+    back = spark.read.parquet(out)
+    batch = read_table(spark, sf_dir, "events")
+    assert back.count() == batch.count()
+    assert back.select("event_id").distinct().count() == batch.count()
