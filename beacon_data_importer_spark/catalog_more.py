@@ -589,3 +589,82 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "pivot_events",
+    oracle="""
+    SELECT user_id,
+      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event-type counts.  The pivot value
+    list is FIXED — at scale an unbounded inferred pivot would collect
+    distinct values to the driver; declaring them keeps the plan static."""
+    e = read_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    p = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types],
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT o_orderkey AS orderkey, 'price_cents' AS metric,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS value
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey', o_custkey FROM orders
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long) via native ``unpivot`` — zero-shuffle
+    row expansion."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        cents(F.col("o_totalprice")).alias("price_cents"),
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+    )
+    return o.unpivot(
+        "orderkey", ["price_cents", "custkey"], "metric", "value"
+    )
+
+
+@query(
+    "intersect_except",
+    oracle="""
+    WITH a AS (SELECT c_mktsegment AS segment FROM customer WHERE c_custkey % 2 = 0),
+    b AS (SELECT c_mktsegment AS segment FROM customer WHERE c_acctbal > 0)
+    SELECT 'both' AS side, segment FROM (SELECT segment FROM a INTERSECT SELECT segment FROM b) t
+    UNION ALL
+    SELECT 'only_a', segment FROM (SELECT segment FROM a EXCEPT SELECT segment FROM b) t
+    """,
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct set semantics) — the set-operation
+    family beyond the reference's bag-union ``cat``."""
+    c = read_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_mktsegment").alias("segment")
+    )
+    b = c.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_mktsegment").alias("segment")
+    )
+    both = a.intersect(b).select(F.lit("both").alias("side"), "segment")
+    # subtract == EXCEPT DISTINCT (exceptAll().distinct() would instead
+    # keep elements whose multiplicity in a merely exceeds b's)
+    only_a = a.subtract(b).select(F.lit("only_a").alias("side"), "segment")
+    return both.unionByName(only_a)
