@@ -668,3 +668,88 @@ def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep elements whose multiplicity in a merely exceeds b's)
     only_a = a.subtract(b).select(F.lit("only_a").alias("side"), "segment")
     return both.unionByName(only_a)
+
+
+@query(
+    "exists_correlated",
+    oracle="""
+    SELECT o.o_orderpriority AS priority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL '60 days'
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS (orders with any line shipped
+    >60 days after ordering) → semi join + agg.  The correlation
+    condition rides the semi join; no subquery re-execution per row."""
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "order_count_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left join + per-key count, then a second
+    aggregation over the counts (distribution histogram) — the
+    double-aggregation pattern."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "notin_distinct_suppliers",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 4, 7)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def q_notin_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (compiled to an anti join — the
+    null-safe hazard of NOT IN doesn't arise, keys are non-null) +
+    multi-key DISTINCT aggregation."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 4, 7))
+    l = read_table(spark, sf_dir, "lineitem")
+    bad_supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ok_lines = l.join(bad_supp, l.l_suppkey == bad_supp.s_suppkey, "left_anti")
+    return (
+        p.join(ok_lines, p.p_partkey == ok_lines.l_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("type"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -70,6 +70,14 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # ANN quality: recall of the pruned IVF search against the exact
+    # brute-force top-10 (tiny collects — both results are <= 20 rows).
+    exact = [
+        r.neighbor_id for r in qs["similarity_topk"](spark, sf_dir).collect()
+    ][:10]
+    ivf = [r.neighbor_id for r in qs["ivf_search"](spark, sf_dir).collect()]
+    ivf_recall = round(len(set(exact) & set(ivf)) / max(len(exact), 1), 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -82,6 +90,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "quality": {"ivf_recall_at_10": ivf_recall},
                 "sf": sf_val,
             }
         )
