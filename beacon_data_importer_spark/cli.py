@@ -36,6 +36,20 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("-snu", "--simple-needs-user", required=True, type=int)
     pl.add_argument("-clru", "--call-log-review-user", required=True, type=int)
 
+    ri = sub.add_parser(
+        "run-import",
+        help="Run the relational import stage (the reference's sql/ scripts) "
+        "against a parquet database directory",
+    )
+    ri.add_argument("-d", "--db-dir", required=True)
+    ri.add_argument("-s", "--staging-dir", required=True,
+                    help="directory with the prepare-calls output CSVs")
+    ri.add_argument(
+        "--init-contacts",
+        default=None,
+        help="prepared contacts.csv to (re)create the contacts table from",
+    )
+
     args = parser.parse_args(argv)
 
     from .session import get_spark
@@ -63,6 +77,20 @@ def main(argv: list[str] | None = None) -> int:
         outputs = prepare_calls(spark, args.calls_file_path, users)
         for name, df in outputs.items():
             write_csv_file(df, join(args.output_dir, f"{name}.csv"))
+        return 0
+
+    if args.command == "run-import":
+        import os
+
+        from .plans.import_stage import init_contacts_from_csv, run_import
+
+        os.makedirs(args.db_dir, exist_ok=True)
+        if args.init_contacts:
+            init_contacts_from_csv(spark, args.init_contacts).write.mode(
+                "overwrite"
+            ).parquet(join(args.db_dir, "contacts.parquet"))
+        counts = run_import(spark, args.db_dir, args.staging_dir)
+        print(counts)
         return 0
 
     return 2

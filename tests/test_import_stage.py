@@ -128,3 +128,54 @@ def test_profile_updates_coalesce(spark):
     assert n1.has_covid_symptoms is True
     n2 = out["N2"]  # untouched
     assert n2.additional_info == "old-info" and n2.has_covid_symptoms is False
+
+
+def test_run_import_end_to_end(spark, tmp_path):
+    """Full workflow: prepare-calls outputs → typed staging (incl.
+    multiline quoted bodies) → RETURNING pipeline → identified needs →
+    profile updates, against a parquet database dir."""
+    import fixtures
+    from beacon_data_importer_spark.plans.calls import CallsUsers, prepare_calls
+    from beacon_data_importer_spark.plans.contacts import prepare_contacts
+    from beacon_data_importer_spark.plans.import_stage import (
+        init_contacts_from_csv,
+        run_import,
+    )
+    from beacon_data_importer_spark.sources.csv import write_csv_file
+
+    staging = tmp_path / "staging"
+    db = tmp_path / "db"
+    staging.mkdir()
+    db.mkdir()
+    calls_csv = str(tmp_path / "calls.csv")
+    gds_csv = str(tmp_path / "gds.csv")
+    fixtures.write_calls_csv(calls_csv)
+    fixtures.write_gds_csv(gds_csv)
+
+    users = CallsUsers(101, 102, 103, 104)
+    for name, df in prepare_calls(spark, calls_csv, users).items():
+        write_csv_file(df, str(staging / f"{name}.csv"))
+    contacts_csv = str(tmp_path / "contacts.csv")
+    write_csv_file(
+        prepare_contacts(spark, gds_csv, "2020-05-01T12:00:00"), contacts_csv
+    )
+
+    init_contacts_from_csv(spark, contacts_csv).write.parquet(
+        str(db / "contacts.parquet")
+    )
+    counts = run_import(spark, str(db), str(staging))
+    assert counts == {"contacts": 4, "needs": 10, "notes": 16}
+
+    needs = spark.read.parquet(str(db / "needs.parquet"))
+    ident = needs.filter(needs.category == "groceries and cooked meals").collect()
+    assert len(ident) == 1
+    assert ident[0].user_id == 101
+    assert '"food_priority":"1"' in ident[0].supplemental_data
+    # multiline name survived the staging round-trip
+    assert "\n" in ident[0].name and ident[0].name.startswith("[Import]:")
+
+    notes = spark.read.parquet(str(db / "notes.parquet"))
+    # contact with 2 triage needs x staged notes fan-out preserved
+    assert notes.count() == 16
+    imp = notes.filter(notes.category == "phone_import").collect()
+    assert all(n.import_data for n in imp)
