@@ -38,15 +38,25 @@ _DUCK_SHINGLES = f"""
 
 
 def _duck_minhash_sig_cte() -> str:
-    """CTE producing (id, sig LIST<VARCHAR>) identical to
-    operators.dedup.minhash_signatures."""
+    """CTE producing (id, sig LIST<BIGINT>) identical to
+    operators.dedup.minhash_signatures: two md5-derived 60-bit halves per
+    shingle, then the per-seed affine mix mod 2^31-1."""
+    from .operators.dedup import MINHASH_P, minhash_coeffs
+
     mins = ", ".join(
-        f"list_aggregate(list_transform(sh, g -> md5('{s}|' || g)), 'min')"
-        for s in range(NUM_HASHES)
+        f"list_aggregate(list_transform(range(len(x)), "
+        f"i -> ({a} * x[i+1] + {b} * y[i+1] + {s}) % {MINHASH_P}), 'min')"
+        for s, (a, b) in enumerate(minhash_coeffs(NUM_HASHES))
     )
     return f"""
     shing AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents),
-    sigs AS (SELECT id, [{mins}] AS sig FROM shing)
+    based AS (SELECT id,
+      list_transform(sh, g -> CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)
+                              % {MINHASH_P}) AS x,
+      list_transform(sh, g -> CAST('0x' || substring(md5(g), 16, 15) AS BIGINT)
+                              % {MINHASH_P}) AS y
+      FROM shing),
+    sigs AS (SELECT id, [{mins}] AS sig FROM based)
     """
 
 
@@ -86,7 +96,8 @@ def _docs_parallel(
     "minhash_signatures",
     oracle=f"""
     WITH {_duck_minhash_sig_cte()}
-    SELECT id AS doc_id, concat_ws('|', {", ".join(f"sig[{i+1}]" for i in range(NUM_HASHES))})
+    SELECT id AS doc_id,
+      concat_ws('|', {", ".join(f"CAST(sig[{i+1}] AS VARCHAR)" for i in range(NUM_HASHES))})
       AS sig_str
     FROM sigs
     """,
@@ -97,7 +108,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_parallel(spark, sf_dir)
     sig = DD.minhash_signatures(d, "text", "doc_id", NUM_HASHES)
     return sig.select(
-        F.col("id").alias("doc_id"), F.concat_ws("|", F.col("sig")).alias("sig_str")
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "|", F.transform("sig", lambda v: v.cast("string"))
+        ).alias("sig_str"),
     )
 
 
@@ -105,7 +119,8 @@ def _duck_band_exprs() -> str:
     rows = []
     for b in range(BANDS):
         cols = " || ',' || ".join(
-            f"sig[{b * ROWS_PER_BAND + r + 1}]" for r in range(ROWS_PER_BAND)
+            f"CAST(sig[{b * ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
         )
         rows.append(f"SELECT id, {b} AS band, md5({cols}) AS bucket FROM sigs")
     return " UNION ALL ".join(rows)

@@ -35,23 +35,28 @@ def test_exact_dedup_counts(spark):
     assert out[hashlib.md5(b"other").hexdigest()] == (3, 1)
 
 
+def _py_minhash(shingles, num_hashes):
+    xs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % DD.MINHASH_P for g in shingles]
+    ys = [int(hashlib.md5(g.encode()).hexdigest()[15:30], 16) % DD.MINHASH_P for g in shingles]
+    sig = []
+    for s, (a, b) in enumerate(DD.minhash_coeffs(num_hashes)):
+        sig.append(min((a * x + b * y + s) % DD.MINHASH_P for x, y in zip(xs, ys)))
+    return sig
+
+
 def test_minhash_signature_matches_python(spark):
     text = "the quick brown fox jumps over the lazy dog"
     df = spark.createDataFrame([Row(id=1, t=text)])
     sig = DD.minhash_signatures(df, "t", "id", num_hashes=4).collect()[0].sig
     toks = text.lower().split()
     shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
-    for s in range(4):
-        expect = min(
-            hashlib.md5(f"{s}|{g}".encode()).hexdigest() for g in shingles
-        )
-        assert sig[s] == expect
+    assert sig == _py_minhash(shingles, 4)
 
 
 def test_minhash_short_doc_fallback(spark):
     df = spark.createDataFrame([Row(id=1, t="two words")])
     sig = DD.minhash_signatures(df, "t", "id", num_hashes=2).collect()[0].sig
-    assert sig[0] == hashlib.md5(b"0|two words").hexdigest()
+    assert sig == _py_minhash(["two words"], 2)
 
 
 def test_minhash_near_dup_finds_identical_docs(spark):
