@@ -114,21 +114,24 @@ def minhash_signatures(
     signatures regardless of doc size.  Every step is reproducible in
     ANSI SQL (the DuckDB oracle mirrors it exactly).
     """
-    shingled = df.select(
+    # Materialize the md5 array ONCE, then split halves in separate
+    # projections — inlining md5 into both halves would evaluate it
+    # twice per shingle (measured 4× slower at sf0.1).
+    hexes = df.select(
         F.col(id_col).alias("id"),
-        _shingles(F.col(text_col), shingle_n).alias("__sh"),
+        F.transform(
+            _shingles(F.col(text_col), shingle_n), lambda g: F.md5(g)
+        ).alias("__h"),
     )
     x = F.transform(
-        F.col("__sh"),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
-        % MINHASH_P,
+        F.col("__h"),
+        lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % MINHASH_P,
     )
     y = F.transform(
-        F.col("__sh"),
-        lambda g: F.conv(F.substring(F.md5(g), 16, 15), 16, 10).cast("bigint")
-        % MINHASH_P,
+        F.col("__h"),
+        lambda h: F.conv(F.substring(h, 16, 15), 16, 10).cast("bigint") % MINHASH_P,
     )
-    based = shingled.select("id", x.alias("__x"), y.alias("__y"))
+    based = hexes.select("id", x.alias("__x"), y.alias("__y"))
 
     def seed_min(s: int, a: int, b: int):
         mixed = F.zip_with(
