@@ -84,3 +84,22 @@ def test_foreach_batch_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
     batch = read_table(spark, sf_dir, "events")
     assert back.count() == batch.count()
     assert back.select("event_id").distinct().count() == batch.count()
+
+
+def test_streaming_dedup_with_watermark(spark, sf_dir):
+    """Streaming exact dedup: dropDuplicates on a watermarked stream
+    keeps one event per (user_id) — state bounded by the watermark."""
+    stream = SE.stream_events(spark, sf_dir)
+    dedup = stream.withWatermark("ts", "1 hour").dropDuplicates(["user_id"])
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream")
+    batch = read_table(spark, sf_dir, "events")
+    assert got.count() == batch.select("user_id").distinct().count()
+    assert got.select("user_id").distinct().count() == got.count()
