@@ -164,6 +164,15 @@ def lsh_candidate_pairs(
     The self-join happens per (band, bucket) after a size guard drops
     degenerate buckets (> max_bucket docs) — bounding worst-case pair
     fan-out to max_bucket² per bucket.
+
+    Plan shape: the size guard is a ``count() OVER (PARTITION BY band,
+    bucket)`` window, not a separate groupBy+join — so the banded frame
+    is shuffled to (band, bucket) partitioning exactly ONCE, and the
+    self-join's two sides reuse that same exchange (Spark ReuseExchange;
+    the earlier groupBy-count formulation shuffled the banded frame
+    twice plus a counts join — measured ~1.5-3× slower at sf0.1).  A
+    degenerate mega-bucket lands in one task either way; the guard then
+    drops it before any pairing.
     """
     banded = sig_df.select(
         "id",
@@ -188,10 +197,11 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
-    bucket_sizes = banded.groupBy("band", "bucket").count()
-    small = banded.join(
-        bucket_sizes.filter(F.col("count") <= max_bucket).drop("count"),
-        ["band", "bucket"],
+    w = Window.partitionBy("band", "bucket")
+    small = (
+        banded.withColumn("__c", F.count(F.lit(1)).over(w))
+        .filter(F.col("__c") <= max_bucket)
+        .drop("__c")
     )
     left = small.alias("l")
     right = small.alias("r")
