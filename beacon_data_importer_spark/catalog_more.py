@@ -753,3 +753,73 @@ def q_notin_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("type"))
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# learned-index IVF: k-means centroids (rows-only — iterative algorithm,
+# not SQL-expressible; numpy-parity covered in tests/test_operators.py)
+# ---------------------------------------------------------------------------
+
+@query("kmeans_clusters")
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding corpus (k=8, 5
+    iterations, init = vectors of the 8 lowest ids).  The engine's
+    iterative-algorithm surface: centroids are the only driver state
+    (k × dim doubles); assignment and the centroid update both run
+    executor-side (see operators/kmeans.py's scale notes)."""
+    from .operators.kmeans import kmeans_fit
+
+    e = read_table(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_fit(e, k=8, max_iter=5)
+    return assigned.select(
+        F.col("id").alias("vec_id"),
+        "cluster",
+        F.floor(F.col("dist") * 1e6).alias("dist_e6"),
+    )
+
+
+@query("ivf_kmeans_search")
+def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with LEARNED centroids: the k-means fit replaces
+    ``ivf_search``'s modulo-sampled cells, so cell populations follow the
+    data distribution (balanced inverted lists → even task sizes at
+    scale).  Probes nprobe=2 of k=8 cells, then exact-ranks only their
+    members — same two-tier shape as ivf_search, better recall per
+    scanned row.  Rows-only check: centroids come from the iterative
+    fit; bench reports recall@10 vs the exact brute-force top-k."""
+    from .operators.kmeans import kmeans_fit
+
+    e = read_table(spark, sf_dir, "embeddings")
+    centroids, assigned = kmeans_fit(e, k=8, max_iter=5)
+
+    qvec = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qemb")
+    )
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids],
+        "cell_id int, centroid array<double>",
+    )
+    scored_cells = cent_df.crossJoin(F.broadcast(qvec)).select(
+        "cell_id", SIM.cosine("centroid", "qemb").alias("__s")
+    )
+    wq = Window.orderBy(F.col("__s").desc(), F.col("cell_id"))
+    qcells = (
+        scored_cells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("cell_id").alias("cluster"))
+    )
+
+    cand = assigned.join(F.broadcast(qcells), "cluster", "left_semi").filter(
+        F.col("id") != 0
+    )
+    scored = cand.crossJoin(F.broadcast(qvec)).select(
+        F.col("id").alias("neighbor_id"),
+        SIM.cosine("vec", "qemb").alias("__raw"),
+    )
+    return (
+        scored.orderBy(F.col("__raw").desc(), F.col("neighbor_id"))
+        .limit(10)
+        .select(
+            "neighbor_id", F.floor(F.col("__raw") * 1e6).alias("cosine_sim_e6")
+        )
+    )

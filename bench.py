@@ -77,6 +77,14 @@ def main() -> None:
     ][:10]
     ivf = [r.neighbor_id for r in qs["ivf_search"](spark, sf_dir).collect()]
     ivf_recall = round(len(set(exact) & set(ivf)) / max(len(exact), 1), 3)
+    # Learned-centroid IVF (k-means cells). Not in HEADLINE timings for
+    # the same reason as grouped_zscore_pandas: the iterative fit is a
+    # driver-orchestrated loop measured separately (see PERF.md); recall
+    # is the quality signal that matters.
+    kmivf = [
+        r.neighbor_id for r in qs["ivf_kmeans_search"](spark, sf_dir).collect()
+    ]
+    kmivf_recall = round(len(set(exact) & set(kmivf)) / max(len(exact), 1), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -90,7 +98,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "quality": {"ivf_recall_at_10": ivf_recall},
+                "quality": {
+                    "ivf_recall_at_10": ivf_recall,
+                    "kmeans_ivf_recall_at_10": kmivf_recall,
+                },
                 "sf": sf_val,
             }
         )
