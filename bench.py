@@ -69,6 +69,11 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Queries that persist() intermediates (minhash/ngram signature
+        # frames) would otherwise leak cached blocks into every later
+        # measurement — growing GC pressure made late queries 2-4× noisier
+        # run-to-run.  Each query is measured from a clean cache.
+        spark.catalog.clearCache()
 
     # ANN quality: recall of the pruned IVF search against the exact
     # brute-force top-10 (tiny collects — both results are <= 20 rows).
