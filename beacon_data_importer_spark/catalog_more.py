@@ -823,3 +823,58 @@ def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id", F.floor(F.col("__raw") * 1e6).alias("cosine_sim_e6")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream join batch twin
+# ---------------------------------------------------------------------------
+
+@query(
+    "click_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           date_diff('second', c.ts, p.ts) AS lag_seconds
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming ``interval_join_attribution``: same-user
+    purchase-within-1h-of-click pairs.  The equality conjunct (user_id)
+    keys the shuffle; the time range is filtered inside the join — the
+    non-equi part never degenerates to a cross join.  In streaming mode
+    the identical plan runs with watermark-bounded state
+    (streaming/events.py)."""
+    e = read_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+            ).alias("lag_seconds"),
+        )
+    )

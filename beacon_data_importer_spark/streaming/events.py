@@ -120,3 +120,56 @@ def run_foreach_batch_to_parquet(stream_df, out_dir: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def interval_join_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range: each purchase
+    is attributed to same-user clicks in ``[click_ts, click_ts +
+    horizon]``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance — together they let the streaming engine evict buffered
+    rows once the other side's watermark passes ``ts + horizon``
+    (unbounded state otherwise; this is THE correctness requirement for
+    stream-stream joins).  Batch twin: catalog ``click_attribution``.
+
+    State scales with (events inside the horizon) × (join key
+    cardinality), partitioned by user_id across executors.
+    """
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("lag_seconds"),
+    )

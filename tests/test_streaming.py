@@ -103,3 +103,29 @@ def test_streaming_dedup_with_watermark(spark, sf_dir):
     batch = read_table(spark, sf_dir, "events")
     assert got.count() == batch.select("user_id").distinct().count()
     assert got.select("user_id").distinct().count() == got.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream click→purchase attribution (watermarked interval
+    join) produces exactly the batch twin's pairs."""
+    clicks = SE.stream_events(spark, sf_dir)
+    purchases = SE.stream_events(spark, sf_dir)
+    joined = SE.interval_join_attribution(clicks, purchases)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("attrib_stream")
+
+    import __spark_entry__ as entrymod
+
+    batch = entrymod.queries()["click_attribution"](spark, sf_dir)
+    assert got.count() == batch.count()
+    assert (
+        got.exceptAll(batch.select(*got.columns)).count() == 0
+        and batch.select(*got.columns).exceptAll(got).count() == 0
+    )
