@@ -68,10 +68,50 @@ def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
+def _real_decode(payload: bytes, media_type: str):
+    """Attempt a real codec decode (import-try: an environment that ships
+    PIL / soundfile is picked up automatically; this container doesn't).
+
+    Returns (width, height, n_frames), or None when the codec library is
+    absent — caller falls back to the stub.  A payload the present codec
+    cannot parse decodes to (None, None, None): petl-style error-as-null
+    (SURVEY §4.3.3), never a task failure.
+    """
+    import io
+
+    if media_type == "image":
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError:
+            return None
+        try:
+            img = Image.open(io.BytesIO(payload))
+            return img.width, img.height, int(getattr(img, "n_frames", 1))
+        except Exception:
+            return (None, None, None)
+    if media_type == "audio":
+        try:
+            import soundfile  # noqa: F401
+        except ImportError:
+            return None
+        try:
+            info = soundfile.info(io.BytesIO(payload))
+            return int(info.channels), int(info.samplerate), int(info.frames)
+        except Exception:
+            return (None, None, None)
+    # video: no lightweight standard lib — stub until pyav integration
+    return None
+
+
 def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode a MEDIA_SCHEMA frame into DECODED_SCHEMA via Arrow-batched
-    ``mapInPandas``.  With ``decode_stub=False`` this raises
-    NotImplementedError at the codec call site (libraries not present)."""
+    ``mapInPandas``.
+
+    ``decode_stub=True`` (default): deterministic fake decode — the
+    oracle-checkable mode.  ``decode_stub=False``: try the real codec
+    first (import-try, executor-side) and fall back to the stub per
+    media item when the library is absent, so the same plan transparently
+    upgrades in an environment that ships PIL/soundfile."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -84,13 +124,11 @@ def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
                 raw = bytes(payload) if payload is not None else b""
-                if decode_stub:
+                decoded = None if decode_stub else _real_decode(raw, media_type)
+                if decoded is None:
                     w, h, nf = _fake_decode(raw, media_type)
                 else:
-                    raise NotImplementedError(
-                        "real codecs unavailable in this environment; "
-                        "use decode_stub=True"
-                    )
+                    w, h, nf = decoded
                 rows.append(
                     (
                         media_id,

@@ -58,3 +58,40 @@ def test_resize_meta_preserves_aspect(spark):
     decoded = spark.createDataFrame([Row(media_id=1, width=200, height=100)])
     r = MM.resize_meta(decoded, max_side=64).collect()[0]
     assert (r.target_width, r.target_height) == (64, 32)
+
+
+def test_binary_parquet_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """Binary media columns survive a parquet round-trip byte-for-byte,
+    and a metadata-only projection prunes the payload out of the scan
+    (ReadSchema must not mention it — the common case reads no bytes)."""
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    media = MM.media_from_documents(docs)
+    out = str(tmp_path / "media_parquet")
+    media.write.parquet(out)
+
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes)["payload"] == "binary"
+    orig = {r.media_id: bytes(r.payload) for r in media.collect()}
+    got = {r.media_id: bytes(r.payload) for r in back.collect()}
+    assert got == orig
+
+    meta_only = back.select("media_id", "media_type", "source_uri")
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "payload" not in read_schema
+    assert "media_id" in read_schema
+
+
+def test_decode_media_import_try_fallback(spark, sf_dir):
+    """decode_stub=False tries real codecs (absent here) and must fall
+    back to the deterministic stub PER ITEM — identical output, no task
+    failure.  An environment with PIL/soundfile picks them up instead."""
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(20)
+    media = MM.media_from_documents(docs)
+    stub = MM.decode_media(media, decode_stub=True).collect()
+    auto = MM.decode_media(media, decode_stub=False).collect()
+    assert sorted(map(tuple, stub)) == sorted(map(tuple, auto))
