@@ -878,3 +878,54 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lag_seconds"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# trained trigram profile scoring (train → broadcast → score)
+# ---------------------------------------------------------------------------
+
+@query(
+    "lang_profile_score",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS t,
+             length(lower(trim(text))) AS len
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len - 1),
+                                   i -> substring(t, i, 3))) AS g
+      FROM base WHERE len >= 3
+    ),
+    prof AS (
+      SELECT g, count(*) AS c,
+             CASE WHEN row_number() OVER (ORDER BY count(*) DESC, g) <= 500
+                  THEN 1 ELSE 0 END AS is_top
+      FROM g GROUP BY g
+    ),
+    tot AS (SELECT sum(c) AS T FROM prof),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n, sum(c) AS sumc, sum(is_top) AS hits
+      FROM g JOIN prof USING (g) GROUP BY doc_id
+    )
+    SELECT doc_id,
+      CAST(floor(1000000.0 * sumc / CAST(n * T AS DOUBLE)) AS BIGINT)
+        AS avg_gram_freq_e6,
+      CAST(floor(1000000.0 * hits / CAST(n AS DOUBLE)) AS BIGINT)
+        AS top_coverage_e6
+    FROM per_doc CROSS JOIN tot
+    """,
+)
+def q_lang_profile_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-ish scoring with a profile TRAINED from the corpus
+    itself (deterministic, no external data): character-trigram frequency
+    profile → broadcast → per-doc commonness + top-500 coverage.  The
+    train→score pair is the canonical two-job shape for corpus statistics
+    at 100 TB: the model (bounded vocab) is the only cross-job state.
+    Exact integer outputs — no cross-engine float-aggregation hazard."""
+    from .operators.text import score_against_profile, train_trigram_profile
+
+    d = read_table(spark, sf_dir, "documents")
+    profile = train_trigram_profile(d, "text", top_k=500)
+    return score_against_profile(d, profile, "text", "doc_id")

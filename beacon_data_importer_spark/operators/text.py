@@ -93,3 +93,70 @@ def fingerprint_bucket(text: Column | str, bits: int = 16) -> Column:
     distributing dedup work evenly (md5 is uniform)."""
     hexdigits = (bits + 3) // 4
     return F.conv(F.substring(fingerprint(text), 1, hexdigits), 16, 10).cast("bigint")
+
+
+def char_trigrams(text: Column | str) -> Column:
+    """Character 3-grams of the lower/trimmed text (positions 1..len-2);
+    texts shorter than 3 chars yield an empty array.  The guard matters:
+    ``sequence(1, len-2)`` DECREASES when len < 3 (Spark generates
+    descending sequences), which would fabricate garbage grams."""
+    t = F.lower(F.trim(_c(text)))
+    n = F.length(t)
+    grams = F.transform(F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3)))
+    return F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
+
+
+def train_trigram_profile(docs, text_col: str, top_k: int = 500):
+    """Corpus-wide trigram frequency profile: (gram, c, is_top).
+
+    Train step of the language-model-ish scoring pair.  One explode +
+    hash-aggregate (map-side partials: the shuffle carries distinct grams
+    per partition, not tokens).  The vocabulary is bounded (charset³), so
+    the profile is broadcastable and the top-k ranking window over it is
+    single-partition by construction — bounded, like MLlib's vocab fits.
+    """
+    from pyspark.sql import Window
+
+    grams = docs.select(F.explode(char_trigrams(F.col(text_col))).alias("g"))
+    prof = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("g"))
+    return prof.withColumn("is_top", (F.row_number().over(w) <= top_k).cast("int"))
+
+
+def score_against_profile(docs, profile, text_col: str, id_col: str):
+    """Score step: per-doc trigram commonness under a trained profile.
+
+    Outputs exact-integer metrics (cross-engine reproducible — no float
+    aggregation whose sum order could differ between engines):
+      * avg_gram_freq_e6 = floor(1e6 · Σc_g / (n · T)) — mean corpus
+        frequency of the doc's trigrams (low ⇒ unusual/perplexing text);
+      * top_coverage_e6 = floor(1e6 · hits / n) — fraction of the doc's
+        trigrams inside the profile's top-k (low ⇒ out-of-distribution).
+
+    The profile join is broadcast (bounded vocab); everything else is one
+    hash-aggregate per doc.  All intermediate products stay < 2^53, so
+    the final double divisions are exact-input and correctly rounded in
+    any IEEE engine.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(char_trigrams(F.col(text_col))).alias("g")
+    )
+    totals = profile.agg(F.sum("c").alias("T"))
+    per_doc = (
+        grams.join(F.broadcast(profile), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sumc"),
+            F.sum("is_top").alias("hits"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        F.floor(
+            F.lit(1000000.0) * F.col("sumc") / (F.col("n") * F.col("T")).cast("double")
+        ).alias("avg_gram_freq_e6"),
+        F.floor(F.lit(1000000.0) * F.col("hits") / F.col("n").cast("double")).alias(
+            "top_coverage_e6"
+        ),
+    )

@@ -238,3 +238,20 @@ def test_approx_sketches_within_bounds(spark):
         "approx_percentile(o_totalprice, 0.5, 1000)"
     ).collect()[0][0]
     assert abs(med_approx - med_exact) / med_exact < 0.05
+
+
+def test_char_trigrams_short_text_guard(spark):
+    """Texts under 3 chars must yield an EMPTY gram array — without the
+    guard, Spark's descending sequence(1, len-2) fabricates grams."""
+    from pyspark.sql import Row
+
+    from beacon_data_importer_spark.operators.text import char_trigrams
+
+    df = spark.createDataFrame(
+        [Row(t="ab"), Row(t=""), Row(t="abcd"), Row(t="  x  ")]
+    )
+    got = {r.t: r.g for r in df.select("t", char_trigrams("t").alias("g")).collect()}
+    assert got["ab"] == []
+    assert got[""] == []
+    assert got["  x  "] == []
+    assert got["abcd"] == ["abc", "bcd"]
