@@ -52,6 +52,30 @@ def main(argv: list[str] | None = None) -> int:
 
     args = parser.parse_args(argv)
 
+    import os
+
+    def _require_file(path: str, what: str) -> None:
+        # fail fast with a readable message BEFORE paying Spark startup —
+        # a missing input otherwise surfaces as an AnalysisException
+        # stack trace several seconds in
+        if not os.path.isfile(path):
+            print(f"error: {what} not found: {path}", file=sys.stderr)
+            raise SystemExit(1)
+
+    if args.command == "prepare-contacts":
+        _require_file(args.gds_file_path, "GDS CSV")
+    elif args.command == "prepare-calls":
+        _require_file(args.calls_file_path, "calls CSV")
+    elif args.command == "run-import":
+        if not os.path.isdir(args.staging_dir):
+            print(
+                f"error: staging directory not found: {args.staging_dir}",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+        if args.init_contacts:
+            _require_file(args.init_contacts, "contacts CSV")
+
     from .session import get_spark
     from .sources.csv import csv_to_stdout, write_csv_file
 
@@ -66,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "prepare-calls":
-        from .plans.calls import CallsUsers, prepare_calls
+        from .plans.calls import CallsHeaderError, CallsUsers, prepare_calls
 
         users = CallsUsers(
             food_needs_user=args.food_needs_user,
@@ -74,14 +98,17 @@ def main(argv: list[str] | None = None) -> int:
             simple_needs_user=args.simple_needs_user,
             call_log_review_user=args.call_log_review_user,
         )
-        outputs = prepare_calls(spark, args.calls_file_path, users)
+        try:
+            outputs = prepare_calls(spark, args.calls_file_path, users)
+        except CallsHeaderError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        os.makedirs(args.output_dir, exist_ok=True)
         for name, df in outputs.items():
             write_csv_file(df, join(args.output_dir, f"{name}.csv"))
         return 0
 
     if args.command == "run-import":
-        import os
-
         from .plans.import_stage import init_contacts_from_csv, run_import
 
         os.makedirs(args.db_dir, exist_ok=True)

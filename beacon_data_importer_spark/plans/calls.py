@@ -81,12 +81,32 @@ def _with_source_row(df: DataFrame) -> DataFrame:
     return df.sparkSession.createDataFrame(rdd, schema)
 
 
+class CallsHeaderError(ValueError):
+    """The calls CSV is missing expected original headers (several carry
+    byte-significant trailing spaces — SURVEY §1.3); raised instead of
+    letting the rename select die with a raw AnalysisException."""
+
+
+def validate_calls_header(df: DataFrame) -> None:
+    missing = [orig for _, orig, _ in FIELDS if orig not in df.columns]
+    if missing:
+        shown = ", ".join(repr(m) for m in missing[:5])
+        more = f" (+{len(missing) - 5} more)" if len(missing) > 5 else ""
+        raise CallsHeaderError(
+            f"calls CSV is missing {len(missing)} expected header(s): "
+            f"{shown}{more}.  Headers must match the source spreadsheet "
+            "byte-for-byte (several have trailing spaces) and the file "
+            "must be windows-1252 encoded."
+        )
+
+
 def base_spreadsheet(spark: SparkSession, calls_file_path: str) -> DataFrame:
     """The shared base plan (``prepare_calls.py:33-41``): windows-1252
     scan → rename → non-empty-date filter → provenance JSON (over RAW
     values — serialization happens before date conversion) → date parse →
     created/updated stamps.  Cached: ~12 downstream consumers."""
     df = read_csv_stringly(spark, calls_file_path, encoding="windows-1252")
+    validate_calls_header(df)
     # rename via aliasing select: the original headers contain dots/colons
     # that name-parsing APIs (withColumnsRenamed/F.col) misread; df[...]
     # resolves exact names.  Also pins the 29-column order.

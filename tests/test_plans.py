@@ -90,3 +90,33 @@ def test_calls_windows_1252_roundtrip(calls_outputs):
     qa = spark_out["quality_assurance"]
     row = [r for r in qa.collect() if r.nhs_number == "900000017"][0]
     assert "café visit preferred" in row.call_log
+
+
+def test_cli_missing_file_fails_fast(tmp_path):
+    """A missing input exits 1 with a readable message — before Spark
+    startup, not as an AnalysisException stack trace."""
+    import pytest
+
+    from beacon_data_importer_spark.cli import main
+
+    with pytest.raises(SystemExit) as ei:
+        main(["prepare-contacts", str(tmp_path / "nope.csv")])
+    assert ei.value.code == 1
+
+
+def test_malformed_calls_header_raises_named_error(spark, tmp_path):
+    """A calls CSV missing expected headers raises CallsHeaderError
+    naming the missing columns (trailing spaces shown via repr)."""
+    import pytest
+
+    from beacon_data_importer_spark.plans.calls import (
+        CallsHeaderError,
+        base_spreadsheet,
+    )
+
+    bad = tmp_path / "bad_calls.csv"
+    bad.write_text("NHS Number,Something Else\n123,x\n", encoding="windows-1252")
+    with pytest.raises(CallsHeaderError) as ei:
+        base_spreadsheet(spark, str(bad))
+    assert "missing" in str(ei.value)
+    assert "'Contact Sucessful '" in str(ei.value) or "expected header" in str(ei.value)
