@@ -929,3 +929,67 @@ def q_lang_profile_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     profile = train_trigram_profile(d, "text", top_k=500)
     return score_against_profile(d, profile, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# correlated scalar subqueries (Catalyst decorrelates both into joins)
+# ---------------------------------------------------------------------------
+
+@query(
+    "max_order_per_customer",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+           CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents
+    FROM orders o
+    WHERE o.o_totalprice = (
+      SELECT max(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_max_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (each order compared to its customer's
+    max).  Catalyst decorrelates it into an aggregate + equi join — the
+    rewrite that makes per-row subqueries viable at scale (naive
+    evaluation would be O(rows × groups))."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents
+        FROM orders o
+        WHERE o.o_totalprice = (
+          SELECT max(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT CAST(sum(round(l.l_extendedprice * 100, 0)) AS BIGINT)
+             AS revenue_cents,
+           count(*) AS n_lines
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG subquery over the same fact table
+    (small-order revenue).  Decorrelated by Catalyst into a per-part
+    aggregate joined back to lineitem; the aggregate side is dimension-
+    sized (one row per part) and broadcastable."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(sum(round(l.l_extendedprice * 100, 0)) AS BIGINT)
+                 AS revenue_cents,
+               count(*) AS n_lines
+        FROM lineitem l
+        WHERE l.l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
