@@ -37,10 +37,12 @@ _DUCK_SHINGLES = f"""
 """
 
 
-def _duck_minhash_sig_cte() -> str:
+def _duck_minhash_sig_cte(source: str = "documents") -> str:
     """CTE producing (id, sig LIST<BIGINT>) identical to
     operators.dedup.minhash_signatures: two md5-derived 60-bit halves per
-    shingle, then the per-seed affine mix mod 2^31-1."""
+    shingle, then the per-seed affine mix mod 2^31-1.  ``source`` lets a
+    composed pipeline (corpus_clean) build signatures over a filtered
+    CTE instead of the raw table."""
     from .operators.dedup import MINHASH_P, minhash_coeffs
 
     mins = ", ".join(
@@ -49,7 +51,7 @@ def _duck_minhash_sig_cte() -> str:
         for s, (a, b) in enumerate(minhash_coeffs(NUM_HASHES))
     )
     return f"""
-    shing AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents),
+    shing AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM {source}),
     based AS (SELECT id,
       list_transform(sh, g -> CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)
                               % {MINHASH_P}) AS x,
@@ -506,3 +508,98 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(inter / union.cast("double") * 1e6).alias("jaccard_e6"),
         )
     )
+
+
+# ===========================================================================
+# Flagship composition: the end-to-end training-corpus cleaning pipeline
+# ===========================================================================
+
+_DUCK_STOP = "['the','a','of','and','to','in','is']"
+_CLEAN_TAU_POS = 8  # est_jaccard >= 0.5  ⇔  >= 8 of 16 signature positions equal
+
+
+@query(
+    "corpus_clean",
+    oracle=f"""
+    WITH filt AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({_DUCK_TOKENS}) END
+               AS n_tokens
+      FROM documents
+      WHERE (CASE WHEN trim(text) = '' THEN 0 ELSE len({_DUCK_TOKENS}) END) >= 10
+        AND 20 * len(list_filter({_DUCK_TOKENS},
+                                 x -> list_contains({_DUCK_STOP}, x)))
+            > len({_DUCK_TOKENS})
+        AND 10 * length(regexp_replace(text, '(?:[A-Za-z0-9_]+|\\s)', '', 'g'))
+            < 3 * length(text)
+    ),
+    keep1 AS (
+      SELECT f.doc_id, f.text, f.n_tokens
+      FROM filt f
+      JOIN (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                   min(doc_id) AS doc_id
+            FROM filt GROUP BY 1) k
+        ON md5(regexp_replace(lower(trim(f.text)), '\\s+', ' ', 'g')) = k.fp
+       AND f.doc_id = k.doc_id
+    ),
+    {_duck_minhash_sig_cte(source="keep1")},
+    banded AS ({_duck_band_exprs()}),
+    sizes AS (SELECT band, bucket, count(*) AS c FROM banded GROUP BY band, bucket),
+    small AS (SELECT banded.* FROM banded JOIN sizes USING (band, bucket)
+              WHERE c <= {MAX_BUCKET}),
+    pairs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+              FROM small l JOIN small r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+    rem AS (
+      SELECT DISTINCT p.id_b AS doc_id
+      FROM pairs p
+      JOIN sigs sa ON sa.id = p.id_a
+      JOIN sigs sb ON sb.id = p.id_b
+      WHERE len(list_filter(range({NUM_HASHES}),
+                            i -> sa.sig[i+1] = sb.sig[i+1])) >= {_CLEAN_TAU_POS}
+    )
+    SELECT doc_id, n_tokens FROM keep1
+    WHERE doc_id NOT IN (SELECT doc_id FROM rem)
+    """,
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus cleaning pipeline in ONE plan:
+
+        quality filter (≥10 tokens, punct ratio < 0.3)
+        → language filter (en stopword heuristic)
+        → exact dedup (canonical-fingerprint first-wins)
+        → near-dup removal (MinHash+LSH, est Jaccard ≥ 0.5, higher id drops)
+
+    All predicates are integer comparisons (20·hits > n, 10·punct < 3·len,
+    ≥8/16 signature positions) — no float thresholds to diverge across
+    engines.  Stage shape at 100 TB: two narrow filter passes, one
+    fingerprint hash-agg, then the LSH banding shuffle over the (already
+    reduced) survivor set — each stage strictly shrinks the data before
+    the next pays for it."""
+    d = _docs_parallel(spark, sf_dir)
+    text = F.col("text")
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n_tok = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks))
+    hits = F.size(F.filter(toks, lambda x: x.isin(*TX.STOPWORDS_EN)))
+    punct = F.length(F.regexp_replace(text, r"(?:[A-Za-z0-9_]+|\s)", ""))
+    filt = d.select("doc_id", "text", n_tok.alias("n_tokens")).filter(
+        (n_tok >= 10)
+        & (F.lit(20) * hits > F.size(toks))
+        & (F.lit(10) * punct < F.lit(3) * F.length(text))
+    )
+
+    with_fp = filt.withColumn("fp", TX.fingerprint("text"))
+    keep_ids = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    keep1 = with_fp.join(keep_ids, ["fp", "doc_id"]).select(
+        "doc_id", "text", "n_tokens"
+    )
+
+    sigs = DD.minhash_signatures(keep1, "text", "doc_id", NUM_HASHES).persist()
+    pairs = DD.lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND, MAX_BUCKET)
+    sim = DD.minhash_similarity(pairs, sigs)
+    rem = (
+        sim.filter(F.col("est_jaccard") >= _CLEAN_TAU_POS / NUM_HASHES)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return keep1.join(rem, "doc_id", "left_anti").select("doc_id", "n_tokens")
