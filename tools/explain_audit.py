@@ -3,6 +3,12 @@ catalog query and extracts the scale-relevant plan features (pushdown,
 exchanges, broadcast vs sort-merge joins, codegen, Python evals).
 
 Usage: python tools/explain_audit.py [sf_dir] > PLAN_AUDIT.json
+
+Caveat: ``whole_stage_codegen`` is only visible for plans WITHOUT
+exchanges — an AdaptiveSparkPlan that hasn't executed yet prints no
+codegen ids, so the flag reads False for every AQE-wrapped plan
+regardless of what will actually codegen at runtime.  Treat it as
+meaningful only when ``exchanges == 0``.
 """
 
 from __future__ import annotations
