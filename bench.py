@@ -42,6 +42,7 @@ HEADLINE = [
     "skew_salted_agg",
     "topk_per_group",
     "high_cardinality_agg",
+    "corpus_clean",
     # grouped_zscore_pandas deliberately excluded: it exists to measure
     # the applyInPandas escape hatch (~20s at sf0.1 vs ~0.6s native for
     # the same math — see PERF.md); headline numbers track the engine's
