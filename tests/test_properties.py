@@ -1,0 +1,126 @@
+"""Property-based spot checks (SURVEY §5.4): Spark expressions vs a
+pure-Python model of the reference's petl semantics, over randomized
+inputs.
+
+One Spark job per hypothesis example would be slow, so each property
+@given-generates a LIST of inputs and evaluates them in one DataFrame
+pass, comparing elementwise.  max_examples stays small — the row lists
+inside each example carry the randomness.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from beacon_data_importer_spark.functions import expressions as E
+from beacon_data_importer_spark.operators.dedup import first_wins
+from beacon_data_importer_spark.operators.setops import union_by_name
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# text without NUL (Spark strings) and without surrogates
+_txt = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)), min_size=1, max_size=40
+    )
+)
+def test_first_wins_one_row_per_key_minimal_order(spark, rows):
+    """first_wins keeps exactly one row per key — the minimum under the
+    explicit order — regardless of duplication pattern (petl
+    dictlookupone parity, J1)."""
+    df = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in rows], "k int, v int"
+    )
+    got = {
+        (r.k, r.v)
+        for r in first_wins(df, "k", [F.col("v"), F.col("k")]).collect()
+    }
+    expect = {}
+    for k, v in rows:
+        expect[k] = min(expect.get(k, v), v)
+    assert got == set(expect.items())
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.tuples(_txt, _txt), min_size=1, max_size=25),
+    st.lists(st.tuples(_txt, _txt), min_size=1, max_size=25),
+)
+def test_union_by_name_conserves_rows_and_pads_nulls(spark, rows_a, rows_b):
+    """etl.cat semantics (U1): bag union by column name — row counts add,
+    duplicates survive, disjoint columns pad with NULL."""
+    a = spark.createDataFrame([Row(x=x, y=y) for x, y in rows_a], "x string, y string")
+    b = spark.createDataFrame([Row(y=y, z=z) for y, z in rows_b], "y string, z string")
+    cat = union_by_name([a, b])
+    out = cat.collect()
+    assert len(out) == len(rows_a) + len(rows_b)
+    assert set(cat.columns) == {"x", "y", "z"}
+    assert sum(1 for r in out if r.z is None) == len(rows_a)
+    assert sum(1 for r in out if r.x is None) == len(rows_b)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.dates(dt.date(1990, 1, 1), dt.date(2030, 12, 31)).map(
+                lambda d: d.strftime("%-d/%-m/%Y")
+            ),
+            _txt,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_parse_date_dmy_matches_python_strptime(spark, values):
+    """X2 error-as-null: every cell parses like datetime.strptime
+    '%d/%m/%Y' or becomes NULL — never an error row."""
+    df = spark.createDataFrame([Row(s=s) for s in values], "s string")
+    got = [r.d for r in df.select(E.parse_date_dmy("s").alias("d")).collect()]
+    for s, g in zip(values, got):
+        try:
+            expect = dt.datetime.strptime(s, "%d/%m/%Y").date()
+        except ValueError:
+            expect = None
+        assert g == expect, (s, g, expect)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.dates(dt.date(2019, 1, 1), dt.date(2022, 1, 1))),
+            st.dates(dt.date(2019, 1, 1), dt.date(2022, 1, 1)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_callback_start_date_fallback_arithmetic(spark, rows):
+    """X15: callback date if present, else latest_attempt + 6 days —
+    matches Python timedelta arithmetic exactly (calendar edges incl.)."""
+    df = spark.createDataFrame(
+        [Row(cb=cb, la=la) for cb, la in rows], "cb date, la date"
+    )
+    got = [
+        r.s
+        for r in df.select(E.callback_start_date("cb", "la").alias("s")).collect()
+    ]
+    for (cb, la), g in zip(rows, got):
+        assert g == (cb if cb is not None else la + dt.timedelta(days=6))
