@@ -43,11 +43,27 @@ def main() -> None:
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from beacon_data_importer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
     results: dict[str, dict] = {}
     for factor in (1, 8):
         l = amplify(read_table(spark, sf_dir, "lineitem"), factor, ["l_orderkey"])
         o = amplify(read_table(spark, sf_dir, "orders"), factor, ["o_orderkey"])
         n_rows = l.count()
+        # documents amplified with doc_id offsets: each copy keeps the
+        # same texts, so LSH buckets GROW with the factor — the worst
+        # (most adversarial) scaling direction for the pairing stage;
+        # max_bucket then caps the blowup, which is exactly the guard
+        # under test.
+        d = amplify(
+            read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            factor,
+            ["doc_id"],
+        ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        n_docs = d.count()
 
         shapes = {
             "scan_agg": l.groupBy("l_returnflag", "l_linestatus").agg(
@@ -76,6 +92,16 @@ def main() -> None:
                 "sec": round(dt, 2),
                 "rows_per_sec": int(n_rows / dt),
             }
+
+        sigs = minhash_signatures(d, "text", "doc_id").persist()
+        dt = timed(lsh_candidate_pairs(sigs))
+        results.setdefault("minhash_lsh_pairs", {})[f"x{factor}"] = {
+            "rows": n_docs,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n_docs / dt),
+        }
+        sigs.unpersist()
+        spark.catalog.clearCache()
 
     print(json.dumps({"metric": "scale_probe", "shapes": results}))
 
