@@ -129,3 +129,68 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         got.exceptAll(batch.select(*got.columns)).count() == 0
         and batch.select(*got.columns).exceptAll(got).count() == 0
     )
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """REAL late-data semantics, not just AvailableNow parity: three
+    micro-batches (maxFilesPerTrigger=1).  Batch 1 carries the watermark
+    to 11:00, batch 2 an on-time event (watermark filtering engages one
+    trigger after the update — observed Spark propagation delay), batch
+    3 delivers an event at 08:30, beyond the 1-hour lateness horizon:
+    its window must be dropped (numRowsDroppedByWatermark) and never
+    emitted, while the finalized on-time window is."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import Row
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    batches = [
+        [Row(ts=ts(10, 10)), Row(ts=ts(10, 40)), Row(ts=ts(12, 0))],
+        [Row(ts=ts(13, 0))],
+        [Row(ts=ts(8, 30))],  # late: horizon is max(ts)-1h = 12:00
+    ]
+    now = dt.datetime.now().timestamp()
+    for i, rows in enumerate(batches):
+        sub = d / f"b{i}"
+        spark.createDataFrame(rows, "ts timestamp").coalesce(1).write.parquet(
+            str(sub)
+        )
+        # file source orders micro-batches by modification time
+        mtime = now - 600 * (len(batches) - i)
+        for f in sub.iterdir():
+            os.utime(f, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    got = {r.ws: r.n for r in spark.table("late_drop").collect()}
+    assert dropped == 1
+    assert got.get(ts(10)) == 2
+    assert ts(8) not in got
