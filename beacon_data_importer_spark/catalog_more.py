@@ -993,3 +993,40 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE l2.l_partkey = l.l_partkey)
         """
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT
+      CASE WHEN GROUPING(o_orderpriority) = 0 THEN o_orderpriority END
+        AS priority,
+      CASE WHEN GROUPING(o_orderstatus) = 0 THEN o_orderstatus END
+        AS status,
+      GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+      count(*) AS n_orders,
+      CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (three aggregation levels in one pass) with
+    GROUPING() disambiguation of real NULLs vs roll-up NULLs.  Spark
+    computes all sets from a single shuffle (expand + hash-agg), not one
+    job per set — the multi-level report shape at scale."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT
+          CASE WHEN GROUPING(o_orderpriority) = 0 THEN o_orderpriority END
+            AS priority,
+          CASE WHEN GROUPING(o_orderstatus) = 0 THEN o_orderstatus END
+            AS status,
+          GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+          count(*) AS n_orders,
+          CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS revenue_cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )

@@ -66,6 +66,7 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -74,6 +75,14 @@ def main() -> None:
         # frames) would otherwise leak cached blocks into every later
         # measurement — growing GC pressure made late queries 2-4× noisier
         # run-to-run.  Each query is measured from a clean cache.
+        spark.catalog.clearCache()
+        # Second run: identical plan → codegen cache hits, so this
+        # measures the data-proportional work.  cold − warm ≈ fixed
+        # per-plan overhead (analysis + codegen), which amortizes to
+        # nothing at real scale; warm is the number that extrapolates.
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
 
     # ANN quality: recall of the pruned IVF search against the exact
@@ -104,6 +113,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "quality": {
                     "ivf_recall_at_10": ivf_recall,
                     "kmeans_ivf_recall_at_10": kmivf_recall,
