@@ -50,6 +50,21 @@ HEADLINE = [
 ]
 
 
+def _stage_stats(base: str, app_id: str) -> dict[int, dict]:
+    """Completed-stage metrics from the Spark UI REST API, by stageId."""
+    import urllib.request
+
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app_id}/stages"
+    ) as r:
+        stages = json.load(r)
+    return {
+        s["stageId"]: s
+        for s in stages
+        if s["status"] in ("COMPLETE", "SKIPPED")
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -59,6 +74,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
+    # Shuffle accounting via the UI REST API (the number that decides
+    # whether a plan survives a 100× scale step).  Optional: degrade to
+    # timings-only if the UI is off.
+    ui = spark.sparkContext.uiWebUrl
+    app_id = None
+    if ui:
+        try:
+            import urllib.request
+
+            with urllib.request.urlopen(f"{ui}/api/v1/applications") as r:
+                app_id = json.load(r)[0]["id"]
+        except Exception:
+            app_id = None
+
     # Warm the JVM/reader paths once so per-query numbers measure the
     # plans, not JIT/classloading of the first query.
     qs["rename_project"](spark, sf_dir).write.format("noop").mode(
@@ -67,6 +96,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    shuffle_b: dict[str, int] = {}
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -80,9 +110,20 @@ def main() -> None:
         # measures the data-proportional work.  cold − warm ≈ fixed
         # per-plan overhead (analysis + codegen), which amortizes to
         # nothing at real scale; warm is the number that extrapolates.
+        before = set(_stage_stats(ui, app_id)) if app_id else set()
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.time() - t0, 3)
+        if app_id:
+            try:
+                stats = _stage_stats(ui, app_id)
+                shuffle_b[name] = sum(
+                    s.get("shuffleWriteBytes", 0)
+                    for sid, s in stats.items()
+                    if sid not in before and s["status"] == "COMPLETE"
+                )
+            except Exception:
+                pass
         spark.catalog.clearCache()
 
     # ANN quality: recall of the pruned IVF search against the exact
@@ -119,6 +160,11 @@ def main() -> None:
                     "ivf_recall_at_10": ivf_recall,
                     "kmeans_ivf_recall_at_10": kmivf_recall,
                 },
+                # Bytes written to shuffle per query (warm run, all stages).
+                # Scale-safety signal: aggregations should shuffle O(groups),
+                # LSH O(docs × bands) — never O(input bytes).
+                "shuffle_write_b": shuffle_b,
+                "shuffle_write_total_b": sum(shuffle_b.values()),
                 "sf": sf_val,
             }
         )
