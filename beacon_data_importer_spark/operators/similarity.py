@@ -85,22 +85,59 @@ def assign_cells(
 ) -> DataFrame:
     """IVF build step: tag each corpus vector with its nearest centroid.
 
-    Centroids are broadcast (bounded by construction); the argmin is a
-    broadcast join + window min — one narrow pass over the corpus, no
-    all-pairs shuffle.  Output: corpus columns + cell_id.
-    """
-    c = F.broadcast(centroids.select(centroid_id, F.col(centroid_vec).alias("__cvec")))
-    scored = corpus.crossJoin(c).withColumn(
-        "__d", cosine(vec_col, "__cvec")
-    )
-    from pyspark.sql import Window
+    Map-only formulation: the bounded centroid table is collapsed to ONE
+    broadcast row holding a cell_id-sorted array of (cid, cvec) structs;
+    each corpus row scores every cell with a single ``transform`` (one
+    cosine per cell) and folds to the argmax.  Zero shuffle — the
+    earlier crossJoin + ``row_number()`` window shuffled corpus × cells
+    rows (embedding payloads included) just to pick one per vector;
+    measured ~2× faster on a 100k×20-cell probe locally and the shuffle
+    saving is the real win at cluster scale
+    (tools/ivf_assign_probe.py).  Tie-break matches the window form:
+    highest similarity, then lowest cell_id (ascending-cid fold with a
+    strict ``>`` keeps the earlier cell on ties).
 
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__d").desc(), F.col(centroid_id)
+    Output: corpus columns + cell_id + cell_sim_e6.
+    """
+    packed = F.broadcast(
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(centroid_id).alias("cid"),
+                        F.col(centroid_vec).alias("cvec"),
+                    )
+                )
+            ).alias("__cells")
+        )
+    )
+    with_cells = corpus.crossJoin(packed).withColumn("__vn", norm(vec_col))
+
+    def cell_sim(c: Column) -> Column:
+        # Same association as `cosine`: dot / (corpus_norm * cell_norm),
+        # so micro-unit floors agree bitwise with the SQL oracle.
+        return dot(F.col(vec_col), c["cvec"]) / (
+            F.col("__vn") * F.sqrt(dot(c["cvec"], c["cvec"]))
+        )
+
+    scored = F.transform(
+        F.col("__cells"),
+        lambda c: F.struct(cell_sim(c).alias("sim"), c["cid"].alias("cid")),
+    )
+    # -2.0 is below any cosine, so the first real cell always replaces
+    # the init; the init cid never surfaces (it only fixes the type).
+    init = F.struct(
+        F.lit(-2.0).alias("sim"),
+        F.element_at(F.col("__cells"), 1)["cid"].alias("cid"),
+    )
+    best = F.aggregate(
+        scored,
+        init,
+        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .withColumn("cell_sim_e6", F.floor(F.col("__d") * 1e6))
-        .drop("__rn", "__d", "__cvec")
+        with_cells.withColumn("__best", best)
+        .withColumn(centroid_id, F.col("__best")["cid"])
+        .withColumn("cell_sim_e6", F.floor(F.col("__best")["sim"] * 1e6))
+        .drop("__cells", "__vn", "__best")
     )
