@@ -366,7 +366,13 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
-    assigned = SIM.assign_cells(e, centroids).select("vec_id", "cell_id")
+    # assign_cells returns the full corpus columns + cell_id, so the
+    # candidate set needs NO corpus self-join — just a broadcast semi
+    # join against the probed cells (an earlier form re-joined the
+    # corpus on vec_id: a full-corpus shuffle for nothing).
+    assigned = SIM.assign_cells(e, centroids).select(
+        "vec_id", "embedding", "cell_id"
+    )
 
     qvec = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qemb")
@@ -381,10 +387,8 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell_id")
     )
 
-    cand = (
-        e.join(assigned, "vec_id")
-        .join(F.broadcast(qcells), "cell_id", "left_semi")
-        .filter(F.col("vec_id") != 0)
+    cand = assigned.join(F.broadcast(qcells), "cell_id", "left_semi").filter(
+        F.col("vec_id") != 0
     )
     scored = cand.crossJoin(F.broadcast(qvec)).select(
         F.col("vec_id").alias("neighbor_id"),
