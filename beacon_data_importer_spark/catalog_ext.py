@@ -590,8 +590,14 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with_fp = filt.withColumn("fp", TX.fingerprint("text"))
     keep_ids = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    keep1 = with_fp.join(keep_ids, ["fp", "doc_id"]).select(
-        "doc_id", "text", "n_tokens"
+    # keep1 feeds BOTH the signature build and the final anti-join —
+    # persisted so the source scan + quality filter + fingerprint dedup
+    # run once, not twice (noise-level locally, but the second full
+    # input pass it removes is the dominant cost at warehouse scale).
+    keep1 = (
+        with_fp.join(keep_ids, ["fp", "doc_id"])
+        .select("doc_id", "text", "n_tokens")
+        .persist()
     )
 
     sigs = DD.minhash_signatures(keep1, "text", "doc_id", NUM_HASHES).persist()
