@@ -1034,3 +1034,142 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# running windows, cube, entity resolution, regex extraction
+# ---------------------------------------------------------------------------
+
+@query(
+    "running_totals",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      CAST(sum(round(o_totalprice * 100, 0)) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_spend_cents,
+      CAST(sum(round(o_totalprice * 100, 0)) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS mov3_spend_cents
+    FROM orders
+    """,
+)
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running windows: per-customer cumulative spend + 3-row moving sum
+    (ROWS frames).  Exact integer cents inside the frame, so engines
+    agree bitwise.  One shuffle on the partition key serves BOTH frames
+    (same partitioning + ordering → one Window physical op)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    c = cents(F.col("o_totalprice"))
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_spend_cents"),
+        F.sum(c).over(w.rowsBetween(-2, 0)).alias("mov3_spend_cents"),
+    )
+
+
+@query(
+    "cube_revenue",
+    oracle="""
+    SELECT
+      CASE WHEN GROUPING(o_orderpriority) = 0 THEN o_orderpriority END
+        AS priority,
+      CASE WHEN GROUPING(o_orderstatus) = 0 THEN o_orderstatus END
+        AS status,
+      GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+      count(*) AS n_orders,
+      CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all four aggregation levels in one expand + hash-agg pass
+    (completes the rollup / grouping-sets / cube trio)."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT
+          CASE WHEN GROUPING(o_orderpriority) = 0 THEN o_orderpriority END
+            AS priority,
+          CASE WHEN GROUPING(o_orderstatus) = 0 THEN o_orderstatus END
+            AS status,
+          GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+          count(*) AS n_orders,
+          CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS revenue_cents
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """
+    )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    SELECT l.c_custkey AS custkey_a, r.c_custkey AS custkey_b,
+           levenshtein(l.c_name, r.c_name) AS edit_dist
+    FROM customer l JOIN customer r
+      ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+    WHERE levenshtein(l.c_name, r.c_name) <= 2
+    """,
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance with a BLOCKING key — the
+    fuzzy generalization of the reference's exact nhs_number contact
+    matching (``sql/import_identified_needs.sql:24-26``): candidate
+    pairs form only within a block (nation), bounding the quadratic
+    term to block_size² instead of n²; the equi-conjunct keys the
+    shuffle so Spark runs it as a hash join, with levenshtein applied
+    post-join as a filter.  At 100 TB the blocking key would be a
+    higher-selectivity composite (e.g. name prefix + zip); the plan
+    shape is the same."""
+    c = read_table(spark, sf_dir, "customer")
+    left = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    right = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        left.join(right, "nk")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .filter(dist <= 2)
+        .select("custkey_a", "custkey_b", dist.alias("edit_dist"))
+    )
+
+
+@query(
+    "regex_extract_tokens",
+    oracle="""
+    SELECT tok, count(*) AS cnt
+    FROM (
+      SELECT unnest(regexp_extract_all(text, '[A-Za-z]{8,}')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    HAVING count(*) >= 3
+    """,
+)
+def q_regex_extract_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction as a table op: pull every long-word match out of
+    each document (regexp_extract_all → explode) and count corpus-wide
+    occurrences.  The explode is narrow; the count is one hash-agg with
+    map-side partials — shuffle carries distinct tokens, not matches."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.regexp_extract_all("text", F.lit("[A-Za-z]{8,}"), 0)).alias(
+            "tok"
+        )
+    )
+    return toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 3
+    )
