@@ -56,3 +56,44 @@ def test_partitioned_csv_sink_roundtrip(spark, tmp_path):
     back = spark.read.option("header", True).csv(out)
     assert back.count() == 100
     assert sorted(back.columns) == ["a", "b"]
+
+
+def test_jsonl_roundtrip_and_corrupt_line_is_null_row(spark, tmp_path):
+    from beacon_data_importer_spark.sources import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id bigint, name string"
+    )
+    out = str(tmp_path / "j")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, "id bigint, name string")
+    assert sorted((r.id, r.name) for r in back.collect()) == [
+        (1, "alpha"),
+        (2, "beta"),
+    ]
+
+    # corrupt line -> all-null row (error-as-null), raw line retained
+    # when quarantining is requested
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"id": 1, "name": "ok"}\nnot json at all\n')
+    rows = read_jsonl(spark, str(bad), "id bigint, name string").collect()
+    got = sorted(
+        [(r.id, r.name) for r in rows], key=lambda t: (t[0] is None, t)
+    )
+    assert got == [(1, "ok"), (None, None)]
+    kept = read_jsonl(
+        spark, str(bad), "id bigint, name string", keep_corrupt=True
+    ).collect()
+    corrupt = [r for r in kept if r._corrupt_record is not None]
+    assert len(corrupt) == 1 and corrupt[0]._corrupt_record == "not json at all"
+
+
+def test_orc_roundtrip_preserves_schema(spark, tmp_path):
+    from beacon_data_importer_spark.sources import read_orc, read_table, write_orc
+
+    src = read_table(spark, "/root/testdata/sf0.001", "region")
+    out = str(tmp_path / "o")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
