@@ -270,7 +270,11 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
-    assigned = SIM.assign_cells(e, centroids)
+    # single-file scan = one input split; the map-only fold needs an
+    # explicit repartition locally or all cosines run on one core (the
+    # _docs_parallel rationale — a no-op to omit on a many-split source)
+    corpus = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    assigned = SIM.assign_cells(corpus, centroids)
     return assigned.select("vec_id", "cell_id", "cell_sim_e6")
 
 

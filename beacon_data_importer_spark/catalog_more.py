@@ -369,8 +369,11 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assign_cells returns the full corpus columns + cell_id, so the
     # candidate set needs NO corpus self-join — just a broadcast semi
     # join against the probed cells (an earlier form re-joined the
-    # corpus on vec_id: a full-corpus shuffle for nothing).
-    assigned = SIM.assign_cells(e, centroids).select(
+    # corpus on vec_id: a full-corpus shuffle for nothing).  The
+    # repartition parallelizes the fold across cores locally
+    # (single-file scan = one split; no-op on a many-split source).
+    corpus = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    assigned = SIM.assign_cells(corpus, centroids).select(
         "vec_id", "embedding", "cell_id"
     )
 
