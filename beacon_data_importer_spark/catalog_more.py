@@ -1176,3 +1176,45 @@ def q_regex_extract_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).filter(
         F.col("cnt") >= 3
     )
+
+
+@query(
+    "waiting_customers_q22",
+    oracle="""
+    WITH thr AS (
+      SELECT floor(avg(round(c_acctbal * 100))) AS t
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey AS nationkey,
+           count(*) AS numcust,
+           CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS totacctbal_cents
+    FROM customer, thr
+    WHERE round(c_acctbal * 100) > thr.t
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q_waiting_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (global average, exact
+    integer cents so both engines floor the same double) + anti join
+    (customers with no orders) + group on a derived code.  Plan shape at
+    scale: the threshold is a one-row broadcast; the anti join is the
+    only shuffle; the final agg carries O(codes)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    bal = cents(F.col("c_acctbal"))
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        F.floor(F.avg(bal)).alias("t")
+    )
+    cand = c.crossJoin(F.broadcast(thr)).filter(bal > F.col("t"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    waiting = cand.join(
+        urgent, cand.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return waiting.groupBy(
+        F.col("c_nationkey").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(bal).alias("totacctbal_cents"),
+    )
