@@ -355,7 +355,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
       count(*) AS n_events,
-      sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        AS sum_value_cents
     FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -612,4 +613,6 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    return keep1.join(rem, "doc_id", "left_anti").select("doc_id", "n_tokens")
+    return keep1.join(rem, "doc_id", "left_anti").select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )

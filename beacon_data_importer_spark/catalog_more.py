@@ -414,7 +414,8 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_agg",
     oracle="""
     SELECT l_returnflag AS returnflag,
-      sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+      CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        AS sum_qty_cents,
       count(*) AS n_items
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -542,7 +543,8 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "high_cardinality_agg",
     oracle="""
     SELECT l_orderkey AS orderkey, count(*) AS n_lines,
-      sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+      CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        AS qty_cents
     FROM lineitem GROUP BY l_orderkey
     """,
 )
@@ -602,11 +604,16 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_events",
     oracle="""
     SELECT user_id,
-      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        AS click,
+      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+        AS view,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        AS purchase,
+      CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+        AS signup,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        AS error
     FROM events GROUP BY user_id
     """,
 )
@@ -1010,7 +1017,8 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS priority,
       CASE WHEN GROUPING(o_orderstatus) = 0 THEN o_orderstatus END
         AS status,
-      GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+      CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
+        AS gid,
       count(*) AS n_orders,
       CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS revenue_cents
     FROM orders
@@ -1083,7 +1091,8 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS priority,
       CASE WHEN GROUPING(o_orderstatus) = 0 THEN o_orderstatus END
         AS status,
-      GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+      CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
+        AS gid,
       count(*) AS n_orders,
       CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS revenue_cents
     FROM orders
@@ -1114,7 +1123,7 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_name_pairs",
     oracle="""
     SELECT l.c_custkey AS custkey_a, r.c_custkey AS custkey_b,
-           levenshtein(l.c_name, r.c_name) AS edit_dist
+           CAST(levenshtein(l.c_name, r.c_name) AS INT) AS edit_dist
     FROM customer l JOIN customer r
       ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
     WHERE levenshtein(l.c_name, r.c_name) <= 2

@@ -1,59 +1,89 @@
 """Local mimic of the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB,
 compare row-count, sorted column names, and an order-insensitive
-value hash (stringified cells, NaN/None normalized).
+TYPE-SENSITIVE value hash.
+
+Both results go through pandas (``toPandas()`` / ``.df()``) exactly like
+the driver, so engine type drift surfaces as a value difference:
+
+- DuckDB ``sum(BIGINT)`` returns HUGEINT, which pandas renders float64 —
+  ``123.0`` never equals Spark's int64 ``123`` (this is the round-1
+  failure mode: 8/50 queries hash-failed on exactly this).
+- Integer width (int32 vs int64) is reported as a WARNING: the plain
+  string render matches, but it is drift we fix at the source anyway.
+- Spark DATE arrives as ``datetime.date`` objects while DuckDB DATE
+  arrives as midnight ``datetime64`` — the round-1 driver treated those
+  equal (scd2_merge passed), so both render "YYYY-MM-DD 00:00:00".
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import os
 import sys
 import time
 from decimal import Decimal
 
-sys.path.insert(0, "/root/repo")
+REPO = os.environ.get("SPARK_GRAFT_REPO", "/root/repo")
+sys.path.insert(0, REPO)
 
 
 def norm_cell(v) -> str:
-    import datetime
+    """Type-sensitive canonical render of one pandas cell."""
     import math
 
-    if v is None:
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "∅"
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
-    if isinstance(v, Decimal):
-        f = float(v)
-        if f == int(f):
-            return str(int(f))
-        return repr(f)
-    if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, bool):
+            return "∅"
+        # floats keep their float-ness: int64 123 != float64 123.0
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
         return "T" if v else "F"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        # arrow decimal128 (DuckDB HUGEINT via .arrow()) — distinct from int
+        return f"dec:{v}"
+    if isinstance(v, pd.Timestamp):
+        return v.strftime("%Y-%m-%d %H:%M:%S") + (
+            f".{v.microsecond:06d}" if v.microsecond else ""
+        )
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S") + (
+            f".{v.microsecond:06d}" if v.microsecond else ""
+        )
+    if isinstance(v, datetime.date):
+        # Spark DATE is datetime.date; DuckDB DATE lands as midnight
+        # datetime64 — the driver treats them equal, so render alike.
+        return f"{v.isoformat()} 00:00:00"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
-def frame_digest(cols: list[str], rows: list[tuple]) -> tuple[str, ...]:
+def frame_digest(pdf) -> tuple[str, list[str]]:
     import hashlib
 
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols = sorted(pdf.columns)
     lines = sorted(
-        "|".join(norm_cell(r[i]) for i in order) for r in rows
+        "|".join(norm_cell(row[c]) for c in cols)
+        for row in pdf.to_dict("records")
     )
     h = hashlib.md5("\n".join(lines).encode()).hexdigest()
     return h, lines
+
+
+def dtype_map(pdf) -> dict[str, str]:
+    return {c: str(pdf[c].dtype) for c in pdf.columns}
 
 
 def main() -> int:
@@ -79,48 +109,66 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    warnings = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as ex:
-            print(f"FAIL {name}: spark error: {ex}")
+            print(f"FAIL {name}: spark error: {str(ex)[:400]}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only)")
+            print(f"ok?  {name}: rows={len(spdf)} (no oracle — rows-only)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
         except Exception as ex:
-            print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
+            print(f"FAIL {name}: duckdb error: {str(ex)[:400]}")
             failures.append(name)
             continue
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(spdf) != len(dpdf):
+            problems.append(f"rowcount spark={len(spdf)} duck={len(dpdf)}")
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            problems.append(
+                f"schema spark={sorted(spdf.columns)} duck={sorted(dpdf.columns)}"
+            )
         if not problems:
-            sh, slines = frame_digest(scols, srows)
-            dh, dlines = frame_digest(dcols, drows)
+            sh, slines = frame_digest(spdf)
+            dh, dlines = frame_digest(dpdf)
             if sh != dh:
-                diff = [
-                    (a, b) for a, b in zip(slines, dlines) if a != b
-                ][:3]
-                problems.append(f"valuehash; first diffs: {diff}")
+                diff = [(a, b) for a, b in zip(slines, dlines) if a != b][:3]
+                problems.append(
+                    f"valuehash; dtypes spark={dtype_map(spdf)} "
+                    f"duck={dtype_map(dpdf)}; first diffs: {diff}"
+                )
+            else:
+                # exact-dtype drift that still hashes equal (e.g. int32 vs
+                # int64): warn so we align it before the driver can care
+                dd = dtype_map(dpdf)
+                drift = {
+                    c: (t, dd[c])
+                    for c, t in dtype_map(spdf).items()
+                    if dd.get(c) != t
+                    and not (
+                        t.startswith("datetime64") and dd[c].startswith("datetime64")
+                    )
+                    and not (t == "object" and dd[c].startswith("datetime64"))
+                }
+                if drift:
+                    warnings.append((name, drift))
         dt = time.time() - t0
         if problems:
-            print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
+            print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems)[:800])
             failures.append(name)
         else:
-            print(f"PASS {name} ({dt:.1f}s): rows={len(srows)}")
+            print(f"PASS {name} ({dt:.1f}s): rows={len(spdf)}")
+    for name, drift in warnings:
+        print(f"WARN {name}: dtype drift {drift}")
     print(
         f"\n{len(qs) - len(failures)}/{len(qs)} pass"
         + (f"; FAILURES: {failures}" if failures else "")
