@@ -221,7 +221,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_topk",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
-               FROM embeddings WHERE vec_id = 0),
+               FROM embeddings WHERE vec_id IN (0, 1, 2)),
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
         list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) /
@@ -232,16 +232,21 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, neighbor_id,
            CAST(floor(raw * 1e6) AS BIGINT) AS cosine_sim_e6
-    FROM scored
-    ORDER BY query_id, raw DESC, neighbor_id
-    LIMIT 20
+    FROM (
+      SELECT query_id, neighbor_id, raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY raw DESC, neighbor_id) AS rn
+      FROM scored
+    ) t WHERE rn <= 10
     """,
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (exact ANN baseline): query side
-    broadcast, corpus streamed, global sort-limit."""
+    """Brute-force cosine top-k PER QUERY (exact ANN baseline): 3 query
+    vectors broadcast, corpus streamed once, per-query ranked window —
+    k rows for every query_id, not k total (the round-1 global-limit
+    form silently returned one query's neighbors when given several)."""
     e = read_table(spark, sf_dir, "embeddings")
-    return SIM.cosine_topk(e, e.filter(F.col("vec_id") == 0), k=20)
+    return SIM.cosine_topk(e, e.filter(F.col("vec_id").isin(0, 1, 2)), k=10)
 
 
 @query(

@@ -19,7 +19,7 @@ All vector math is native array expressions (``zip_with`` products,
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -45,12 +45,15 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine for each query vector.
+    """Exact top-k by cosine for EACH query vector (k rows per query_id).
 
-    ``query`` must be bounded (it is broadcast).  Deterministic ordering:
-    (query_id, -similarity, corpus id).  The top-k is a TakeOrdered-style
-    global sort-limit — map-side partial top-k per partition under AQE,
-    so the shuffle carries only k×partitions rows.
+    ``query`` must be bounded (it is broadcast).  Per-query ranking via
+    ``row_number() OVER (PARTITION BY query_id ORDER BY sim DESC,
+    neighbor_id)`` — a global sort-limit would return k rows TOTAL,
+    dominated by one query (the round-1 latent bug).  The window's
+    shuffle is keyed on query_id; with map-side partial top-k this is
+    the standard distributed k-NN shape: each partition contributes its
+    candidates, the per-query reducer keeps k.
     """
     q = F.broadcast(
         query.select(
@@ -67,11 +70,14 @@ def cosine_topk(
         raw.alias("__raw"),
         F.floor(raw * 1e6).alias("cosine_sim_e6"),
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__raw").desc(), F.col("neighbor_id")
+    )
     return (
         scored.filter(F.col("neighbor_id") != F.col("query_id"))
-        .orderBy(F.col("query_id"), F.col("__raw").desc(), F.col("neighbor_id"))
-        .limit(k)
-        .drop("__raw")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__raw", "__rn")
     )
 
 

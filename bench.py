@@ -129,8 +129,10 @@ def main() -> None:
     # ANN quality: recall of the pruned IVF search against the exact
     # brute-force top-10 (tiny collects — both results are <= 20 rows).
     exact = [
-        r.neighbor_id for r in qs["similarity_topk"](spark, sf_dir).collect()
-    ][:10]
+        r.neighbor_id
+        for r in qs["similarity_topk"](spark, sf_dir).collect()
+        if r.query_id == 0
+    ]
     ivf = [r.neighbor_id for r in qs["ivf_search"](spark, sf_dir).collect()]
     ivf_recall = round(len(set(exact) & set(ivf)) / max(len(exact), 1), 3)
     # Learned-centroid IVF (k-means cells). Not in HEADLINE timings for

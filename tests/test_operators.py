@@ -127,9 +127,33 @@ def test_cosine_topk_self_similarity(spark):
         Row(vec_id=3, embedding=[0.7, 0.7]),
     ]
     df = spark.createDataFrame(rows)
-    out = SIM.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    out = sorted(
+        SIM.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect(),
+        key=lambda r: -r.cosine_sim_e6,
+    )
     assert [r.neighbor_id for r in out] == [1, 3]
     assert out[0].cosine_sim_e6 in (999999, 1000000)  # floor at representation edge
+
+
+def test_cosine_topk_is_per_query(spark):
+    """k rows for EVERY query vector — the round-1 global-limit bug
+    returned k rows total, all from one query_id."""
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+        Row(vec_id=3, embedding=[0.1, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = SIM.cosine_topk(df, df.filter(F.col("vec_id").isin(0, 2)), k=2).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(by_q) == {0, 2}
+    assert all(len(v) == 2 for v in by_q.values())
+    # nearest neighbor of 0 is 1; of 2 is 3 (and never the query itself)
+    assert 1 in by_q[0] and 0 not in by_q[0]
+    assert 3 in by_q[2] and 2 not in by_q[2]
 
 
 def test_text_metrics(spark):
