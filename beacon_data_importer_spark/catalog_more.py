@@ -770,11 +770,74 @@ def q_notin_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# learned-index IVF: k-means centroids (rows-only — iterative algorithm,
-# not SQL-expressible; numpy-parity covered in tests/test_operators.py)
+# learned-index IVF: k-means centroids.  The fixed-seed, fixed-iteration
+# Lloyd loop IS SQL-expressible: each iteration unrolls to an
+# assign-then-update CTE pair, so the oracle replays the exact algorithm
+# (init = vectors of the k lowest ids, ties to the lowest cluster,
+# empty clusters keep their centroid).  Cross-engine float drift is
+# bounded by summation-order noise (~1e-14 relative) — far below the
+# floor(x*1e6) output grid.
 # ---------------------------------------------------------------------------
 
-@query("kmeans_clusters")
+KM_K = 8
+KM_ITERS = 5
+KM_DIM = 64
+
+
+def _km_dist(e_arr: str, c_arr: str) -> str:
+    """Squared L2 distance as a sequential fold (list_dot_product of the
+    diff with itself) — same association as operators.kmeans._sq_dist."""
+    d = (
+        f"list_transform(range({KM_DIM}), "
+        f"j -> ({e_arr})[j+1] - ({c_arr})[j+1])"
+    )
+    return f"list_dot_product({d}, {d})"
+
+
+def _duck_kmeans_ctes() -> str:
+    """CTE chain replaying kmeans_fit(k=KM_K, max_iter=KM_ITERS) on the
+    embeddings table; ends with c{KM_ITERS} (final centroids) and fin
+    (the final assignment, one rn=1 row per vector pending filter)."""
+    dist = _km_dist("e.ev", "c.v")
+    parts = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)",
+        f"""c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             ev AS v
+      FROM emb ORDER BY vec_id LIMIT {KM_K})""",
+    ]
+    for t in range(1, KM_ITERS + 1):
+        p = t - 1
+        parts.append(f"""a{t} AS (
+      SELECT e.vec_id, e.ev, c.cid AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist}, c.cid) AS rn
+      FROM emb e, c{p} c)""")
+        parts.append(f"""m{t} AS (
+      SELECT a.cluster, t.i, avg((a.ev)[t.i+1]) AS m
+      FROM (SELECT * FROM a{t} WHERE rn = 1) a, range({KM_DIM}) t(i)
+      GROUP BY a.cluster, t.i)""")
+        parts.append(f"""c{t} AS (
+      SELECT cluster AS cid, list(m ORDER BY i) AS v FROM m{t} GROUP BY cluster
+      UNION ALL
+      SELECT cid, v FROM c{p}
+      WHERE cid NOT IN (SELECT DISTINCT cluster FROM m{t}))""")
+    parts.append(f"""fin AS (
+      SELECT e.vec_id, e.ev, c.cid AS cluster, {dist} AS dist,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist}, c.cid) AS rn
+      FROM emb e, c{KM_ITERS} c)""")
+    return ",\n    ".join(parts)
+
+
+@query(
+    "kmeans_clusters",
+    oracle=f"""
+    WITH {_duck_kmeans_ctes()}
+    SELECT vec_id, cluster, CAST(floor(dist * 1e6) AS BIGINT) AS dist_e6
+    FROM fin WHERE rn = 1
+    """,
+)
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding corpus (k=8, 5
     iterations, init = vectors of the 8 lowest ids).  The engine's
@@ -792,15 +855,45 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_kmeans_search")
+@query(
+    "ivf_kmeans_search",
+    oracle=f"""
+    WITH {{kmeans_ctes}},
+    asg AS (SELECT vec_id, ev, cluster FROM fin WHERE rn = 1),
+    q AS (SELECT ev AS qv FROM emb WHERE vec_id = 0),
+    qc AS (
+      SELECT cid AS cluster FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY
+                 list_dot_product(c.v, q.qv) /
+                   (sqrt(list_dot_product(c.v, c.v)) *
+                    sqrt(list_dot_product(q.qv, q.qv))) DESC, c.cid) AS rn
+        FROM c{KM_ITERS} c, q
+      ) t WHERE rn <= 2
+    )
+    SELECT vec_id AS neighbor_id,
+           CAST(floor(raw * 1e6) AS BIGINT) AS cosine_sim_e6
+    FROM (
+      SELECT a.vec_id,
+        list_dot_product(a.ev, q.qv) /
+          (sqrt(list_dot_product(a.ev, a.ev)) *
+           sqrt(list_dot_product(q.qv, q.qv))) AS raw
+      FROM asg a JOIN qc ON a.cluster = qc.cluster, q
+      WHERE a.vec_id != 0
+    ) s
+    ORDER BY raw DESC, vec_id
+    LIMIT 10
+    """.format(kmeans_ctes=_duck_kmeans_ctes()),
+)
 def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search with LEARNED centroids: the k-means fit replaces
     ``ivf_search``'s modulo-sampled cells, so cell populations follow the
     data distribution (balanced inverted lists → even task sizes at
     scale).  Probes nprobe=2 of k=8 cells, then exact-ranks only their
     members — same two-tier shape as ivf_search, better recall per
-    scanned row.  Rows-only check: centroids come from the iterative
-    fit; bench reports recall@10 vs the exact brute-force top-k."""
+    scanned row.  The oracle replays the full fit (see kmeans_clusters)
+    then the probe; bench additionally reports recall@10 vs the exact
+    brute-force top-k."""
     from .operators.kmeans import kmeans_fit
 
     e = read_table(spark, sf_dir, "embeddings")
