@@ -4,7 +4,6 @@ from .dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     minhash_similarity,
-    simhash64,
     simhash_agg,
 )
 from .flatmap import explode_counted
@@ -23,7 +22,6 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_signatures",
     "minhash_similarity",
-    "simhash64",
     "simhash_agg",
     "explode_counted",
     "lookup_join",

@@ -267,8 +267,9 @@ def simhash_agg(
     positive-vote bits.  Each token is md5-hashed exactly once and the
     hash array is traversed exactly once.
 
-    Evolution (probes in tools/): per-bit nested-array form
-    (:func:`simhash64`, 60 traversals) → explode + groupBy with 60 sum
+    Evolution (probes in tools/): per-bit nested-array form (60
+    traversals; kept as a test-only parity reference) → explode +
+    groupBy with 60 sum
     aggs (hashes once, but shuffles O(docs × 60 ints)) → this fold,
     measured 5× faster than the explode form at sf0.1 and shuffle-free,
     bit-identical output (tools/simhash_onepass_probe.py).  At 100 TB
@@ -299,34 +300,3 @@ def simhash_agg(
     return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
 
 
-def simhash64(text: Column, token_pattern: str = r"\s+") -> Column:
-    """64-bit-ish (60-bit) SimHash over whitespace tokens, md5-portable.
-
-    Per token: a 60-bit hash (15 hex digits of md5).  For each bit,
-    sum(+1 if set else -1) over tokens; the simhash sets bits with a
-    positive sum.  Pure array/bit expressions — no UDF, no shuffle.
-    """
-    toks = F.split(F.lower(F.trim(text)), token_pattern)
-    hashes = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
-    )
-    # Literal powers-of-two table (shiftleft needs a literal shift amount,
-    # so bit masks are indexed from this array instead).
-    pows = F.array(*[F.lit(1 << i).cast("bigint") for i in range(60)])
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(59)),
-        lambda b: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.element_at(pows, b + 1)) != 0, 1).otherwise(-1),
-        ),
-    )
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(59)),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc
-        + F.when(
-            F.element_at(bit_votes, b + 1) > 0, F.element_at(pows, b + 1)
-        ).otherwise(F.lit(0).cast("bigint")),
-    )

@@ -23,19 +23,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_STREAM_DIRS: dict = {}
+
+
+def _staging_dir_for(src: str) -> str:
+    """One symlink staging dir per source file per process, removed at
+    interpreter exit (previously mkdtemp-per-call, which leaked a temp
+    dir on every invocation across test/bench runs)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = os.path.abspath(src)
+    if key not in _STREAM_DIRS:
+        stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(key, os.path.join(stream_dir, os.path.basename(src)))
+        atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
+        _STREAM_DIRS[key] = stream_dir
+    return _STREAM_DIRS[key]
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream (schema taken from the
     batch reader; nano-long ts converted to a real timestamp).
 
     The file-stream source requires a DIRECTORY; the testdata ships one
-    file, so a temp dir with a symlink stands in (a real deployment
-    streams an arriving-files directory or a queue source)."""
-    import os
-    import tempfile
-
+    file, so a cached temp dir with a symlink stands in (a real
+    deployment streams an arriving-files directory or a queue source)."""
     src = f"{sf_dir}/events.parquet"
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(os.path.abspath(src), os.path.join(stream_dir, "events.parquet"))
+    stream_dir = _staging_dir_for(src)
 
     batch_schema = spark.read.parquet(src).schema
     df = spark.readStream.schema(batch_schema).parquet(stream_dir)

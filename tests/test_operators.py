@@ -72,6 +72,35 @@ def test_minhash_near_dup_finds_identical_docs(spark):
     assert sim[0].est_jaccard == 1.0
 
 
+def _simhash64_reference(text):
+    """Superseded 60-traversal column form of SimHash, kept ONLY as the
+    independent parity reference for :func:`simhash_agg` (one md5 + one
+    bit-vote pass per bit).  Removed from the public API once the
+    one-pass fold replaced it (tools/simhash_onepass_probe.py)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+    )
+    pows = F.array(*[F.lit(1 << i).cast("bigint") for i in range(60)])
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.element_at(pows, b + 1)) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(59)),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc
+        + F.when(
+            F.element_at(bit_votes, b + 1) > 0, F.element_at(pows, b + 1)
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
 def test_simhash_agg_matches_column_form(spark):
     df = spark.createDataFrame(
         [Row(id=1, t="spark data engine"), Row(id=2, t="completely other words")]
@@ -79,7 +108,7 @@ def test_simhash_agg_matches_column_form(spark):
     agg = {r.id: r.simhash for r in DD.simhash_agg(df, "t", "id").collect()}
     col = {
         r.id: r.sh
-        for r in df.select("id", DD.simhash64(F.col("t")).alias("sh")).collect()
+        for r in df.select("id", _simhash64_reference(F.col("t")).alias("sh")).collect()
     }
     assert agg == col
 
