@@ -29,10 +29,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
-    return dict(_catalog.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions).
+
+    Ordering is deliberate: the 50 REGISTERED queries (distinct operator
+    shapes) come first, then the EXTRA queries (operator coverage
+    subsumed by a registered query; verified by tests/test_extra_queries
+    and tools/check_oracle.py) — the driver's gate checks the first 50
+    registered rows, extras get checked when budget allows."""
+    return {**_catalog.QUERIES, **_catalog.EXTRA_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query."""
-    return dict(_catalog.ORACLES)
+    return {**_catalog.ORACLES, **_catalog.EXTRA_ORACLES}

@@ -548,6 +548,7 @@ def q_compose_body(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "anti_join",
+    registered=False,
     oracle="""
     SELECT c_custkey AS custkey, c_name AS name
     FROM customer c
@@ -566,6 +567,7 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_rank_lag",
+    registered=False,
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
       CAST(row_number() OVER w AS INT) AS rn,

@@ -96,6 +96,7 @@ def _docs_parallel(
 
 @query(
     "minhash_signatures",
+    registered=False,
     oracle=f"""
     WITH {_duck_minhash_sig_cte()}
     SELECT id AS doc_id,
@@ -194,6 +195,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_fingerprint",
+    registered=False,
     oracle="""
     SELECT doc_id,
       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
@@ -251,6 +253,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ivf_assign",
+    registered=False,
     oracle="""
     WITH cent AS (SELECT vec_id AS cell_id, embedding AS cvec
                   FROM embeddings WHERE vec_id % 100 = 0)
@@ -338,6 +341,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lang_id",
+    registered=False,
     oracle=f"""
     SELECT doc_id, lang,
       CASE WHEN {_DUCK_STOPRATIO} > 0.05 THEN 'en' ELSE 'xx' END AS pred_lang
@@ -380,6 +384,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_sessionize",
+    registered=False,
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id,

@@ -7,8 +7,8 @@ Design for scale:
   * centroids are the ONLY driver-materialized state (k × dim doubles —
     bounded by construction, like MLlib's implementation);
   * assignment is a broadcast of centroids + a narrow argmin pass;
-  * the centroid update is elementwise: posexplode → (cluster, dim)
-    hash-aggregate with map-side partials → rebuild arrays; the shuffle
+  * the centroid update is elementwise: dim parallel ``avg(vec[d])``
+    aggs in one hash-aggregate with map-side partials; the shuffle
     carries k × dim partial sums per partition, not vectors.
 Initialization is deterministic (k lowest ids), no RNG.
 """
@@ -87,20 +87,22 @@ def kmeans_fit(
         )
         centroids = [(i, list(map(float, r[1]))) for i, r in enumerate(init)]
 
+        dim = len(centroids[0][1])
         for _ in range(max_iter):
             assigned = assign_clusters(base, centroids, id_col, vec_col)
-            # elementwise mean per cluster: explode dims, hash-agg on
-            # (cluster, dim) — the shuffle carries k×dim partials per
-            # partition, never vectors; the k×dim result is driver-bounded
+            # elementwise mean per cluster as dim parallel avg aggs over
+            # vec[d] extracts — one hash-agg with map-side partials, k
+            # rows × dim cols to the driver.  (Earlier form: posexplode
+            # to (cluster, dim) then groupBy — that shuffled rows×dim
+            # exploded records where this shuffles k×dim partials.)
             rows = (
-                assigned.select("cluster", F.posexplode("vec").alias("dim", "val"))
-                .groupBy("cluster", "dim")
-                .agg(F.avg("val").alias("m"))
+                assigned.groupBy("cluster")
+                .agg(*[F.avg(F.col("vec")[d]).alias(f"m{d}") for d in range(dim)])
                 .collect()
             )
             acc: dict[int, dict[int, float]] = {}
             for r in rows:
-                acc.setdefault(r.cluster, {})[r.dim] = r.m
+                acc[r.cluster] = {d: r[f"m{d}"] for d in range(dim)}
             next_centroids = [
                 (
                     cid,
