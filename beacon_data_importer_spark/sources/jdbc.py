@@ -2,10 +2,12 @@
 ``\\COPY`` bulk load, ``README.md:53,73-78``) as Spark's jdbc reader/
 writer.
 
-No database (or JDBC driver jar) ships in this environment, so these are
-thin, tested-for-shape wrappers; the engine's chosen design keeps the
-whole import stage in Spark temp views (SURVEY §2.1 S6), with JDBC as
-the optional egress.
+No Postgres server runs in this environment, but Spark ships the
+embedded Derby JDBC driver, so the wrappers are exercised end-to-end
+against a real file-backed database (tests/test_jdbc_roundtrip.py:
+write → partitioned read → value parity).  The engine's chosen design
+keeps the import stage itself in Spark temp views (SURVEY §2.1 S6),
+with JDBC as the ingress/egress boundary.
 
 Scale notes baked into the defaults:
   * reads partition on a numeric column (`partitionColumn` +
