@@ -546,7 +546,6 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "high_cardinality_agg",
-    registered=False,
     oracle="""
     SELECT l_orderkey AS orderkey, count(*) AS n_lines,
       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
@@ -1079,7 +1078,6 @@ def q_lang_profile_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "max_order_per_customer",
-    registered=False,
     oracle="""
     SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
            CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents
@@ -1226,7 +1224,6 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_revenue",
-    registered=False,
     oracle="""
     SELECT
       CASE WHEN GROUPING(o_orderpriority) = 0 THEN o_orderpriority END

@@ -1,0 +1,346 @@
+"""Round-2 catalog: wider TPC-H shapes (Q2 correlated-min-over-join,
+Q15 view + global max), entity-resolution clustering (connected
+components over the fuzzy-pair graph), and the product-quantization ANN
+tier — all DuckDB-oracle-checked with the repo's exact-integer (cents /
+micro-unit) discipline.
+
+Oracle style matches catalog_more's kmeans section: iterative or
+multi-stage computations unroll to MATERIALIZED CTE chains replaying the
+exact algorithm the Spark side runs, so the driver's type-sensitive
+value hash can agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import cents, query
+from .operators.graph import min_label_propagation, symmetrize
+from .operators.pq import pq_search
+from .sources.parquet import read_table
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: min-cost supplier per part.
+#
+# The schema has no partsupp table, so lineitem stands in: a part's
+# "supply cost" from a supplier is the minimum extended price that
+# supplier ever shipped it at.  The interesting plan pieces survive the
+# adaptation: a correlated min over a multi-way join, resolved not as a
+# per-row subquery but as a window min over the joined frame.
+# ---------------------------------------------------------------------------
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p.p_partkey AS partkey, p.p_brand AS brand,
+             eu.s_name AS supplier, eu.n_name AS nation, ps.cost_cents,
+             min(ps.cost_cents) OVER (PARTITION BY p.p_partkey) AS min_cost
+      FROM part p
+      JOIN ps ON ps.l_partkey = p.p_partkey
+      JOIN eu ON eu.s_suppkey = ps.l_suppkey
+      WHERE p.p_size <= 10 AND p.p_type = 'ECONOMY'
+    )
+    SELECT partkey, brand, supplier, nation, cost_cents
+    FROM cand WHERE cost_cents = min_cost
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    achieving its minimum supply cost.  Plan at scale: the ps aggregate
+    is the one big shuffle (map-side partial min on (partkey, suppkey));
+    region→nation→supplier collapses to a broadcast dim; the part join
+    keys the shuffle on partkey and the window min REUSES that
+    partitioning (no extra exchange — SMJ output is hash-partitioned on
+    the join key)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(cents(F.col("l_extendedprice"))).alias("cost_cents")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    )
+    cand = (
+        p.join(ps, p.p_partkey == ps.l_partkey)
+        .join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_brand").alias("brand"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            "cost_cents",
+        )
+    )
+    w = Window.partitionBy("partkey")
+    return (
+        cand.withColumn("__min", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("__min"))
+        .drop("__min")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: revenue view + global max.
+# ---------------------------------------------------------------------------
+
+@query(
+    "top_supplier_q15",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(sum(round(l_extendedprice * (1 - l_discount) * 100))
+                  AS BIGINT) AS total_revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1995-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.total_revenue_cents
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+    WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+    """,
+)
+def q_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a quarter's revenue per supplier (the CREATE
+    VIEW of the spec), then the supplier(s) hitting the global max.  The
+    max is a 1-row broadcast back onto the view — the view computes
+    once (persist marks the reuse; Spark would otherwise replay the
+    scan+agg for both the max and the final filter), and the supplier
+    dim is broadcast."""
+    l = read_table(spark, sf_dir, "lineitem")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("total_revenue_cents")
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("total_revenue_cents").alias("__mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue_cents") == F.col("__mx")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        F.broadcast(s)
+        .join(top, s.s_suppkey == top.suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            "total_revenue_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution clustering: connected components over the fuzzy
+# name-pair graph (the step after fuzzy_name_pairs — same edge rule).
+# ---------------------------------------------------------------------------
+
+_CC_ITERS = 4
+
+
+def _duck_cc_ctes(iters: int = _CC_ITERS) -> str:
+    """CTE chain replaying min_label_propagation(iters) on the
+    nation-blocked levenshtein≤2 pair graph; ends with l{iters}."""
+    parts = [
+        """pairs AS MATERIALIZED (
+      SELECT l.c_custkey AS a, r.c_custkey AS b
+      FROM customer l JOIN customer r
+        ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+      WHERE levenshtein(l.c_name, r.c_name) <= 2)""",
+        """edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs)""",
+        """l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS v, src AS lbl FROM edges)""",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""l{t} AS MATERIALIZED (
+      SELECT x.v, least(x.lbl, min(n.lbl)) AS lbl
+      FROM l{p} x
+      JOIN edges e ON e.src = x.v
+      JOIN l{p} n ON n.v = e.dst
+      GROUP BY x.v, x.lbl)""")
+    return ",\n    ".join(parts)
+
+
+@query(
+    "entity_clusters",
+    oracle=f"""
+    WITH {_duck_cc_ctes()}
+    SELECT v AS custkey, lbl AS cluster_id FROM l{_CC_ITERS}
+    """,
+)
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster step of entity resolution: connected components (4
+    neighbor-min rounds) over the same nation-blocked levenshtein≤2
+    pair graph fuzzy_name_pairs emits.  Every vertex in a pair gets a
+    cluster_id (the minimum custkey reachable within 4 hops; at full
+    convergence, of its component).  See operators/graph.py for the
+    iteration's shuffle shape and the large-star/small-star path at
+    100 TB scale."""
+    c = read_table(spark, sf_dir, "customer")
+    left = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("a"),
+        F.col("c_name").alias("name_a"),
+    )
+    right = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("b"),
+        F.col("c_name").alias("name_b"),
+    )
+    pairs = (
+        left.join(right, "nk")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select("a", "b")
+    )
+    labels = min_label_propagation(symmetrize(pairs), iters=_CC_ITERS)
+    return labels.select(
+        F.col("v").alias("custkey"), F.col("lbl").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (third similarity tier; operators/pq.py).
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8     # subspaces
+_PQ_K = 16    # codewords per subspace
+_PQ_DSUB = 8  # dims per subspace (embeddings are 64-dim)
+
+
+def _duck_pq_ctes() -> str:
+    """CTE chain replaying pq_encode + the query's ADC table on the
+    embeddings corpus: codebook = subvectors of vec_ids 0..K-1, encode =
+    per-(vector, subspace) argmin (ties to the lowest code), dt = query
+    subvector vs every codeword."""
+    def d2(a_expr: str, b_expr: str) -> str:
+        diff = (
+            f"list_transform(range({_PQ_DSUB}), "
+            f"j -> ({a_expr})[j+1] - ({b_expr})[j+1])"
+        )
+        return f"list_dot_product({diff}, {diff})"
+
+    sub = f"e.ev[cw.s*{_PQ_DSUB}+1 : cw.s*{_PQ_DSUB}+{_PQ_DSUB}]"
+    qsub = f"q.qv[cw.s*{_PQ_DSUB}+1 : cw.s*{_PQ_DSUB}+{_PQ_DSUB}]"
+    return f"""emb AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    cw AS MATERIALIZED (
+      SELECT s.i AS s, e.vec_id AS c,
+             e.ev[s.i*{_PQ_DSUB}+1 : s.i*{_PQ_DSUB}+{_PQ_DSUB}] AS w
+      FROM emb e, range({_PQ_M}) s(i) WHERE e.vec_id < {_PQ_K}),
+    enc AS MATERIALIZED (
+      SELECT vec_id, s, c FROM (
+        SELECT e.vec_id, cw.s, cw.c,
+               row_number() OVER (PARTITION BY e.vec_id, cw.s
+                                  ORDER BY {d2(sub, "cw.w")}, cw.c) AS rn
+        FROM emb e, cw
+      ) t WHERE rn = 1),
+    q AS (SELECT ev AS qv FROM emb WHERE vec_id = 0),
+    dt AS MATERIALIZED (
+      SELECT cw.s, cw.c, {d2(qsub, "cw.w")} AS d FROM cw, q)"""
+
+
+@query(
+    "pq_search",
+    oracle=f"""
+    WITH {_duck_pq_ctes()},
+    scored AS (
+      SELECT e.vec_id,
+             list_reduce(list(dt.d ORDER BY dt.s), (x, y) -> x + y) AS ad
+      FROM enc e JOIN dt ON dt.s = e.s AND dt.c = e.c
+      WHERE e.vec_id != 0
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id AS neighbor_id,
+           CAST(floor(ad * 1e6) AS BIGINT) AS approx_dist_e6
+    FROM scored ORDER BY ad, vec_id LIMIT 10
+    """,
+)
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-10 for query vec_id=0: encode the corpus
+    to 8 4-bit-ish codes (argmin over 16 sampled codewords per
+    subspace), score via the query's broadcast ADC distance table —
+    M lookups + an ascending-s sequential sum per row, no shuffle until
+    the final TakeOrdered.  The oracle replays codebook, encoding, and
+    the ordered-fold sum (list_reduce) so the float association
+    matches."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return pq_search(
+        e,
+        q,
+        k=10,
+        n_subspaces=_PQ_M,
+        n_codes=_PQ_K,
+        exclude_id=0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth (extra): ntile / percent_rank / cume_dist.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ntile_percentiles",
+    registered=False,
+    oracle="""
+    SELECT c_custkey AS custkey,
+           c_nationkey AS nationkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           CAST(floor(percent_rank() OVER w * 1e6) AS BIGINT) AS pct_rank_e6,
+           CAST(floor(cume_dist() OVER w * 1e6) AS BIGINT) AS cume_e6
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY round(c_acctbal * 100), c_custkey)
+    """,
+)
+def q_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family completeness next to window_rank_lag: quartile
+    bucketing (ntile), percent_rank, cume_dist per nation.  The order
+    key is (exact cents, custkey) so tie order — which ntile is
+    sensitive to — is identical cross-engine; percent_rank/cume_dist are
+    single IEEE divisions of identical ints, so the micro-unit floor is
+    drift-free."""
+    c = read_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(cents(F.col("c_acctbal")), F.col("c_custkey"))
+    )
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 1e6).alias("pct_rank_e6"),
+        F.floor(F.cume_dist().over(w) * 1e6).alias("cume_e6"),
+    )

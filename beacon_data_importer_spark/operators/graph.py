@@ -1,0 +1,68 @@
+"""Iterative graph operators: connected components via min-label
+propagation (entity-resolution clustering over a fuzzy-match pair graph,
+SURVEY §7.5 extension — the cluster-and-survivor step downstream of the
+reference's exact nhs_number matching, sql/import_identified_needs.sql).
+
+Spark-first shape: one DataFrame join + partial agg per iteration, a
+FIXED iteration count so the computation is deterministic (and therefore
+SQL-oracle-expressible by unrolling the same iterations as a CTE chain).
+Each iteration's labels frame is persisted: it is consumed twice (the
+neighbor join and the final ``least``), and persisting truncates the
+otherwise-doubling lineage.
+
+At 100 TB you would (a) localCheckpoint every few iterations to cut
+lineage for real, and (b) switch from plain neighbor-min propagation to
+the large-star/small-star formulation (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) whose round count is
+O(log n) instead of graph diameter.  The per-round dataflow — join
+labels to edges, min-aggregate on the vertex key — is identical to this
+one, so the operator's plan shape is already the scale shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Undirected pair list (a < b) → both-direction edge list."""
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def min_label_propagation(edges: DataFrame, iters: int) -> DataFrame:
+    """Connected-component labels after ``iters`` rounds of neighbor-min
+    propagation over a symmetric ``(src, dst)`` edge list.
+
+    label0(v) = v; label_t(v) = min(label_{t-1}(v),
+                                    min over neighbors u of label_{t-1}(u)).
+
+    Vertices are those that appear in at least one edge (isolated rows
+    have no pairs to cluster).  Returns ``(v, lbl)``.  After enough
+    rounds (graph diameter) ``lbl`` is the component's minimum vertex
+    id; a fixed smaller count is still deterministic — callers that need
+    full convergence pick ``iters`` ≥ diameter.
+    """
+    edges = edges.persist()
+    labels = edges.select(F.col("src").alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    )
+    for _ in range(iters):
+        labels = labels.persist()
+        nbr_min = (
+            labels.join(edges, labels["v"] == edges["dst"])
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(nbr_min, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return labels
