@@ -1289,12 +1289,15 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("custkey_b"),
         F.col("c_name").alias("name_b"),
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # Banded threshold form: exact distance when ≤ 2, -1 (filtered)
+    # past the band — same pair set and values as unbounded levenshtein,
+    # ~2× less DP work on the quadratic candidate stream.
+    dist = F.levenshtein("name_a", "name_b", 2)
     return (
         left.join(right, "nk")
         .filter(F.col("custkey_a") < F.col("custkey_b"))
-        .filter(dist <= 2)
-        .select("custkey_a", "custkey_b", dist.alias("edit_dist"))
+        .filter(dist >= 0)
+        .select("custkey_a", "custkey_b", dist.cast("int").alias("edit_dist"))
     )
 
 

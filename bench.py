@@ -49,6 +49,19 @@ HEADLINE = [
     # intended JVM-expression paths.
 ]
 
+# Round-1's headline set, unchanged, so r{N}-vs-r1 per-query deltas stay
+# computable; `warm_total_r1_set` reports this subset's sum next to the
+# full total.
+R1_SET = list(HEADLINE)
+
+HEADLINE += [
+    # added in round 2
+    "min_cost_supplier",
+    "top_supplier_q15",
+    "entity_clusters",
+    "pq_search_rerank",
+]
+
 
 def _stage_stats(base: str, app_id: str) -> dict[int, dict]:
     """Completed-stage metrics from the Spark UI REST API, by stageId."""
@@ -97,6 +110,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     shuffle_b: dict[str, int] = {}
+    spill_b: dict[str, int] = {}
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -117,10 +131,18 @@ def main() -> None:
         if app_id:
             try:
                 stats = _stage_stats(ui, app_id)
-                shuffle_b[name] = sum(
-                    s.get("shuffleWriteBytes", 0)
+                new_complete = [
+                    s
                     for sid, s in stats.items()
                     if sid not in before and s["status"] == "COMPLETE"
+                ]
+                shuffle_b[name] = sum(
+                    s.get("shuffleWriteBytes", 0) for s in new_complete
+                )
+                spill_b[name] = sum(
+                    s.get("memoryBytesSpilled", 0)
+                    + s.get("diskBytesSpilled", 0)
+                    for s in new_complete
                 )
             except Exception:
                 pass
@@ -144,6 +166,53 @@ def main() -> None:
     ]
     kmivf_recall = round(len(set(exact) & set(kmivf)) / max(len(exact), 1), 3)
 
+    # PQ quality: the ADC distance approximates squared L2, so its
+    # reference is the exact squared-L2 top-10 (not the cosine list).
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.operators.pq import _sq_dist
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter("vec_id = 0").select(
+        F.col("embedding").cast("array<double>").alias("__q")
+    )
+    exact_l2 = [
+        r.vec_id
+        for r in emb.crossJoin(F.broadcast(qv))
+        .filter("vec_id != 0")
+        .select(
+            "vec_id",
+            _sq_dist(F.col("embedding").cast("array<double>"), F.col("__q")).alias("__d"),
+        )
+        .orderBy("__d", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    adc_ids = [r.neighbor_id for r in qs["pq_search"](spark, sf_dir).collect()]
+    pq_adc_recall = round(len(set(exact_l2) & set(adc_ids)) / max(len(exact_l2), 1), 3)
+    rr_ids = [
+        r.neighbor_id for r in qs["pq_search_rerank"](spark, sf_dir).collect()
+    ]
+    pq_recall = round(len(set(exact_l2) & set(rr_ids)) / max(len(exact_l2), 1), 3)
+
+    # Peak JVM heap across executors (single-JVM locally): the "does it
+    # fit in executor memory at this SF" signal next to spill bytes.
+    peak_heap = None
+    if app_id:
+        try:
+            import urllib.request
+
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/executors"
+            ) as r:
+                execs = json.load(r)
+            peak_heap = max(
+                (e.get("peakMemoryMetrics", {}).get("JVMHeapMemory", 0))
+                for e in execs
+            )
+        except Exception:
+            peak_heap = None
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -158,15 +227,25 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
+                "warm_total_r1_set": round(
+                    sum(warm[n] for n in R1_SET if n in warm), 3
+                ),
                 "quality": {
                     "ivf_recall_at_10": ivf_recall,
                     "kmeans_ivf_recall_at_10": kmivf_recall,
+                    "pq_recall_at_10": pq_recall,
+                    "pq_adc_recall_at_10": pq_adc_recall,
                 },
                 # Bytes written to shuffle per query (warm run, all stages).
                 # Scale-safety signal: aggregations should shuffle O(groups),
                 # LSH O(docs × bands) — never O(input bytes).
                 "shuffle_write_b": shuffle_b,
                 "shuffle_write_total_b": sum(shuffle_b.values()),
+                # Spill per query (memory+disk, warm run): anything nonzero
+                # here means partitions outgrew executor memory at this SF.
+                "spill_b": spill_b,
+                "spill_total_b": sum(spill_b.values()),
+                "peak_jvm_heap_b": peak_heap,
                 "sf": sf_val,
             }
         )
