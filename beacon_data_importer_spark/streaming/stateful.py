@@ -66,3 +66,70 @@ def streaming_first_seen(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_first_seen_tws(events: DataFrame) -> DataFrame:
+    """``streaming_first_seen`` on the Spark 4 ``transformWithStateInPandas``
+    API (SPARK-49564 "State V2"): schema-declared named state slots on a
+    StatefulProcessor object instead of one opaque state tuple.  Same
+    semantics as the applyInPandasWithState form (the test asserts both
+    match batch first-wins); V2 is where timers/TTL and future state
+    features land, so new stateful operators should start here.
+
+    Environment gate: the V2 state-server protocol is protobuf-based
+    (``transform_with_state_driver_worker`` imports
+    ``google.protobuf.descriptor``), and V2 requires the RocksDB state
+    store provider.  Callers must have protobuf installed and set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``RocksDBStateStoreProvider``; without protobuf this raises
+    immediately instead of crashing the streaming query mid-run.
+    """
+    import importlib.util
+
+    try:
+        _pb = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:  # no parent 'google' package at all
+        _pb = None
+    if _pb is None:
+        raise ModuleNotFoundError(
+            "transformWithStateInPandas needs the protobuf package for "
+            "its state-server protocol; this environment lacks it — use "
+            "streaming_first_seen (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class FirstSeenProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            best = None
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                pdf = pdf.sort_values(["ts", "event_id"]).head(1)
+                row = (pdf["ts"].iloc[0], int(pdf["event_id"].iloc[0]))
+                if best is None or row < best:
+                    best = row
+            if self._seen.exists() or best is None:
+                return
+            self._seen.update((1,))
+            yield pd.DataFrame(
+                [(key[0], best[0], best[1])],
+                columns=["user_id", "first_ts", "first_event_id"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        FirstSeenProcessor(),
+        FIRST_SEEN_SCHEMA,
+        "update",
+        "none",
+    )

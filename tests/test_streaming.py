@@ -76,6 +76,58 @@ def test_streaming_first_seen_matches_batch_first_wins(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_streaming_first_seen_tws_matches_batch_first_wins(spark, sf_dir):
+    """Same first-wins semantics through the Spark 4 State V2 API
+    (transformWithStateInPandas).  Skips (with the gate exercised) when
+    protobuf — required by the V2 state-server protocol — is absent."""
+    import importlib.util
+
+    import pytest
+
+    from beacon_data_importer_spark.operators.dedup import first_wins
+    from beacon_data_importer_spark.streaming.stateful import (
+        streaming_first_seen_tws,
+    )
+
+    stream = SE.stream_events(spark, sf_dir)
+    try:
+        _pb = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:  # no parent 'google' package at all
+        _pb = None
+    if _pb is None:
+        with pytest.raises(ModuleNotFoundError, match="protobuf"):
+            streaming_first_seen_tws(stream.select("user_id", "ts", "event_id"))
+        pytest.skip("protobuf unavailable: transformWithStateInPandas "
+                    "cannot run in this environment (gate verified)")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    out = streaming_first_seen_tws(stream.select("user_id", "ts", "event_id"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.first_ts, r.first_event_id)
+        for r in spark.table("first_seen_tws").collect()
+    }
+
+    batch = read_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.ts, r.event_id)
+        for r in first_wins(batch, "user_id", ["ts", "event_id"])
+        .select("user_id", "ts", "event_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_foreach_batch_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
     out = str(tmp_path / "sink")
     stream = SE.stream_events(spark, sf_dir)
