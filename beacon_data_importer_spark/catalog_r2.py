@@ -233,6 +233,60 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "entity_survivors",
+    registered=False,  # downstream of entity_clusters; same CC oracle chain
+    oracle=f"""
+    WITH {_duck_cc_ctes()},
+    members AS (
+      SELECT l.v AS custkey, l.lbl AS cluster_id,
+             round(c.c_acctbal * 100) AS bal
+      FROM l{_CC_ITERS} l JOIN customer c ON c.c_custkey = l.v
+    ),
+    ranked AS (
+      SELECT cluster_id, custkey, bal,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY bal DESC, custkey) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members,
+             CAST(sum(CAST(bal AS BIGINT)) OVER (PARTITION BY cluster_id)
+                  AS BIGINT) AS total_bal_cents
+      FROM members
+    )
+    SELECT cluster_id, custkey AS survivor_custkey,
+           CAST(n_members AS BIGINT) AS n_members, total_bal_cents
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_entity_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: one golden record per entity cluster — the member
+    with the highest account balance (ties to the lowest custkey) —
+    plus cluster stats.  Completes the ER pipeline (fuzzy_name_pairs →
+    entity_clusters → survivors); the survivor pick and the stats share
+    ONE window partitioning on cluster_id (no extra shuffle)."""
+    clusters = q_entity_clusters(spark, sf_dir)
+    c = read_table(spark, sf_dir, "customer")
+    bal = cents(F.col("c_acctbal"))
+    members = clusters.join(
+        c, clusters.custkey == c.c_custkey
+    ).select("cluster_id", "custkey", bal.alias("bal"))
+    w = Window.partitionBy("cluster_id")
+    ranked = members.select(
+        "cluster_id",
+        "custkey",
+        F.row_number()
+        .over(w.orderBy(F.col("bal").desc(), F.col("custkey")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        F.sum("bal").over(w).alias("total_bal_cents"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("custkey").alias("survivor_custkey"),
+        "n_members",
+        "total_bal_cents",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product-quantization ANN (third similarity tier; operators/pq.py).
 # ---------------------------------------------------------------------------

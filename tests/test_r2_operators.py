@@ -197,3 +197,70 @@ def test_entity_clusters_ids_are_component_members(spark):
     for r in rows:
         assert r.cluster_id in keys
         assert r.cluster_id <= r.custkey
+
+
+# ---------------------------------------------------------------------------
+# sketches: error-bounded, not oracle-hashed (engine-specific estimates)
+# ---------------------------------------------------------------------------
+
+def test_hll_distinct_within_error_bound(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.operators.sketch import approx_distinct
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    got = {
+        r.o_orderpriority: r.approx_distinct
+        for r in approx_distinct(o, ["o_orderpriority"], "o_custkey").collect()
+    }
+    want = {
+        r.o_orderpriority: r.exact
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, exact in want.items():
+        assert abs(got[k] - exact) <= max(3, 0.05 * exact), (k, got[k], exact)
+
+
+def test_hll_sketch_merge_equals_direct_estimate(spark, sf_dir):
+    """Rollup property: union of per-priority sketches == one global
+    sketch (identical estimate — merging is lossless for HLL)."""
+    from beacon_data_importer_spark.operators.sketch import (
+        approx_distinct,
+        distinct_sketches,
+        merge_distinct_sketches,
+    )
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    from pyspark.sql import functions as F
+
+    o = read_table(spark, sf_dir, "orders").withColumn("all", F.lit(1))
+    per = distinct_sketches(o, ["o_orderpriority", "all"], "o_custkey")
+    merged = merge_distinct_sketches(per, ["all"]).collect()[0].approx_distinct
+    direct = approx_distinct(o, ["all"], "o_custkey").collect()[0].approx_distinct
+    assert merged == direct
+
+
+def test_approx_quantiles_rank_error(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.operators.sketch import approx_quantiles
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rows = approx_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", (0.5,), accuracy=10000
+    ).collect()
+    exact = {
+        r.l_returnflag: r.m
+        for r in li.groupBy("l_returnflag")
+        .agg(F.median("l_extendedprice").alias("m"))
+        .collect()
+    }
+    for r in rows:
+        # GK guarantees rank error; on this data the value gap at
+        # +-1/accuracy rank around the median is tiny — 1% value slack
+        assert abs(r.q[0] - exact[r.l_returnflag]) <= 0.01 * exact[r.l_returnflag]
