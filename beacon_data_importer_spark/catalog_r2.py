@@ -412,6 +412,157 @@ def q_pq_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# More TPC-H shapes (extras: locally oracle-checked, slots full).
+# ---------------------------------------------------------------------------
+
+@query(
+    "important_parts_q11",
+    registered=False,
+    oracle="""
+    WITH pv AS (
+      SELECT l.l_partkey AS partkey,
+             CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'GERMANY'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS t FROM pv)
+    SELECT pv.partkey, pv.value_cents
+    FROM pv, tot
+    WHERE pv.value_cents * 1000 > tot.t
+    """,
+)
+def q_important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value within one nation's suppliers,
+    kept when it exceeds a FRACTION (0.1%) of the global total.  The
+    fraction test is pure integer math (value*1000 > total) — no division, so no
+    cross-engine float hazard.  Plan: one agg shuffle on partkey
+    (supplier/nation broadcast), total is a 1-row broadcast back."""
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    dim = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    )
+    pv = (
+        l.join(dim, l.l_suppkey == dim.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("value_cents"))
+        .persist()
+    )
+    tot = pv.agg(F.sum("value_cents").alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("t"))
+        .select("partkey", "value_cents")
+    )
+
+
+@query(
+    "blamed_suppliers_q21",
+    registered=False,
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+    ),
+    sole_late AS (
+      SELECT l_orderkey FROM late
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) = 1
+    )
+    SELECT s.s_name AS name, count(*) AS numwait
+    FROM late
+    JOIN multi USING (l_orderkey)
+    JOIN sole_late USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = late.l_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q_blamed_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (waiting-orders blame): suppliers whose late
+    line (shipped >90 days after the order date) is the ONLY late
+    supplier on a multi-supplier order.  The spec's EXISTS / NOT EXISTS
+    pair compiles to two aggregated semi-join legs on orderkey — each
+    leg shuffles O(orders), never the quadratic self-join."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .persist()
+    )
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") == 1)
+        .select("l_orderkey")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        late.join(multi, "l_orderkey")
+        .join(sole_late, "l_orderkey")
+        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "rolling_30d_spend",
+    registered=False,
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+             AS day_no,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                           AS BIGINT)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS spend_30d_cents
+    FROM orders
+    """,
+)
+def q_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frames (value-based, vs running_totals' ROWS
+    frames): per-customer trailing-30-day spend.  The order key is the
+    integer day number, so RANGE 30 PRECEDING means calendar days, not
+    row counts — same-day orders aggregate together in both engines
+    (RANGE peers), which a ROWS frame would get wrong."""
+    o = read_table(spark, sf_dir, "orders")
+    day_no = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_no)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        day_no.alias("day_no"),
+        F.sum(cents(F.col("o_totalprice"))).over(w).alias("spend_30d_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Window-function breadth (extra): ntile / percent_rank / cume_dist.
 # ---------------------------------------------------------------------------
 
