@@ -103,6 +103,48 @@ def main() -> None:
         sigs.unpersist()
         spark.catalog.clearCache()
 
+        # Connected components: synthetic edge graph (12 edges/vertex,
+        # same density as the fuzzy-pair graph at sf0.1) isolating the
+        # iterative join+min-agg rounds — the part of entity_clusters
+        # that must scale; candidate-pair generation is probed by the
+        # quadratic-block analysis in PERF.md instead.
+        from beacon_data_importer_spark.operators.graph import (
+            min_label_propagation,
+        )
+
+        n_verts = 15_000 * factor
+        e = spark.range(n_verts * 12).select(
+            (F.col("id") % n_verts).alias("src"),
+            ((F.col("id") * 7 + 1) % n_verts).alias("dst"),
+        )
+        dt = timed(min_label_propagation(e, iters=4))
+        results.setdefault("cc_propagation_4r", {})[f"x{factor}"] = {
+            "rows": n_verts * 12,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n_verts * 12 / dt),
+        }
+        spark.catalog.clearCache()
+
+        # PQ: encode + ADC scan over an amplified embedding corpus
+        # (copy 0 keeps vec_ids 0..15 = the codebook source and the
+        # query vector; offsets keep ids unique).  Map-only — should
+        # scale linearly with corpus size.
+        from beacon_data_importer_spark.operators.pq import pq_search
+
+        emb = amplify(
+            read_table(spark, sf_dir, "embeddings"), factor, ["vec_id"]
+        ).repartition(spark.sparkContext.defaultParallelism)
+        n_vecs = emb.count()
+        dt = timed(
+            pq_search(emb, emb.filter("vec_id = 0"), k=10, exclude_id=0)
+        )
+        results.setdefault("pq_encode_adc", {})[f"x{factor}"] = {
+            "rows": n_vecs,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n_vecs / dt),
+        }
+        spark.catalog.clearCache()
+
     print(json.dumps({"metric": "scale_probe", "shapes": results}))
 
 
