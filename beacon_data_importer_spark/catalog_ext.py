@@ -412,8 +412,10 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # interval arithmetic (not cast-to-long) so the same plan works for
+    # TIMESTAMP and TIMESTAMP_NTZ parquet columns, timezone-free
     new_session = F.when(
-        prev.isNull() | ((F.col("ts").cast("long") - prev.cast("long")) > 1800), 1
+        prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL 1800 SECOND")), 1
     ).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = e.select(

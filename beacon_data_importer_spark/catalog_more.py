@@ -113,9 +113,10 @@ def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
     ).filter(
         (F.col("id1") < F.col("id2"))
-        & (
-            F.abs(F.col("ts2").cast("long") - F.col("ts1").cast("long")) <= 300
-        )
+        # |ts2-ts1| <= 300s as a two-sided interval predicate: works for
+        # both TIMESTAMP and TIMESTAMP_NTZ columns, timezone-free
+        & (F.col("ts2") >= F.col("ts1") - F.expr("INTERVAL 300 SECOND"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 300 SECOND"))
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
 

@@ -56,8 +56,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch_schema = spark.read.parquet(src).schema
     df = spark.readStream.schema(batch_schema).parquet(stream_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks/event-time require TIMESTAMP; session TZ is UTC so
+        # the naive parquet values keep their instant semantics
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

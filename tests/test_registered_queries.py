@@ -1,0 +1,79 @@
+"""CI gate for the 50 REGISTERED catalog queries.
+
+The authoritative check is the driver's sf0.01 gate, but that only runs
+once per round — this module applies the identical driver-mimicking
+comparison (row count, sorted columns, type-sensitive order-insensitive
+value hash vs the DuckDB oracle) at sf0.001 on every pytest run, so a
+regression in a registered query (e.g. an environment change in how
+parquet timestamps are read) fails CI immediately instead of surfacing
+in the next CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_DIR
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "check_oracle.py",
+    ),
+)
+check_oracle = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(check_oracle)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _registered_names():
+    from beacon_data_importer_spark import catalog
+
+    import beacon_data_importer_spark.catalog_ext  # noqa: F401
+    import beacon_data_importer_spark.catalog_more  # noqa: F401
+    import beacon_data_importer_spark.catalog_r2  # noqa: F401
+
+    return sorted(catalog.QUERIES)
+
+
+@pytest.mark.parametrize("name", _registered_names())
+def test_registered_query_matches_oracle(spark, duck, name):
+    from beacon_data_importer_spark import catalog
+
+    spdf = catalog.QUERIES[name](spark, SF_DIR).toPandas()
+    if name not in catalog.ORACLES:
+        # rows-only queries (no SQL-expressible oracle): smoke-run only
+        assert len(spdf) >= 0
+        return
+    dpdf = duck.execute(catalog.ORACLES[name]).df()
+
+    assert len(spdf) == len(dpdf), f"{name}: rowcount {len(spdf)} != {len(dpdf)}"
+    assert sorted(spdf.columns) == sorted(dpdf.columns), f"{name}: schema"
+    sh, slines = check_oracle.frame_digest(spdf)
+    dh, dlines = check_oracle.frame_digest(dpdf)
+    if sh != dh:
+        diff = [(a, b) for a, b in zip(slines, dlines) if a != b][:3]
+        pytest.fail(f"{name}: value hash mismatch; first diffs {diff}")
