@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import cents, query
+from .functions.expressions import bounded_levenshtein
 from .operators import similarity as SIM
 from .sources.parquet import read_table
 
@@ -1292,8 +1293,9 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Banded threshold form: exact distance when ≤ 2, -1 (filtered)
     # past the band — same pair set and values as unbounded levenshtein,
-    # ~2× less DP work on the quadratic candidate stream.
-    dist = F.levenshtein("name_a", "name_b", 2)
+    # ~2× less DP work on the quadratic candidate stream; prefix-trim
+    # fast path halves it again (functions.expressions.bounded_levenshtein).
+    dist = bounded_levenshtein("name_a", "name_b", 2)
     return (
         left.join(right, "nk")
         .filter(F.col("custkey_a") < F.col("custkey_b"))

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import cents, query
+from .functions.expressions import bounded_levenshtein
 from .operators.graph import min_label_propagation, symmetrize
 from .operators.pq import pq_search
 from .sources.parquet import read_table
@@ -220,11 +221,12 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Threshold levenshtein: banded DP that early-exits past 2 edits
     # (returns -1), ~2× cheaper than the full O(len²) matrix on the 4.5M
-    # candidate pairs at sf0.1 — identical pair set, oracle unchanged.
+    # candidate pairs at sf0.1, with the prefix-trim fast path on top
+    # (bounded_levenshtein) — identical pair set, oracle unchanged.
     pairs = (
         left.join(right, "nk")
         .filter(F.col("a") < F.col("b"))
-        .filter(F.levenshtein("name_a", "name_b", 2) >= 0)
+        .filter(bounded_levenshtein("name_a", "name_b", 2) >= 0)
         .select("a", "b")
     )
     labels = min_label_propagation(symmetrize(pairs), iters=_CC_ITERS)

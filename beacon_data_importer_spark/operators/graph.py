@@ -49,7 +49,15 @@ def min_label_propagation(edges: DataFrame, iters: int) -> DataFrame:
     # min, so one iteration is join + min-aggregate (2 shuffles) instead
     # of join + aggregate + join-back (3) — measured ~25% faster at
     # sf0.1 and one fewer barrier per round on a cluster.
-    edges = edges.persist()  # pair generation runs once, not per branch
+    # localCheckpoint, NOT persist: the self-loop union below references
+    # this frame in two branches (directly, and through verts), and the
+    # union's expr-id deduplication rewrites one branch so it no longer
+    # matches the cached plan's canonical form — with persist the edge
+    # generation (the expensive fuzzy-pair join) silently re-ran inside
+    # the union materialization (measured +8 s at sf0.1).  Checkpointing
+    # truncates lineage, so recompute is impossible by construction.  On
+    # a real cluster use reliable checkpoint storage for fault tolerance.
+    edges = edges.localCheckpoint()
     verts = edges.select(F.col("src").alias("v")).distinct().persist()
     loops = verts.select(F.col("v").alias("src"), F.col("v").alias("dst"))
     edges = edges.unionByName(loops).persist()
