@@ -245,6 +245,7 @@ def q_case_tristate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "flatmap_attempts",
+    registered=False,  # driver-proven green in CORRECTNESS_r01; slot rotated (see module docstring)
     oracle="""
     WITH base AS (
       SELECT o_orderkey AS orderkey,
@@ -286,6 +287,7 @@ def q_flatmap_attempts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "union_by_name",
+    registered=False,  # driver-proven green in CORRECTNESS_r01; slot rotated (see module docstring)
     oracle="""
     SELECT l_orderkey AS orderkey, l_quantity AS qty, l_returnflag AS returnflag
     FROM lineitem WHERE l_linenumber = 1
@@ -334,6 +336,7 @@ def q_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "string_agg_group",
+    registered=False,  # driver-proven green in CORRECTNESS_r01; slot rotated (see module docstring)
     oracle="""
     SELECT o_custkey AS custkey,
            string_agg(o_orderpriority, ', ' ORDER BY o_orderpriority)
@@ -354,6 +357,7 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "qa_left_joins",
+    registered=False,  # driver-proven green in CORRECTNESS_r01; slot rotated (see module docstring)
     oracle="""
     WITH agg AS (
       SELECT o_custkey, count(*) AS n_orders,

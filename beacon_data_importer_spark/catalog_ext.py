@@ -68,6 +68,7 @@ def _duck_minhash_sig_cte(source: str = "documents") -> str:
 
 @query(
     "dedup_exact",
+    registered=False,  # driver-proven green in CORRECTNESS_r01; slot rotated (see module docstring)
     oracle="""
     SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
            count(*) AS dup_count
@@ -178,6 +179,7 @@ _DUCK_SIMHASH = f"""
 
 @query(
     "simhash",
+    registered=False,  # driver-proven green in CORRECTNESS_r01; slot rotated (see module docstring)
     oracle=f"""
     SELECT doc_id, {_DUCK_SIMHASH} AS simhash FROM documents
     """,

@@ -237,7 +237,6 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "entity_survivors",
-    registered=False,  # downstream of entity_clusters; same CC oracle chain
     oracle=f"""
     WITH {_duck_cc_ctes()},
     members AS (
@@ -332,7 +331,6 @@ def _duck_pq_ctes() -> str:
 
 @query(
     "pq_search",
-    registered=False,  # subsumed by pq_search_rerank (ADC stage 1 of 2)
     oracle=f"""
     WITH {_duck_pq_ctes()},
     scored AS (
@@ -419,7 +417,6 @@ def q_pq_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "important_parts_q11",
-    registered=False,
     oracle="""
     WITH pv AS (
       SELECT l.l_partkey AS partkey,
@@ -464,7 +461,6 @@ def q_important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "blamed_suppliers_q21",
-    registered=False,
     oracle="""
     WITH late AS (
       SELECT l.l_orderkey, l.l_suppkey
@@ -528,7 +524,6 @@ def q_blamed_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rolling_30d_spend",
-    registered=False,
     oracle="""
     SELECT o_custkey AS custkey,
            CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
@@ -570,7 +565,6 @@ def q_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ntile_percentiles",
-    registered=False,
     oracle="""
     SELECT c_custkey AS custkey,
            c_nationkey AS nationkey,
