@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from .catalog import cents, query
 from .functions.expressions import bounded_levenshtein
-from .operators.graph import min_label_propagation, symmetrize
+from .operators.graph import (
+    connected_components,
+    min_label_propagation,
+    symmetrize,
+)
 from .operators.pq import pq_search
 from .sources.parquet import read_table
 
@@ -285,6 +289,59 @@ def q_entity_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("custkey").alias("survivor_custkey"),
         "n_members",
         "total_bal_cents",
+    )
+
+
+@query(
+    "entity_components",
+    registered=False,  # new this round; rotates into a driver slot next round
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT l.c_custkey AS a, r.c_custkey AS b
+      FROM customer l JOIN customer r
+        ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+      WHERE levenshtein(l.c_name, r.c_name) <= 2),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs),
+    reach(v, lbl) AS (
+      SELECT DISTINCT src AS v, src AS lbl FROM edges
+      UNION
+      SELECT e.src AS v, r.lbl
+      FROM reach r JOIN edges e ON e.dst = r.v
+      WHERE r.lbl < e.src
+    )
+    SELECT v AS custkey, min(lbl) AS cluster_id FROM reach GROUP BY v
+    """,
+)
+def q_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY-CONVERGED entity components (vs entity_clusters' fixed 4
+    rounds): pointer-jumping connected components, O(log n) rounds.
+    The converged result is algorithm-independent — each vertex gets its
+    component's minimum custkey — so the oracle is a recursive-CTE
+    reachability min rather than an iteration replay (the driver's hash
+    agrees however many rounds each engine needed)."""
+    c = read_table(spark, sf_dir, "customer")
+    left = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("a"),
+        F.col("c_name").alias("name_a"),
+    )
+    right = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("b"),
+        F.col("c_name").alias("name_b"),
+    )
+    pairs = (
+        left.join(right, "nk")
+        .filter(F.col("a") < F.col("b"))
+        .filter(bounded_levenshtein("name_a", "name_b", 2) >= 0)
+        .select("a", "b")
+    )
+    labels = connected_components(symmetrize(pairs))
+    return labels.select(
+        F.col("v").alias("custkey"), F.col("lbl").alias("cluster_id")
     )
 
 

@@ -264,3 +264,37 @@ def test_approx_quantiles_rank_error(spark, sf_dir):
         # GK guarantees rank error; on this data the value gap at
         # +-1/accuracy rank around the median is tiny — 1% value slack
         assert abs(r.q[0] - exact[r.l_returnflag]) <= 0.01 * exact[r.l_returnflag]
+
+
+def test_connected_components_converges_past_fixed_iters(spark):
+    """A 21-vertex path has diameter 20: 4 neighbor-min rounds cannot
+    converge it, but pointer jumping reaches the fixpoint in ~log2(20)
+    doubled rounds.  Every vertex must label 1."""
+    from beacon_data_importer_spark.operators.graph import (
+        connected_components,
+        symmetrize,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 21)], "a bigint, b bigint"
+    )
+    got = {(r.v, r.lbl) for r in connected_components(symmetrize(pairs)).collect()}
+    assert got == {(v, 1) for v in range(1, 22)}
+
+
+def test_connected_components_multiple_components(spark):
+    from beacon_data_importer_spark.operators.graph import (
+        connected_components,
+        symmetrize,
+    )
+
+    # star {1..5}, triangle {20,21,22}, pair {30,31}
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (20, 21), (21, 22), (20, 22), (30, 31)],
+        "a bigint, b bigint",
+    )
+    got = {(r.v, r.lbl) for r in connected_components(symmetrize(pairs)).collect()}
+    expect = {(v, 1) for v in (1, 2, 3, 4, 5)}
+    expect |= {(v, 20) for v in (20, 21, 22)}
+    expect |= {(30, 30), (31, 30)}
+    assert got == expect
