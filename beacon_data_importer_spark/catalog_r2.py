@@ -293,6 +293,79 @@ def q_entity_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "entity_golden_records",
+    registered=False,  # new this round; rotates into a driver slot next round
+    oracle=f"""
+    WITH {_duck_cc_ctes()},
+    ostats AS (
+      SELECT o_custkey AS custkey, count(*) AS n_orders,
+             max(date_diff('day', DATE '1970-01-01', o_orderdate)) AS last_day
+      FROM orders GROUP BY o_custkey
+    ),
+    members AS (
+      SELECT l.lbl AS cluster_id, c.c_custkey AS custkey,
+             c.c_name AS name, c.c_mktsegment AS segment,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
+             coalesce(os.n_orders, 0) AS n_orders,
+             coalesce(os.last_day, -1) AS last_day
+      FROM l{_CC_ITERS} l
+      JOIN customer c ON c.c_custkey = l.v
+      LEFT JOIN ostats os ON os.custkey = c.c_custkey
+    )
+    SELECT cluster_id,
+      arg_max(name,    bal_cents * 10000000 + custkey) AS name,
+      arg_max(segment, n_orders  * 10000000 + custkey) AS segment,
+      arg_max(custkey, last_day  * 10000000 + custkey) AS last_active_custkey,
+      CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents,
+      count(*) AS n_members
+    FROM members GROUP BY cluster_id
+    """,
+)
+def q_entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level survivorship: each golden-record column merges under
+    its OWN policy — name from the highest-balance member, phone from
+    the member with the most orders, address from the most recent
+    orderer — via ``max_by`` with an integer priority that folds the
+    custkey in as a deterministic tiebreak (``max_by`` alone is
+    nondeterministic on ties; the fold keeps ONE agg shuffle for all
+    policies where per-field window ranks would shuffle once per
+    policy).  The 1e7 custkey fold assumes custkey < 1e7 — at larger
+    scales widen to a struct ordering or decimal."""
+    clusters = q_entity_clusters(spark, sf_dir)
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    ostats = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(F.datediff("o_orderdate", F.lit("1970-01-01"))).alias("last_day"),
+    )
+    members = (
+        clusters.join(c, clusters.custkey == c.c_custkey)
+        .join(ostats, "custkey", "left")
+        .select(
+            "cluster_id",
+            "custkey",
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            cents(F.col("c_acctbal")).alias("bal_cents"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("last_day", F.lit(-1)).alias("last_day"),
+        )
+    )
+    # cast BEFORE multiplying: datediff yields int32 and day*1e7
+    # overflows it (non-ANSI wraps silently -> garbage priorities)
+    prio = lambda col: (
+        F.col(col).cast("bigint") * F.lit(10000000) + F.col("custkey")
+    )  # noqa: E731
+    return members.groupBy("cluster_id").agg(
+        F.max_by("name", prio("bal_cents")).alias("name"),
+        F.max_by("segment", prio("n_orders")).alias("segment"),
+        F.max_by("custkey", prio("last_day")).alias("last_active_custkey"),
+        F.sum("bal_cents").alias("total_bal_cents"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+@query(
     "entity_components",
     registered=False,  # new this round; rotates into a driver slot next round
     oracle="""
