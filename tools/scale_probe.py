@@ -125,6 +125,21 @@ def main() -> None:
         }
         spark.catalog.clearCache()
 
+        # Convergent CC (pointer jumping): the round count should stay
+        # ~log(diameter) as the graph amplifies — the claim under test
+        # for the O(log n) path.  Same synthetic graph.
+        from beacon_data_importer_spark.operators.graph import (
+            connected_components,
+        )
+
+        dt = timed(connected_components(e))
+        results.setdefault("cc_converged_jump", {})[f"x{factor}"] = {
+            "rows": n_verts * 12,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n_verts * 12 / dt),
+        }
+        spark.catalog.clearCache()
+
         # PQ: encode + ADC scan over an amplified embedding corpus
         # (copy 0 keeps vec_ids 0..15 = the codebook source and the
         # query vector; offsets keep ids unique).  Map-only — should
