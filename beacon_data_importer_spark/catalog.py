@@ -571,14 +571,22 @@ def q_compose_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey AS custkey, c_name AS name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (missing from the reference — SURVEY §2.4 notes Spark
-    covers it natively): customers with no orders."""
+    covers it natively): customers with no URGENT-priority order.  (The
+    unfiltered "no orders at all" form is vacuous on this testdata —
+    every synthetic customer has orders — and a 0-row result would
+    prove nothing; the priority filter keeps the result non-empty at
+    every SF.)"""
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
     )
