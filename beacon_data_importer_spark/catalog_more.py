@@ -1309,7 +1309,7 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT tok, count(*) AS cnt
     FROM (
-      SELECT unnest(regexp_extract_all(text, '[A-Za-z]{8,}')) AS tok
+      SELECT unnest(regexp_extract_all(text, '[A-Za-z]{6,}')) AS tok
       FROM documents
     )
     GROUP BY tok
@@ -1323,7 +1323,7 @@ def q_regex_extract_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials — shuffle carries distinct tokens, not matches."""
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(
-        F.explode(F.regexp_extract_all("text", F.lit("[A-Za-z]{8,}"), 0)).alias(
+        F.explode(F.regexp_extract_all("text", F.lit("[A-Za-z]{6,}"), 0)).alias(
             "tok"
         )
     )
