@@ -60,6 +60,9 @@ HEADLINE += [
     "top_supplier_q15",
     "entity_clusters",
     "pq_search_rerank",
+    # added late round 2
+    "entity_components",
+    "entity_golden_records",
 ]
 
 
