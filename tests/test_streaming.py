@@ -246,3 +246,49 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert dropped == 1
     assert got.get(ts(10)) == 2
     assert ts(8) not in got
+
+
+def test_rate_source_soak_windowed_agg(spark):
+    """Soak against the rate source: a watermarked tumbling-window agg
+    runs live micro-batches for a few seconds and must (a) make batch
+    progress, (b) process rows at the configured rate, (c) keep state
+    bounded (watermark evicts closed windows rather than accumulating
+    them forever).  This exercises the continuous trigger path that the
+    AvailableNow parity tests never touch."""
+    import time as _t
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .withWatermark("timestamp", "2 seconds")
+        .groupBy(F.window("timestamp", "1 second").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_soak")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 20
+        batches = 0
+        while _t.time() < deadline:
+            p = q.lastProgress
+            if p and p["numInputRows"] > 0:
+                batches += 1
+            if batches >= 3:
+                break
+            _t.sleep(1)
+        assert batches >= 3, "stream made no sustained progress"
+        p = q.lastProgress
+        ops = p["stateOperators"][0]
+        # bounded state: far fewer live window-rows than total input;
+        # eviction must be happening (2s watermark over 1s windows keeps
+        # only a handful of open windows at a time)
+        assert ops["numRowsTotal"] <= 30, ops["numRowsTotal"]
+        total = spark.sql("SELECT sum(n) FROM rate_soak").first()[0]
+        assert total and total > 500, total
+    finally:
+        q.stop()
