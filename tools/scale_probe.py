@@ -127,12 +127,17 @@ def main() -> None:
 
         # Convergent CC (pointer jumping): the round count should stay
         # ~log(diameter) as the graph amplifies — the claim under test
-        # for the O(log n) path.  Same synthetic graph.
+        # for the O(log n) path.  Same synthetic graph.  The operator
+        # iterates EAGERLY (per-round parquet materialization), so time
+        # the whole call, not just the returned frame's write.
         from beacon_data_importer_spark.operators.graph import (
             connected_components,
         )
 
-        dt = timed(connected_components(e))
+        t0 = time.time()
+        cc_out = connected_components(e)
+        cc_out.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
         results.setdefault("cc_converged_jump", {})[f"x{factor}"] = {
             "rows": n_verts * 12,
             "sec": round(dt, 2),
