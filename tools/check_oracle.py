@@ -167,8 +167,15 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"PASS {name} ({dt:.1f}s): rows={len(spdf)}")
+            if len(spdf) == 0:
+                # a 0-row match is a vacuous proof: both engines agreeing
+                # on the empty set says nothing about the operator (this
+                # caught important_parts_q11's GERMANY-vs-NATION_x filter
+                # and the every-customer-has-orders anti join)
+                warnings.append((name, "0-row result — vacuous check"))
     for name, drift in warnings:
-        print(f"WARN {name}: dtype drift {drift}")
+        print(f"WARN {name}: {drift}" if isinstance(drift, str)
+              else f"WARN {name}: dtype drift {drift}")
     print(
         f"\n{len(qs) - len(failures)}/{len(qs)} pass"
         + (f"; FAILURES: {failures}" if failures else "")
