@@ -736,3 +736,119 @@ def q_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.percent_rank().over(w) * 1e6).alias("pct_rank_e6"),
         F.floor(F.cume_dist().over(w) * 1e6).alias("cume_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-assembly tier (operators/sampling.py): deterministic splits,
+# per-source quota capping, token-budget sequence packing.
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of functions.expressions.portable_hash64(seed)
+def _duck_hash64(expr: str, seed: int = 0) -> str:
+    return (
+        f"CAST('0x' || substring(md5('{seed}|' || {expr}), 1, 15) AS BIGINT)"
+    )
+
+
+@query(
+    "dataset_split",
+    registered=False,  # new this round; rotates into a driver slot next round
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+        CASE WHEN {_duck_hash64("CAST(doc_id AS VARCHAR)")} % 100 < 90
+               THEN 'train'
+             WHEN {_duck_hash64("CAST(doc_id AS VARCHAR)")} % 100 < 95
+               THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned GROUP BY split
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by id hash (no RNG
+    state: any engine, run, or partitioning recomputes the identical
+    assignment, and adding documents never reshuffles existing ones).
+    Aggregated per split so the oracle checks both the assignment rule
+    and the membership exactly."""
+    from .operators.sampling import split_assign
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            split_assign("doc_id", 90, 5).alias("split"), F.col("n_chars")
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "source_quota_sample",
+    registered=False,  # new this round; rotates into a driver slot next round
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+        row_number() OVER (
+          PARTITION BY source
+          ORDER BY {_duck_hash64("CAST(doc_id AS VARCHAR)", seed=1)}, doc_id
+        ) AS rk
+      FROM documents
+    ) t WHERE rk <= 15
+    """,
+)
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap: at most 15 documents per source, chosen by
+    a stable id hash (a deterministic uniform subsample — the mixing
+    control that stops one source dominating the training corpus).
+    One shuffle on source; rank + filter fuse into the window stage."""
+    from .functions.expressions import portable_hash64
+    from .operators.sampling import quota_cap
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        portable_hash64(F.col("doc_id").cast("string"), seed=1).alias("__h"),
+    )
+    return quota_cap(d, "source", "__h", 15).select("doc_id", "source")
+
+
+@query(
+    "sequence_packing",
+    registered=False,  # new this round; rotates into a driver slot next round
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+        {_duck_hash64("CAST(doc_id AS VARCHAR)", seed=7)} % 8 AS shard,
+        CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT id, shard, n_tokens,
+      CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens) / 512.0) AS BIGINT) AS pack_id
+    FROM toks
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents fill 512-token packs
+    greedily in id order within 8 hash shards (pack_id = floor of the
+    doc's START offset in the shard's token stream / budget).  Shards
+    bound the running sum's sequential dependency so packing
+    parallelizes — the global-order variant would serialize the corpus
+    through one window partition."""
+    from .operators.sampling import pack_sequences
+    from .operators.text import token_count_ws
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").alias("n_tokens_src")
+    )
+    return pack_sequences(d, "doc_id", "n_tokens_src", budget=512)
