@@ -98,3 +98,48 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     n_click = back.count()
     assert n_click == e.filter(F.col("event_type") == "click").count()
     assert n_click > 0
+
+
+def test_quota_cap_single_exchange(spark, sf_dir):
+    """The quota-cap window and its filter must share ONE shuffle on the
+    group key — a second exchange would double the operator's cost."""
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.functions.expressions import portable_hash64
+    from beacon_data_importer_spark.operators.sampling import quota_cap
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        portable_hash64(F.col("doc_id").cast("string"), seed=1).alias("__h"),
+    )
+    plan = quota_cap(d, "source", "__h", 15)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Sequence packing = one shuffle on the shard key; the running sum
+    and the floor-div pack id live in the same window stage."""
+    from beacon_data_importer_spark.operators.sampling import pack_sequences
+    from beacon_data_importer_spark.operators.text import token_count_ws
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").alias("n_tokens")
+    )
+    plan = pack_sequences(d, "doc_id", "n_tokens", 512)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_split_assign_is_map_only(spark, sf_dir):
+    """The split assignment is a pure projection — zero exchanges; at
+    100 TB it runs at scan speed."""
+    from beacon_data_importer_spark.operators.sampling import split_assign
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", split_assign("doc_id").alias("split")
+    )
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
