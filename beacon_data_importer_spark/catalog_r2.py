@@ -852,3 +852,67 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count_ws("text").alias("n_tokens_src")
     )
     return pack_sequences(d, "doc_id", "n_tokens_src", budget=512)
+
+
+@query(
+    "nation_volume_q7",
+    registered=False,  # new this round; rotates into a driver slot next round
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100))
+                AS BIGINT) AS volume_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_nationkey < 13 AND n2.n_nationkey >= 13
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def q_nation_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral shipping volume): lineitem joins BOTH
+    dimension chains — supplier→nation on one side, orders→customer→
+    nation on the other — grouped by (supplier nation, customer nation,
+    ship year).  Plan at scale: both nation-filtered dims broadcast;
+    the orders join is the one big shuffle (orderkey); the final agg
+    shuffles only (nation, nation, year) groups — tiny.  The spec's
+    two-nation literal pair is widened to a nation-subset cross pattern
+    (the synthetic testdata's per-nation supplier counts hit zero at
+    sf0.001 for single nations)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    n1 = n.filter(F.col("n_nationkey") < 13).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_nationkey") >= 13).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = F.broadcast(
+        s.join(n1, s.s_nationkey == F.col("n1_key")).select(
+            "s_suppkey", "supp_nation"
+        )
+    )
+    cust = c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    return (
+        l.join(supp, l.l_suppkey == supp.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("volume_cents")
+        )
+    )
