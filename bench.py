@@ -63,6 +63,10 @@ HEADLINE += [
     # added late round 2
     "entity_components",
     "entity_golden_records",
+    "dataset_split",
+    "source_quota_sample",
+    "sequence_packing",
+    "nation_volume_q7",
 ]
 
 
