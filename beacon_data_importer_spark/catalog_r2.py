@@ -916,3 +916,46 @@ def q_nation_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("volume_cents")
         )
     )
+
+
+@query(
+    "mixture_weighted_sample",
+    registered=False,  # new this round; rotates into a driver slot next round
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+        2000 + {_duck_hash64("source", seed=3)} % 6000 AS rate_bp
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source, rate_bp FROM rated
+      WHERE {_duck_hash64("CAST(doc_id AS VARCHAR)", seed=4)} % 10000 < rate_bp
+    )
+    SELECT source, CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+           count(*) AS n_kept
+    FROM kept GROUP BY source
+    """,
+)
+def q_mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted sampling: every source keeps a deterministic
+    per-source fraction of its documents (rate derived here from a
+    source hash, standing in for a configured weights table — at scale
+    the weights broadcast-join in).  Hash-threshold keep decisions mean
+    the same rows survive every rerun; aggregated per source so the
+    oracle checks rates AND memberships.  Map-only until the final
+    count."""
+    from .functions.expressions import portable_hash64
+    from .operators.sampling import mixture_sample
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (
+            F.lit(2000) + portable_hash64("source", seed=3) % 6000
+        ).alias("rate_bp"),
+    )
+    kept = mixture_sample(d, "doc_id", "rate_bp")
+    return kept.groupBy("source").agg(
+        F.max("rate_bp").cast("bigint").alias("rate_bp"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )

@@ -115,3 +115,23 @@ def pack_sequences(
     return base.select(
         "id", "shard", "n_tokens", pack.cast("bigint").alias("pack_id")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    rate_bp_col: Column | str,
+    seed: int = 4,
+) -> DataFrame:
+    """Keep each row with its group's target rate (in basis points,
+    0-10000), decided by a stable id hash: ``hash(id) % 10000 <
+    rate_bp``.  The deterministic form of mixture weighting — each
+    source contributes its configured fraction of the training mix, the
+    SAME rows survive every rerun, and no RNG state exists to ship.
+    Map-only (zero shuffle) once the rate column is present; with a
+    per-source rate table, broadcast-join it on first."""
+    rate = F.col(rate_bp_col) if isinstance(rate_bp_col, str) else rate_bp_col
+    keep = (
+        portable_hash64(F.col(id_col).cast("string"), seed=seed) % 10000
+    ) < rate
+    return df.filter(keep)

@@ -88,3 +88,27 @@ def test_pack_sequences_oversized_doc_gets_own_packs(spark):
     out = pack_sequences(df, "doc_id", "n_tokens", 512, shard_col=F.lit(0))
     got = {r.id: r.pack_id for r in out.collect()}
     assert got == {0: 0, 1: 0, 2: 2}
+
+
+def test_mixture_sample_rate_and_determinism(spark):
+    from beacon_data_importer_spark.operators.sampling import mixture_sample
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit(2500).alias("rate_bp")
+    )
+    kept1 = {r.doc_id for r in mixture_sample(df, "doc_id", "rate_bp").collect()}
+    kept2 = {
+        r.doc_id
+        for r in mixture_sample(df.repartition(11), "doc_id", "rate_bp").collect()
+    }
+    assert kept1 == kept2
+    # ~25% with hash noise
+    assert 2200 <= len(kept1) <= 2800, len(kept1)
+    # rate 0 keeps nothing; rate 10000 keeps everything
+    none = mixture_sample(
+        df.withColumn("rate_bp", F.lit(0)), "doc_id", "rate_bp"
+    ).count()
+    everything = mixture_sample(
+        df.withColumn("rate_bp", F.lit(10000)), "doc_id", "rate_bp"
+    ).count()
+    assert none == 0 and everything == 10_000
