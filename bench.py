@@ -67,6 +67,7 @@ HEADLINE += [
     "source_quota_sample",
     "sequence_packing",
     "nation_volume_q7",
+    "mixture_weighted_sample",
 ]
 
 
