@@ -315,6 +315,7 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "first_wins_dedup",
+    registered=False,  # driver-proven green in CORRECTNESS_r01+r02; slot rotated to a round-3 query (see catalog.py docstring)
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
            CAST(o_orderdate AS DATE) AS first_orderdate
@@ -459,6 +460,7 @@ def q_surrogate_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "update_from_coalesce",
+    registered=False,  # driver-proven green in CORRECTNESS_r01+r02; slot rotated to a round-3 query (see catalog.py docstring)
     oracle="""
     WITH staged AS (
       SELECT o_custkey,

@@ -223,6 +223,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_topk",
+    registered=False,  # driver-proven green in CORRECTNESS_r01+r02; slot rotated to a round-3 query (see catalog.py docstring)
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -310,6 +311,7 @@ _DUCK_PUNCTRATIO = """
 
 @query(
     "text_quality",
+    registered=False,  # driver-proven green in CORRECTNESS_r01+r02; slot rotated to a round-3 query (see catalog.py docstring)
     oracle=f"""
     SELECT doc_id,
       CAST({_DUCK_NTOK} AS INT) AS n_tok_ws,

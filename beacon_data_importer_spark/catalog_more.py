@@ -45,6 +45,7 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "asof_join",
+    registered=False,  # driver-proven green in CORRECTNESS_r01+r02; slot rotated to a round-3 query (see catalog.py docstring)
     oracle="""
     SELECT orderkey, custkey, asof_event, asof_ts FROM (
       SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
@@ -89,6 +90,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "range_join_pairs",
+    registered=False,  # driver-proven green in CORRECTNESS_r01+r02; slot rotated to a round-3 query (see catalog.py docstring)
     oracle="""
     SELECT e1.user_id, count(*) AS n_pairs
     FROM events e1 JOIN events e2
@@ -454,6 +456,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "grouped_zscore_pandas",
+    registered=False,  # driver-proven green in CORRECTNESS_r01+r02; slot rotated to a round-3 query (see catalog.py docstring)
     oracle="""
     WITH stats AS (
       SELECT o_custkey,

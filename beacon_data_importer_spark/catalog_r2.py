@@ -294,7 +294,7 @@ def q_entity_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "entity_golden_records",
-    registered=False,  # new this round; rotates into a driver slot next round
+    # registered (round-3 slot): promoted per rotation policy — no driver row in r01/r02
     oracle=f"""
     WITH {_duck_cc_ctes()},
     ostats AS (
@@ -367,7 +367,7 @@ def q_entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "entity_components",
-    registered=False,  # new this round; rotates into a driver slot next round
+    # registered (round-3 slot): promoted per rotation policy — no driver row in r01/r02
     oracle="""
     WITH RECURSIVE pairs AS (
       SELECT l.c_custkey AS a, r.c_custkey AS b
@@ -752,7 +752,7 @@ def _duck_hash64(expr: str, seed: int = 0) -> str:
 
 @query(
     "dataset_split",
-    registered=False,  # new this round; rotates into a driver slot next round
+    # registered (round-3 slot): promoted per rotation policy — no driver row in r01/r02
     oracle=f"""
     WITH assigned AS (
       SELECT doc_id, n_chars,
@@ -791,7 +791,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "source_quota_sample",
-    registered=False,  # new this round; rotates into a driver slot next round
+    # registered (round-3 slot): promoted per rotation policy — no driver row in r01/r02
     oracle=f"""
     SELECT doc_id, source FROM (
       SELECT doc_id, source,
@@ -821,7 +821,7 @@ def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sequence_packing",
-    registered=False,  # new this round; rotates into a driver slot next round
+    # registered (round-3 slot): promoted per rotation policy — no driver row in r01/r02
     oracle=f"""
     WITH toks AS (
       SELECT doc_id AS id,
@@ -856,7 +856,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "nation_volume_q7",
-    registered=False,  # new this round; rotates into a driver slot next round
+    # registered (round-3 slot): promoted per rotation policy — no driver row in r01/r02
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS ship_year,
@@ -920,7 +920,7 @@ def q_nation_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mixture_weighted_sample",
-    registered=False,  # new this round; rotates into a driver slot next round
+    # registered (round-3 slot): promoted per rotation policy — no driver row in r01/r02
     oracle=f"""
     WITH rated AS (
       SELECT doc_id, source,
