@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import cents, query
-from .functions.expressions import bounded_levenshtein
 from .operators.graph import (
     connected_components,
     min_label_propagation,
@@ -211,28 +210,12 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id (the minimum custkey reachable within 4 hops; at full
     convergence, of its component).  See operators/graph.py for the
     iteration's shuffle shape and the large-star/small-star path at
-    100 TB scale."""
-    c = read_table(spark, sf_dir, "customer")
-    left = c.select(
-        F.col("c_nationkey").alias("nk"),
-        F.col("c_custkey").alias("a"),
-        F.col("c_name").alias("name_a"),
-    )
-    right = c.select(
-        F.col("c_nationkey").alias("nk"),
-        F.col("c_custkey").alias("b"),
-        F.col("c_name").alias("name_b"),
-    )
-    # Threshold levenshtein: banded DP that early-exits past 2 edits
-    # (returns -1), ~2× cheaper than the full O(len²) matrix on the 4.5M
-    # candidate pairs at sf0.1, with the prefix-trim fast path on top
-    # (bounded_levenshtein) — identical pair set, oracle unchanged.
-    pairs = (
-        left.join(right, "nk")
-        .filter(F.col("a") < F.col("b"))
-        .filter(bounded_levenshtein("name_a", "name_b", 2) >= 0)
-        .select("a", "b")
-    )
+    100 TB scale.  The pair stream comes from the shared ER stage
+    (plans/er.py): materialized once per session, so the marginal cost
+    here is the propagation rounds, not the levenshtein join."""
+    from .plans.er import customer_fuzzy_pairs
+
+    pairs = customer_fuzzy_pairs(spark, sf_dir).select("a", "b")
     labels = min_label_propagation(symmetrize(pairs), iters=_CC_ITERS)
     return labels.select(
         F.col("v").alias("custkey"), F.col("lbl").alias("cluster_id")
@@ -394,27 +377,51 @@ def q_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The converged result is algorithm-independent — each vertex gets its
     component's minimum custkey — so the oracle is a recursive-CTE
     reachability min rather than an iteration replay (the driver's hash
-    agrees however many rounds each engine needed)."""
-    c = read_table(spark, sf_dir, "customer")
-    left = c.select(
-        F.col("c_nationkey").alias("nk"),
-        F.col("c_custkey").alias("a"),
-        F.col("c_name").alias("name_a"),
-    )
-    right = c.select(
-        F.col("c_nationkey").alias("nk"),
-        F.col("c_custkey").alias("b"),
-        F.col("c_name").alias("name_b"),
-    )
-    pairs = (
-        left.join(right, "nk")
-        .filter(F.col("a") < F.col("b"))
-        .filter(bounded_levenshtein("name_a", "name_b", 2) >= 0)
-        .select("a", "b")
-    )
+    agrees however many rounds each engine needed).  Consumes the
+    shared staged pair stream (plans/er.py)."""
+    from .plans.er import customer_fuzzy_pairs
+
+    pairs = customer_fuzzy_pairs(spark, sf_dir).select("a", "b")
     labels = connected_components(symmetrize(pairs))
     return labels.select(
         F.col("v").alias("custkey"), F.col("lbl").alias("cluster_id")
+    )
+
+
+@query(
+    "fuzzy_pairs_blocked",
+    oracle="""
+    SELECT l.c_custkey AS custkey_a, r.c_custkey AS custkey_b,
+           CAST(levenshtein(l.c_name, r.c_name) AS INT) AS edit_dist
+    FROM customer l JOIN customer r
+      ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+    WHERE levenshtein(l.c_name, r.c_name) <= 2
+    """,
+)
+def q_fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEGMENT-blocked fuzzy-pair path, forced (strategy="segment")
+    so the driver gate proves the pigeonhole generator end-to-end:
+    names cut into k+1 segments after dataset-common-prefix stripping,
+    probes at ±k length/position shifts, equi-join on segment keys,
+    banded-levenshtein verify (operators/blocking.py — PassJoin
+    partition scheme, PVLDB'11).  Blocking is EXACT, so this oracle is
+    the plain exhaustive join — identical output to fuzzy_name_pairs by
+    theorem, reached through a candidate stream that stays ~linear in
+    rows when segment values carry entropy (tools/scale_probe.py shows
+    the growth curves; on this digit-name testdata the cost-based auto
+    mode instead picks the coarse path, which is why the shared ER
+    stage and this forced variant are separate queries)."""
+    from .operators.blocking import candidate_pairs
+
+    c = read_table(spark, sf_dir, "customer")
+    pairs = candidate_pairs(
+        c, "c_custkey", "c_name", k=2, coarse_key="c_nationkey",
+        strategy="segment",
+    )
+    return pairs.select(
+        F.col("a").alias("custkey_a"),
+        F.col("b").alias("custkey_b"),
+        "edit_dist",
     )
 
 
@@ -816,7 +823,9 @@ def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         portable_hash64(F.col("doc_id").cast("string"), seed=1).alias("__h"),
     )
-    return quota_cap(d, "source", "__h", 15).select("doc_id", "source")
+    return quota_cap(d, "source", "__h", 15, tiebreak_col="doc_id").select(
+        "doc_id", "source"
+    )
 
 
 @query(

@@ -107,8 +107,8 @@ def connected_components(
     cluster-scale iterative jobs — restartable, and the per-round
     shuffle barrier is a write the scheduler can re-plan after.
     """
-    import shutil
     import tempfile
+    import uuid
 
     spark = edges.sparkSession
     edges = edges.localCheckpoint()
@@ -116,8 +116,22 @@ def connected_components(
     loops = verts.select(F.col("v").alias("src"), F.col("v").alias("dst"))
     edges_l = edges.unionByName(loops).persist()
 
+    # Round slots must be readable by every executor.  Default order:
+    # (1) caller-provided work_dir (pass shared storage on a cluster);
+    # (2) the session's checkpoint dir, which a cluster deployment
+    #     already points at shared storage; (3) a driver-local tempdir —
+    #     correct ONLY on single-node/local-mode Spark, where executors
+    #     share the driver's filesystem.
     own_dir = work_dir is None
-    tmp = work_dir or tempfile.mkdtemp(prefix="cc_rounds_")
+    if work_dir is not None:
+        tmp = work_dir
+    else:
+        ckpt = spark.sparkContext.getCheckpointDir()
+        tmp = (
+            f"{ckpt.rstrip('/')}/cc_rounds_{uuid.uuid4().hex}"
+            if ckpt
+            else tempfile.mkdtemp(prefix="cc_rounds_")
+        )
     try:
         verts.withColumn("lbl", F.col("v")).write.mode("overwrite").parquet(
             f"{tmp}/r0"
@@ -152,11 +166,23 @@ def connected_components(
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
-        edges_l.unpersist()
         # hand the final labels back as a frame with no dependence on
         # the temp dir (it is deleted below when we created it)
         result = labels.localCheckpoint() if own_dir else labels
         return result
     finally:
+        # in finally so a mid-round failure cannot leak the cached
+        # union frame for the session's lifetime
+        edges_l.unpersist()
         if own_dir:
-            shutil.rmtree(tmp, ignore_errors=True)
+            # Hadoop FS delete handles local tempdirs and shared-storage
+            # checkpoint paths (hdfs://, s3a://, ...) uniformly
+            try:
+                jvm = spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(tmp)
+                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                fs.delete(jpath, True)
+            except Exception:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)

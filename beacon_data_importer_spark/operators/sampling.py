@@ -51,22 +51,30 @@ def quota_cap(
     group_col: str,
     order_col: str,
     max_per_group: int,
-    tiebreak_col: str = "doc_id",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Keep at most ``max_per_group`` rows per group, deterministically
     (ranked by ``order_col`` — a stable hash column makes this a uniform
-    subsample; a quality score makes it best-of-source; ``tiebreak_col``
-    pins a total order).
+    subsample; a quality score makes it best-of-source).
+
+    Determinism requires a total order within each group: pass
+    ``tiebreak_col`` whenever ``order_col`` can tie (no column-name
+    default — a generic operator must not assume the caller's schema).
+    The rank's working column is chosen to dodge any existing column.
 
     One shuffle on the group key; the window rank and the filter fuse
     into the same stage.  The classic mixing-control step: no single
     domain/source may dominate the training mix.
     """
-    w = Window.partitionBy(group_col).orderBy(order_col, tiebreak_col)
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    rk = "__rk"
+    while rk in df.columns:
+        rk += "_"
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
     return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= max_per_group)
-        .drop("__rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .filter(F.col(rk) <= max_per_group)
+        .drop(rk)
     )
 
 

@@ -70,6 +70,11 @@ HEADLINE += [
     "mixture_weighted_sample",
 ]
 
+# Round-2's full headline set (r1 set + the round-2 additions), frozen so
+# round-3+ benches report per-query deltas against BENCH_r02 — any query
+# >1.3x slower than its r2 warm time is a regression to chase.
+R2_SET = list(HEADLINE)
+
 
 def _stage_stats(base: str, app_id: str) -> dict[int, dict]:
     """Completed-stage metrics from the Spark UI REST API, by stageId."""
@@ -237,6 +242,9 @@ def main() -> None:
                 "warm_total": round(sum(warm.values()), 3),
                 "warm_total_r1_set": round(
                     sum(warm[n] for n in R1_SET if n in warm), 3
+                ),
+                "warm_total_r2_set": round(
+                    sum(warm[n] for n in R2_SET if n in warm), 3
                 ),
                 "quality": {
                     "ivf_recall_at_10": ivf_recall,

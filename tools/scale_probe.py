@@ -38,6 +38,85 @@ def timed(df) -> float:
     return time.time() - t0
 
 
+def _synth_names(spark, n: int):
+    """n rows of entropy-bearing 10-letter names with planted near-dupes:
+    ids 2i and 2i+1 share a base name, the odd one mutated at one
+    md5-chosen position — so the TRUE pair count grows linearly (n/2)
+    while names are letter-random (unlike the testdata's Customer#%09d
+    digits).  Both pair members share the 25-value coarse key, so the
+    coarse and segment strategies answer the identical query."""
+    gid = F.floor(F.col("id") / 2).cast("bigint")
+    h = F.md5(F.concat(F.lit("name|"), gid.cast("string")))
+    name = F.concat(
+        *[
+            F.char(
+                F.conv(F.substring(h, 2 * j + 1, 2), 16, 10).cast("int") % 26
+                + 97
+            )
+            for j in range(10)
+        ]
+    )
+    p = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    mutated = F.concat(
+        name.substr(F.lit(1), p), F.lit("z"), name.substr(p + 2, F.lit(2147483647))
+    )
+    ck = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ck|"), gid.cast("string"))), 1, 4), 16, 10)
+        .cast("int")
+        % 25
+    )
+    return spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 1, mutated).otherwise(name).alias("name"),
+        ck.alias("ck"),
+    )
+
+
+def blocking_probe() -> None:
+    """Growth curves for the ER candidate-pair strategies on
+    entropy-bearing names (the demonstration the round-2 audit asked
+    for): the coarse 25-value block's verify stream grows ~quadratically
+    (×16 per ×4 rows), segment blocking's ~linearly (×4 per ×4), and
+    the cost-based auto mode picks segments.  Prints one JSON line."""
+    from beacon_data_importer_spark.operators.blocking import (
+        blocking_cost_estimates,
+        candidate_pairs,
+    )
+
+    spark = get_spark(app_name="blocking-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {}
+    for n in (10_000, 40_000, 160_000):
+        names = _synth_names(spark, n).persist()
+        names.count()
+        coarse_est, seg_est = blocking_cost_estimates(
+            names, "name", k=2, coarse_key="ck"
+        )
+        row: dict = {
+            "coarse_candidates": coarse_est,
+            "segment_candidates": seg_est,
+            "auto_picks": "segment" if seg_est * 4 < coarse_est else "coarse",
+        }
+        t0 = time.time()
+        row["segment_pairs"] = candidate_pairs(
+            names, "id", "name", k=2, coarse_key="ck", strategy="segment"
+        ).count()
+        row["segment_sec"] = round(time.time() - t0, 2)
+        if n <= 40_000:  # the quadratic side stops being runnable fast
+            t0 = time.time()
+            row["coarse_pairs"] = candidate_pairs(
+                names, "id", "name", k=2, coarse_key="ck", strategy="coarse"
+            ).count()
+            row["coarse_sec"] = round(time.time() - t0, 2)
+        names.unpersist()
+        out[f"n{n}"] = row
+    print(json.dumps({"metric": "blocking_probe", "rows": out}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="scale-probe")
@@ -169,4 +248,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "blocking":
+        blocking_probe()
+    else:
+        main()
