@@ -15,9 +15,10 @@ dependent) for oracle-checked output.
 Scale note: a global ``row_number() OVER (ORDER BY …)`` is a single-
 partition sort at the limit — acceptable for the reference's workload
 (id assignment over a per-import staging batch, not the 100 TB fact
-table).  For bulk id assignment at scale use
-``zipWithIndex``-style per-partition offsets (sum of counts of preceding
-partitions), which this module exposes as ``assign_surrogate_ids_scalable``.
+table).  For bulk id assignment at scale use per-partition offsets (sum
+of counts of preceding partitions, decoded JVM-side from
+``monotonically_increasing_id``), which this module exposes as
+``assign_surrogate_ids_scalable``.
 """
 
 from __future__ import annotations
@@ -42,13 +43,46 @@ def assign_surrogate_ids(
 def assign_surrogate_ids_scalable(
     df: DataFrame, id_col: str = "id", start_after: int = 0
 ) -> DataFrame:
-    """Cluster-scale id assignment: per-partition offsets (no global sort,
-    no single-partition window).  Ids are unique and dense but their
-    order is partition-layout dependent — use only where id *values*
-    need not be reproducible across runs."""
-    rdd = df.rdd.zipWithIndex()
-    schema = df.schema
-    out = rdd.map(lambda pair: (*pair[0], pair[1] + 1 + start_after))
-    return df.sparkSession.createDataFrame(
-        out, schema.add(id_col, "long", nullable=False)
+    """Cluster-scale id assignment: per-partition offsets (no global
+    sort, no single-partition window, no ``.rdd`` round-trip — rows stay
+    in Tungsten/codegen end to end).
+
+    ``monotonically_increasing_id()`` encodes ``(partition index << 33)
+    | within-partition counter``; decoding both halves gives each row
+    its partition and a dense local index for free.  One tiny count job
+    (P rows, P = partition count — the same extra pass
+    ``rdd.zipWithIndex`` hid internally) turns partition counts into
+    cumulative offsets, broadcast back as a P-row join.
+
+    Ids are unique and dense but their order is partition-layout
+    dependent — use only where id *values* need not be reproducible
+    across runs (the dense-reproducible path is
+    ``assign_surrogate_ids``).  Both jobs must observe the same
+    partition layout: the input is pinned with ``localCheckpoint`` so
+    AQE cannot re-plan the source between the count pass and the id
+    pass (the zipWithIndex form relied on the same two-pass stability)."""
+    pinned = df.localCheckpoint()
+    low_mask = (1 << 33) - 1
+    tagged = pinned.withColumn("__mid", F.monotonically_increasing_id())
+    pid = F.shiftright(F.col("__mid"), 33).cast("bigint")
+    local = F.col("__mid").bitwiseAND(F.lit(low_mask))
+
+    counts = (
+        tagged.groupBy(pid.alias("__pid")).count().orderBy("__pid").collect()
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((int(r["__pid"]), acc))
+        acc += int(r["count"])
+    omap = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid bigint, __off bigint"
+    )
+    return (
+        tagged.withColumn("__pid", pid)
+        .join(F.broadcast(omap), "__pid")
+        .withColumn(
+            id_col,
+            (F.col("__off") + local + 1 + F.lit(start_after)).cast("long"),
+        )
+        .drop("__pid", "__off", "__mid")
     )

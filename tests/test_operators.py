@@ -133,6 +133,40 @@ def test_surrogate_ids_dense_and_deterministic(spark):
     assert out == {"a": 101, "b": 102, "c": 103}
 
 
+def test_surrogate_ids_scalable_unique_dense_jvm_side(spark):
+    import inspect
+
+    from beacon_data_importer_spark.operators.surrogate import (
+        assign_surrogate_ids_scalable,
+    )
+
+    df = spark.range(0, 10_000).repartition(16).select(F.col("id").alias("k"))
+    out = assign_surrogate_ids_scalable(df, start_after=50)
+    ids = [r.id for r in out.select("id").collect()]
+    # unique AND dense: exactly start_after+1 .. start_after+n
+    assert sorted(ids) == list(range(51, 10_051))
+    # keys survive untouched
+    assert sorted(r.k for r in out.collect()) == list(range(10_000))
+    # the point of the rewrite: no .rdd round-trip (rows stay JVM-side)
+    import ast
+    import textwrap
+
+    tree = ast.parse(
+        textwrap.dedent(inspect.getsource(assign_surrogate_ids_scalable))
+    ).body[0]
+    code_only = "\n".join(ast.unparse(stmt) for stmt in tree.body[1:])
+    assert ".rdd" not in code_only
+
+
+def test_surrogate_ids_scalable_empty_frame(spark):
+    from beacon_data_importer_spark.operators.surrogate import (
+        assign_surrogate_ids_scalable,
+    )
+
+    df = spark.range(0, 0).select(F.col("id").alias("k"))
+    assert assign_surrogate_ids_scalable(df).count() == 0
+
+
 def test_update_from_coalesce_keeps_old_on_null(spark):
     target = spark.createDataFrame([Row(k=1, v="old1"), Row(k=2, v="old2")])
     staging = spark.createDataFrame(
