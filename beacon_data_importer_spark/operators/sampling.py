@@ -7,7 +7,9 @@ ship, any engine recomputes the same split), cap any one source's share
 of the mix, and pack variable-length documents into fixed-token-budget
 sequences.  Everything is a pure Column/window computation — one shuffle
 per operator, no Python — and deterministic, so the DuckDB oracles
-replay them exactly.
+replay them exactly.  The one exception is ``pack_bins_bestfit``, whose
+open-bin placement loop is inherently sequential per shard and runs as
+a per-shard Arrow ``applyInPandas`` (invariant-tested, no SQL twin).
 
 The reference has no analogue (its pipeline ends at a Postgres COPY —
 README.md:73-78); these extend the repo's training-data tier
@@ -123,6 +125,230 @@ def pack_sequences(
     return base.select(
         "id", "shard", "n_tokens", pack.cast("bigint").alias("pack_id")
     )
+
+
+def pack_bins_serpentine(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: Column | str | None = None,
+) -> DataFrame:
+    """Capacity-aware balanced binning: per shard, open exactly
+    ``ceil(shard_tokens / budget)`` packs and deal documents to them in
+    serpentine order of decreasing length (rank 1..n by tokens desc;
+    row at 0-based position p lands in pack ``p % n_bins`` on even
+    passes and ``n_bins-1 - p % n_bins`` on odd passes).  The snake
+    pairs each pack's large docs with small ones, so pack loads
+    concentrate tightly around ``budget`` — the balanced-multiway-
+    partition heuristic (LPT round-robin with direction flips) in a
+    single window pass.
+
+    Unlike ``pack_sequences`` (contiguous stream chunking, docs may span
+    pack boundaries) this never splits a document; packs may land
+    slightly over or under ``budget`` and the loader truncates or pads —
+    ``pack_utilization`` is the QA step that quantifies exactly how
+    much.  Every expression is integer-exact window arithmetic over one
+    shard exchange (two window functions share the partitioning), so a
+    SQL oracle replays it bit-for-bit, and the sequential dependency is
+    again bounded by the shard.
+
+    Returns (id, shard, n_tokens, pack_id) with pack_id unique within
+    shard.
+    """
+    shard = (
+        F.col(shard_col) if isinstance(shard_col, str) else shard_col
+        if shard_col is not None
+        else (portable_hash64(F.col(id_col).cast("string"), seed=7) % 8)
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shard.alias("shard"),
+        F.col(token_col).cast("bigint").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy("shard")
+    w_rank = w_all.orderBy(F.col("n_tokens").desc(), F.col("id"))
+    total = F.sum("n_tokens").over(w_all)
+    # exact integer ceil; doubles stay exact well past any shard total
+    n_bins = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor((total + F.lit(budget - 1)) / F.lit(budget)).cast("bigint"),
+    )
+    pos = F.row_number().over(w_rank).cast("bigint") - 1
+    idx = pos % n_bins
+    pack = F.when((F.floor(pos / n_bins) % 2) == 0, idx).otherwise(
+        n_bins - 1 - idx
+    )
+    return base.select(
+        "id", "shard", "n_tokens", pack.cast("bigint").alias("pack_id")
+    )
+
+
+def pack_bins_bestfit(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: Column | str | None = None,
+) -> DataFrame:
+    """Hard-capacity best-fit-decreasing bin packing, per shard.
+
+    Docs are placed in (tokens desc, id) order into the open pack with
+    the SMALLEST remaining capacity that still fits (ties → oldest
+    pack); no fit opens a new pack.  A doc larger than ``budget`` gets
+    a pack of its own (closed immediately).  BFD's pack count is within
+    11/9·OPT+1 of optimal — the QA bound the property tests assert
+    against the ``ceil(total/budget)`` lower bound.
+
+    The open-bin state makes this inherently sequential, so it runs as
+    a per-shard ``applyInPandas`` (the repo's sanctioned Arrow escape
+    hatch — grouped state never touches the driver, parallelism = the
+    shard count, per-shard work bounded by sharding).  Deterministic
+    given (shard, tokens, id), so reruns and repartitionings agree —
+    but the placement rule is a loop, not a SQL expression, so this
+    operator carries invariant tests instead of a DuckDB hash oracle
+    (catalog ROWS_ONLY; same policy as the sketch estimates).
+
+    Returns (id, shard, n_tokens, pack_id) with pack_id unique within
+    shard.
+    """
+    import pandas as pd  # noqa: F401  (Arrow path)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    shard = (
+        F.col(shard_col) if isinstance(shard_col, str) else shard_col
+        if shard_col is not None
+        else (portable_hash64(F.col(id_col).cast("string"), seed=7) % 8)
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shard.cast("bigint").alias("shard"),
+        F.col(token_col).cast("bigint").alias("n_tokens"),
+    )
+    out_schema = StructType(
+        [
+            StructField("id", base.schema["id"].dataType),
+            StructField("shard", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("pack_id", LongType()),
+        ]
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(
+            ["n_tokens", "id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []  # remaining capacity per open pack
+        assigned: list[int] = []
+        for tok in pdf["n_tokens"]:
+            tok = int(tok)
+            best, best_rem = -1, None
+            if tok <= budget:
+                for i, rem in enumerate(remaining):
+                    if tok <= rem and (best_rem is None or rem < best_rem):
+                        best, best_rem = i, rem
+            if best >= 0:
+                remaining[best] -= tok
+                assigned.append(best)
+            else:
+                # new pack; oversized docs close theirs immediately
+                remaining.append(max(budget - tok, 0))
+                assigned.append(len(remaining) - 1)
+        pdf["pack_id"] = assigned
+        return pdf[["id", "shard", "n_tokens", "pack_id"]]
+
+    return base.groupBy("shard").applyInPandas(_pack, out_schema)
+
+
+def pack_utilization(packed: DataFrame, budget: int) -> DataFrame:
+    """QA histogram for a packing: collapse (shard, pack_id) to its
+    token load, bucket loads by utilization decile (``floor(load*10 /
+    budget)`` — 10 = exactly full, >10 = overflow the loader must
+    truncate), and count packs / docs / tokens per decile.  Two
+    aggregations, the second over a frame already reduced to one row
+    per pack — nothing here grows with corpus size except the first
+    per-pack agg, which reuses the packing's own (shard) partitioning.
+
+    Works over the output of any packer above (stream, serpentine, or
+    best-fit) since they share the (id, shard, n_tokens, pack_id)
+    contract.
+    """
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+    decile = F.floor(per_pack.pack_tokens * 10 / F.lit(budget)).cast("bigint")
+    return (
+        per_pack.groupBy(decile.alias("util_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("pack_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    targets: DataFrame,
+    id_col: str,
+    seed: int = 11,
+) -> DataFrame:
+    """Exact-count stratified sampling: keep exactly ``target_n`` rows
+    per stratum (or every row, when the stratum is smaller), chosen by
+    a stable id hash.
+
+    ``targets`` is a config frame (strata_col, target_n) — broadcast
+    onto the data (a config table is always dim-sized), then one window
+    rank per stratum ordered by (hash, id) and a ``rank <= target_n``
+    filter.  Rank-based selection is exact by construction, which is
+    why it replaces the hash-threshold + top-up two-pass: the threshold
+    pass approximates the count and the top-up re-ranks the shortfall
+    anyway, so the single rank pass does strictly less work for a
+    guaranteed-exact answer.  Deterministic across reruns and
+    partitionings; one shuffle (the stratum window).
+    """
+    t = F.broadcast(targets.select(strata_col, "target_n"))
+    joined = df.join(t, strata_col, "inner")
+    rk = "__rk"
+    while rk in joined.columns:
+        rk += "_"
+    w = Window.partitionBy(strata_col).orderBy(
+        portable_hash64(F.col(id_col).cast("string"), seed=seed),
+        F.col(id_col),
+    )
+    return (
+        joined.withColumn(rk, F.row_number().over(w))
+        .filter(F.col(rk) <= F.col("target_n"))
+        .drop(rk, "target_n")
+    )
+
+
+def mixture_sample_config(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rates: DataFrame,
+    seed: int = 4,
+    default_rate_bp: int | None = None,
+) -> DataFrame:
+    """``mixture_sample`` with the per-source rates coming from an
+    explicit config table (source_col, rate_bp) instead of a derived
+    column — the production shape: mixture weights live in a reviewed
+    config, the engine broadcast-joins them on (config tables are
+    dim-sized by definition) and applies the same deterministic
+    hash-threshold keep rule.  Sources absent from the config drop out
+    (inner join) unless ``default_rate_bp`` gives them a fallback via a
+    left join + coalesce.  Map-only after the broadcast join."""
+    r = F.broadcast(rates.select(source_col, "rate_bp"))
+    if default_rate_bp is None:
+        joined = df.join(r, source_col, "inner")
+        rate: Column | str = "rate_bp"
+    else:
+        joined = df.join(r, source_col, "left")
+        rate = F.coalesce(F.col("rate_bp"), F.lit(default_rate_bp))
+    return mixture_sample(joined, id_col, rate, seed=seed).drop("rate_bp")
 
 
 def mixture_sample(

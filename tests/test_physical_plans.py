@@ -143,3 +143,69 @@ def test_split_assign_is_map_only(spark, sf_dir):
     )
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_pack_bins_serpentine_single_exchange(spark, sf_dir):
+    """Serpentine binning's per-shard total, rank, and snake index all
+    ride ONE shuffle on the shard key — the two window frames share the
+    partitioning, so a second exchange would be a planner regression."""
+    from beacon_data_importer_spark.operators.sampling import (
+        pack_bins_serpentine,
+    )
+    from beacon_data_importer_spark.operators.text import token_count_ws
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").alias("n_tokens")
+    )
+    plan = (
+        pack_bins_serpentine(d, "doc_id", "n_tokens", 512)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_stratified_sample_targets_are_broadcast(spark, sf_dir):
+    """The per-stratum target config must join as a broadcast (it is
+    dim-sized by definition); the only exchange is the stratum window."""
+    from beacon_data_importer_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    targets = spark.createDataFrame(
+        [("en", 10), ("de", 10)], "lang string, target_n int"
+    )
+    plan = (
+        stratified_sample_exact(d, "lang", targets, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1, plan
+
+
+def test_mixture_config_join_is_broadcast_map_only(spark, sf_dir):
+    """Config-table mixture sampling: broadcast join + filter, zero
+    shuffle exchanges — the keep decision runs at scan speed."""
+    from beacon_data_importer_spark.operators.sampling import (
+        mixture_sample_config,
+    )
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = spark.createDataFrame(
+        [("src0", 5000)], "source string, rate_bp int"
+    )
+    plan = (
+        mixture_sample_config(d, "doc_id", "source", rates, default_rate_bp=1000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 0, plan

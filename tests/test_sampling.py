@@ -112,3 +112,160 @@ def test_mixture_sample_rate_and_determinism(spark):
         df.withColumn("rate_bp", F.lit(10000)), "doc_id", "rate_bp"
     ).count()
     assert none == 0 and everything == 10_000
+
+
+def _mk_tokens(spark, lengths):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lengths)],
+        "doc_id bigint, n_tokens bigint",
+    )
+
+
+def test_pack_bins_serpentine_balances_and_is_deterministic(spark):
+    from beacon_data_importer_spark.operators.sampling import (
+        pack_bins_serpentine,
+    )
+
+    lengths = [((i * 37) % 400) + 10 for i in range(200)]
+    df = _mk_tokens(spark, lengths)
+    out1 = pack_bins_serpentine(
+        df, "doc_id", "n_tokens", 512, shard_col=F.lit(0)
+    ).collect()
+    out2 = pack_bins_serpentine(
+        df.repartition(13), "doc_id", "n_tokens", 512, shard_col=F.lit(0)
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    total = sum(lengths)
+    n_bins = (total + 511) // 512
+    loads: dict[int, int] = {}
+    for r in out1:
+        loads[r.pack_id] = loads.get(r.pack_id, 0) + r.n_tokens
+    assert len(loads) == n_bins
+    assert set(loads) == set(range(n_bins))
+    # serpentine dealing keeps loads tight around the mean
+    mean = total / n_bins
+    assert all(abs(v - mean) <= 512 for v in loads.values()), loads
+
+
+def test_pack_bins_serpentine_single_small_shard(spark):
+    from beacon_data_importer_spark.operators.sampling import (
+        pack_bins_serpentine,
+    )
+
+    # total below one budget -> exactly one pack, everything in it
+    df = _mk_tokens(spark, [50, 60, 70])
+    out = pack_bins_serpentine(
+        df, "doc_id", "n_tokens", 512, shard_col=F.lit(0)
+    ).collect()
+    assert {r.pack_id for r in out} == {0}
+
+
+def test_pack_bins_bestfit_invariants(spark):
+    from beacon_data_importer_spark.operators.sampling import (
+        pack_bins_bestfit,
+    )
+
+    lengths = [((i * 131) % 500) + 5 for i in range(300)]
+    df = _mk_tokens(spark, lengths)
+    out1 = pack_bins_bestfit(
+        df, "doc_id", "n_tokens", 512, shard_col=F.lit(0)
+    ).collect()
+    out2 = pack_bins_bestfit(
+        df.repartition(17), "doc_id", "n_tokens", 512, shard_col=F.lit(0)
+    ).collect()
+    # deterministic under repartitioning
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    # every doc packed exactly once
+    assert sorted(r.id for r in out1) == sorted(range(300))
+    loads: dict[int, int] = {}
+    for r in out1:
+        loads[r.pack_id] = loads.get(r.pack_id, 0) + r.n_tokens
+    # hard capacity honored (no oversized docs in this fixture)
+    assert all(v <= 512 for v in loads.values())
+    # BFD bound: pack count within 11/9*OPT + 1 of the token lower bound
+    lb = (sum(lengths) + 511) // 512
+    assert lb <= len(loads) <= (11 * lb) // 9 + 2, (len(loads), lb)
+
+
+def test_pack_bins_bestfit_oversized_doc_isolated(spark):
+    from beacon_data_importer_spark.operators.sampling import (
+        pack_bins_bestfit,
+    )
+
+    df = _mk_tokens(spark, [600, 100, 100])
+    out = pack_bins_bestfit(
+        df, "doc_id", "n_tokens", 512, shard_col=F.lit(0)
+    ).collect()
+    packs = {r.id: r.pack_id for r in out}
+    # the 600-token doc sits alone; its pack is closed to the others
+    others = {packs[1], packs[2]}
+    assert packs[0] not in others
+    # the two 100s best-fit together
+    assert packs[1] == packs[2]
+
+
+def test_pack_utilization_deciles(spark):
+    from beacon_data_importer_spark.operators.sampling import (
+        pack_utilization,
+    )
+
+    packed = spark.createDataFrame(
+        [
+            (0, 0, 0, 512),   # exactly full  -> decile 10
+            (1, 0, 0, 0),     # shares pack 0 (tokens add)
+            (2, 0, 1, 256),   # half full     -> decile 5
+            (3, 0, 2, 600),   # overflow      -> decile 11
+        ],
+        "id bigint, shard bigint, pack_id bigint, n_tokens bigint",
+    )
+    out = {
+        r.util_decile: (r.n_packs, r.n_docs, r.sum_tokens)
+        for r in pack_utilization(packed, 512).collect()
+    }
+    assert out == {10: (1, 2, 512), 5: (1, 1, 256), 11: (1, 1, 600)}
+
+
+def test_stratified_sample_exact_counts(spark):
+    from beacon_data_importer_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    rows = [(i, ("a", "b", "c")[i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    targets = spark.createDataFrame(
+        [("a", 10), ("b", 250), ("c", 0)], "lang string, target_n int"
+    )
+    out1 = stratified_sample_exact(df, "lang", targets, "doc_id").collect()
+    out2 = stratified_sample_exact(
+        df.repartition(9), "lang", targets, "doc_id"
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    counts: dict[str, int] = {}
+    for r in out1:
+        counts[r.lang] = counts.get(r.lang, 0) + 1
+    # exact where the stratum is large enough, whole stratum where not
+    assert counts.get("a", 0) == 10
+    assert counts.get("b", 0) == 100  # stratum size 100 < target 250
+    assert counts.get("c", 0) == 0
+
+
+def test_mixture_sample_config_default_rate(spark):
+    from beacon_data_importer_spark.operators.sampling import (
+        mixture_sample_config,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "cfg" if i % 2 == 0 else "other") for i in range(2000)],
+        "doc_id bigint, source string",
+    )
+    rates = spark.createDataFrame([("cfg", 10000)], "source string, rate_bp int")
+    # inner-join form: unconfigured sources drop out entirely
+    inner = mixture_sample_config(df, "doc_id", "source", rates).collect()
+    assert {r.source for r in inner} == {"cfg"} and len(inner) == 1000
+    # default form: unconfigured sources sample at the fallback rate
+    both = mixture_sample_config(
+        df, "doc_id", "source", rates, default_rate_bp=2500
+    ).collect()
+    n_other = sum(1 for r in both if r.source == "other")
+    assert sum(1 for r in both if r.source == "cfg") == 1000
+    assert 150 <= n_other <= 350, n_other
