@@ -214,3 +214,565 @@ def q_mixture_config_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample_config(
         d, "doc_id", "source", rates, default_rate_bp=1000
     ).select("doc_id", "source")
+
+
+# ===========================================================================
+# Remaining TPC-H query shapes (Q5/Q6/Q8/Q9/Q10/Q12/Q14/Q18/Q19/Q20).
+#
+# The testdata schema has no partsupp table and lineitem lacks
+# shipmode/commitdate/receiptdate/shipinstruct; part lacks container and
+# mfgr.  Each adaptation below keeps the query's PLAN shape (the part
+# that matters at 100 TB) and swaps the missing column for the nearest
+# present one, documented per query.  Money stays exact via the cents
+# trick; ratios surface as floor(x*1e6) micro-units (catalog.py
+# docstring).
+# ===========================================================================
+
+
+@query(
+    "local_supplier_volume_q5",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(sum(round(l_extendedprice * (1 - l_discount) * 100))
+                AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue where the customer and
+    the supplier share a nation inside one region.  Plan at scale: the
+    supplier⋈nation⋈region chain collapses to a broadcast dim (the
+    locality predicate c_nationkey = s_nationkey rides the broadcast
+    join, costing nothing); orders prefilters on the date range BEFORE
+    its shuffle; the two real exchanges are lineitem⋈orders (orderkey)
+    and ⋈customer (custkey); the final agg groups a handful of
+    nations."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sn = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            sn,
+            (l.l_suppkey == sn.s_suppkey)
+            & (c.c_nationkey == sn.s_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+    )
+
+
+@query(
+    "forecast_revenue_q6",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    SELECT CAST(sum(round(l_extendedprice * l_discount * 100)) AS BIGINT)
+             AS revenue_cents,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure filter + global agg —
+    the canonical pushdown probe.  All three predicates reach the
+    parquet scan (PushedFilters), the projection prunes to four
+    columns, and the single-row result needs no real exchange (partial
+    aggs merge into one row)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "market_share_q8",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS volume_cents,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+                   AND r.r_name = 'AMERICA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    )
+    SELECT o_year,
+      CAST(sum(volume_cents) AS BIGINT) AS total_cents,
+      CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_cents
+                    ELSE 0 END) AS BIGINT) AS nation_cents,
+      CAST(floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_cents
+                          ELSE 0 END) * 1e6 / sum(volume_cents))
+           AS BIGINT) AS share_e6
+    FROM vol GROUP BY o_year
+    """,
+)
+def q_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of PROMO-part
+    revenue sold into AMERICA, by order year.  Plan at scale: part
+    (filtered), supplier⋈nation, and customer-side nation⋈region all
+    broadcast; customer is the only mid-size dim and joins after the
+    orders shuffle; the share divides two exact cent-sums per year
+    (micro-unit floor, catalog ratio discipline)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cust_nkey")
+    )
+    cust = c.join(F.broadcast(n1), c.c_nationkey == F.col("cust_nkey")).select(
+        "c_custkey"
+    )
+    supp = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    vol = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == F.col("c_custkey"))
+        .join(supp, l.l_suppkey == supp.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("volume_cents"),
+            "supp_nation",
+        )
+    )
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume_cents"))
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    total_cents = F.sum("volume_cents")
+    return vol.groupBy("o_year").agg(
+        total_cents.alias("total_cents"),
+        nation_cents.alias("nation_cents"),
+        F.floor(nation_cents * 1e6 / total_cents)
+        .cast("bigint")
+        .alias("share_e6"),
+    )
+
+
+@query(
+    "product_profit_q9",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+      CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)
+             - CAST(round(p.p_retailprice * l.l_quantity * 50) AS BIGINT))
+           AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit on '%gear%' parts by
+    supplier nation and order year.  No partsupp table, so supply cost
+    is modeled as half the part's retail price per unit (p_retailprice *
+    l_quantity * 0.5) — the plan keeps Q9's signature: a LIKE-filtered
+    part dim and supplier⋈nation both broadcast onto lineitem, one
+    orders shuffle, and a small (nation, year) agg.  Both profit terms
+    round to cents independently before subtracting, so the sum is
+    integer-exact."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    )
+    supp = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("nation")
+        )
+    )
+    profit = cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) - F.round(F.col("p_retailprice") * F.col("l_quantity") * 50, 0).cast(
+        "bigint"
+    )
+    return (
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            l.l_partkey == F.col("p_partkey"),
+        )
+        .join(supp, l.l_suppkey == supp.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(profit).alias("profit_cents"))
+    )
+
+
+@query(
+    "returned_items_q10",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100))
+                AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_cents DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items): top-20 customers by lost revenue on
+    returned lines in one quarter.  Plan at scale: returnflag and the
+    date range prefilter both fact sides before their orderkey shuffle;
+    nation broadcasts; the custkey tiebreak makes the LIMIT membership
+    deterministic (revenue ties exist); TakeOrderedAndProject keeps the
+    top-k on the map side — no global sort."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "late_lines_priority_q12",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    SELECT l.l_linestatus,
+      CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL '60 days'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_late_lines_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / priority): the schema has no
+    l_shipmode or commit/receipt dates, so the grouping column becomes
+    l_linestatus and 'late' means shipped >60 days after ordering — the
+    plan keeps Q12's signature: one fact-fact join with a non-equi
+    residual condition, conditional counts split by priority class.
+    The date range prefilters lineitem before the orderkey shuffle."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = read_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_q14",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    SELECT
+      CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                    * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS promo_cents,
+      CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100))
+           AS BIGINT) AS total_cents,
+      CAST(floor(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(round(l.l_extendedprice
+                                          * (1 - l.l_discount) * 100)
+                                    AS BIGINT)
+                          ELSE 0 END) * 1e6
+                 / sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)))
+           AS BIGINT) AS promo_share_e6
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): PROMO parts' share of one month's
+    revenue.  Part broadcasts (only partkey + type survive pruning);
+    the month filter reaches the lineitem scan; the single-row answer
+    divides two exact cent-sums into a micro-unit share."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    line_cents = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", line_cents).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    )
+    total = F.sum(line_cents)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            promo.alias("promo_cents"),
+            total.alias("total_cents"),
+            F.floor(promo * 1e6 / total).cast("bigint").alias("promo_share_e6"),
+        )
+    )
+
+
+@query(
+    "large_volume_customers_q18",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+    )
+    SELECT c.c_name, c.c_custkey, b.l_orderkey AS o_orderkey, o.o_orderdate,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_large_volume_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose line quantities
+    sum past 300 units, with their customers.  Plan at scale: the
+    HAVING aggregate shrinks lineitem to a tiny order set BEFORE any
+    join (the defining Q18 optimization); its orderkey partitioning is
+    then reused by the orders join; customer attaches by custkey on a
+    frame already reduced to qualifying orders."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            F.col("l_orderkey").alias("o_orderkey"),
+            "o_orderdate",
+            cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "brand_bracket_revenue_q19",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    SELECT CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100))
+                AS BIGINT) AS revenue_cents,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_brand_bracket_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    classic OR-of-ANDs join.  The container/shipmode legs are absent
+    from the schema, so each bracket pairs brand+size with a quantity
+    band.  Plan at scale: the part side prefilters to the union of
+    bracket (brand, size) ranges and lineitem to the quantity hull —
+    both pushed to the scans — then the equi join on partkey broadcasts
+    and the residual disjunction evaluates post-join; no cartesian, no
+    shuffle."""
+    brackets = [
+        (("Brand#1", 1, 5), (1, 11)),
+        (("Brand#2", 1, 10), (10, 20)),
+        (("Brand#3", 1, 15), (20, 30)),
+    ]
+    p_pred = None
+    for (brand, lo, hi), _ in brackets:
+        leg = (F.col("p_brand") == brand) & F.col("p_size").between(lo, hi)
+        p_pred = leg if p_pred is None else (p_pred | leg)
+    p = read_table(spark, sf_dir, "part").filter(p_pred).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    residual = None
+    for (brand, lo, hi), (qlo, qhi) in brackets:
+        leg = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(lo, hi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        residual = leg if residual is None else (residual | leg)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(residual)
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "excess_share_suppliers_q20",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    WITH ps AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'SMALL'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS part_qty
+      FROM ps GROUP BY l_partkey
+    ),
+    excess AS (
+      SELECT DISTINCT ps.l_suppkey
+      FROM ps JOIN tot ON ps.l_partkey = tot.l_partkey
+      WHERE ps.supp_qty * 10 > tot.part_qty
+    )
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_regionkey < 2
+      AND s.s_suppkey IN (SELECT l_suppkey FROM excess)
+    """,
+)
+def q_excess_share_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess suppliers): suppliers in the first two regions
+    holding an outsized share (>10%) of any SMALL part's shipped
+    volume.  partsupp's availqty is absent, so the share comes from the
+    lineitem-derived (partkey, suppkey) quantity aggregate (the same
+    stand-in the Q2 shape uses, catalog_r2.py:28-35).  Plan at scale:
+    the ps aggregate is the one big shuffle; tot REUSES its partkey
+    partitioning (partial agg on already-clustered keys); the share
+    test is integer arithmetic (qty*10 > total — no ratio rounding);
+    the supplier⋈nation probe is a broadcast semi join."""
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 2)
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL"
+    ).select("p_partkey")
+    ps = (
+        l.join(F.broadcast(p), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("supp_qty"))
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    excess = (
+        ps.join(tot, "l_partkey")
+        .filter(F.col("supp_qty") * 10 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", F.col("n_name").alias("nation"))
+    )

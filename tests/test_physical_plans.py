@@ -209,3 +209,40 @@ def test_mixture_config_join_is_broadcast_map_only(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 0, plan
+
+
+def test_q6_filters_reach_the_scan(spark, sf_dir):
+    """TPC-H Q6 is the pushdown probe: all three predicates must appear
+    as PushedFilters and the scan must read only the four used columns."""
+    from beacon_data_importer_spark.catalog_r3 import q_forecast_revenue_q6
+
+    df = q_forecast_revenue_q6(spark, sf_dir)
+    txt = df._jdf.queryExecution().toString()
+    scan = [ln for ln in txt.splitlines() if "FileScan parquet" in ln][-1]
+    assert "l_shipdate" in scan and "l_discount" in scan, scan
+    assert "PushedFilters: []" not in txt
+    # column pruning: no unused lineitem columns in the scan schema
+    for unused in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert unused not in scan, scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # only the single-partition partial-agg merge remains
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1, plan
+
+
+def test_q19_disjunction_is_broadcast_no_cartesian(spark, sf_dir):
+    """TPC-H Q19's OR-of-ANDs must stay an equi broadcast join on
+    partkey with the disjunction as a residual filter — never a
+    cartesian/BNL join."""
+    from beacon_data_importer_spark.catalog_r3 import (
+        q_brand_bracket_revenue_q19,
+    )
+
+    plan = (
+        q_brand_bracket_revenue_q19(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
