@@ -179,18 +179,24 @@ def lsh_candidate_pairs(
     bucket become a candidate pair.  Output: (id_a, id_b) distinct,
     id_a < id_b.
 
-    The self-join happens per (band, bucket) after a size guard drops
+    The pairing happens per (band, bucket) after a size guard drops
     degenerate buckets (> max_bucket docs) — bounding worst-case pair
     fan-out to max_bucket² per bucket.
 
-    Plan shape: the size guard is a ``count() OVER (PARTITION BY band,
-    bucket)`` window, not a separate groupBy+join — so the banded frame
-    is shuffled to (band, bucket) partitioning exactly ONCE, and the
-    self-join's two sides reuse that same exchange (Spark ReuseExchange;
-    the earlier groupBy-count formulation shuffled the banded frame
-    twice plus a counts join — measured ~1.5-3× slower at sf0.1).  A
-    degenerate mega-bucket lands in one task either way; the guard then
-    drops it before any pairing.
+    Plan shape (third formulation, each measured at sf0.1):
+    groupBy (band, bucket) → ``collect_list(id)``, guard on
+    ``size(ids)``, then expand in-bucket pairs as a NARROW nested
+    ``transform``+``flatten``+``explode`` — no join at all.  The banded
+    frame shuffles exactly once, carrying one row per non-singleton
+    bucket, and the guard caps every array at ``max_bucket`` ids so the
+    expansion is bounded memory.  History: groupBy-count + join (2
+    shuffles of the banded frame + a join, slowest) → window-count
+    size guard + self-join sharing one exchange (ReuseExchange,
+    ~1.5-3× faster) → this collect-and-expand (drops the self-join's
+    second exchange traversal and hash table entirely; fastest, and at
+    cluster scale removes a whole join stage).  Pair order inside a
+    bucket is irrelevant — pairs are emitted id-ordered and
+    ``distinct`` unions them across bands.
     """
     banded = sig_df.select(
         "id",
@@ -215,22 +221,29 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
-    w = Window.partitionBy("band", "bucket")
-    small = (
-        banded.withColumn("__c", F.count(F.lit(1)).over(w))
-        .filter(F.col("__c") <= max_bucket)
-        .drop("__c")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    left = small.alias("l")
-    right = small.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+    # all ordered pairs within the bucket: for each id, pair it with
+    # every STRICTLY GREATER id (set semantics — collect order is
+    # irrelevant), flattened to one struct array then exploded
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a: F.filter(
+                F.transform(
+                    F.col("ids"),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            ),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
