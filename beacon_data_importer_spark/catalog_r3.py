@@ -776,3 +776,102 @@ def q_excess_share_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
         .select("s_name", F.col("n_name").alias("nation"))
     )
+
+
+# ===========================================================================
+# Gopher-style document quality signals (operators/text.py round-3 tier)
+# ===========================================================================
+
+_DUCK_TOKS_Q = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+@query(
+    "gopher_quality_signals",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS_Q} AS tk,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_DUCK_TOKS_Q}) END AS n
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, n,
+        CASE WHEN n > 0
+             THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)/n
+             ELSE 0.0 END AS mwl,
+        CASE WHEN n > 0
+             THEN CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+                       AS DOUBLE)/n
+             ELSE 0.0 END AS awf,
+        CASE WHEN n > 0
+             THEN CAST(n - len(list_distinct(tk)) AS DOUBLE)/n
+             ELSE 0.0 END AS dtf,
+        COALESCE(CAST(list_sum(list_transform(tk, t -> len(t))) AS BIGINT),
+                 0) AS total_chars,
+        CASE WHEN n >= 2
+             THEN list_transform(range(n - 1), i -> tk[i+1] || ' ' || tk[i+2])
+             ELSE [] END AS grams
+      FROM toks
+    ),
+    c AS (
+      SELECT doc_id, gram, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM base)
+      GROUP BY doc_id, gram
+    ),
+    top AS (
+      SELECT doc_id, gram, cnt FROM (
+        SELECT doc_id, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram) AS rk
+        FROM c
+      ) WHERE rk = 1
+    ),
+    sig AS (
+      SELECT b.doc_id, b.n, b.mwl, b.awf, b.dtf,
+        CASE WHEN b.total_chars > 0
+             THEN least(1.0, COALESCE(CAST(t.cnt AS DOUBLE)
+                        * len(replace(t.gram, ' ', ''))
+                        / b.total_chars, 0.0))
+             ELSE 0.0 END AS t2g
+      FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+    )
+    SELECT doc_id,
+      CAST(floor(mwl * 1e6) AS BIGINT) AS mean_word_len_e6,
+      CAST(floor(awf * 1e6) AS BIGINT) AS alpha_word_frac_e6,
+      CAST(floor(dtf * 1e6) AS BIGINT) AS dup_token_frac_e6,
+      CAST(floor(t2g * 1e6) AS BIGINT) AS top_2gram_frac_e6,
+      CAST(CASE WHEN n >= 20 AND n <= 100000
+                 AND mwl BETWEEN 3.0 AND 10.0
+                 AND awf > 0.8 AND t2g < 0.20
+            THEN 1 ELSE 0 END AS INT) AS keep
+    FROM sig
+    """,
+)
+def q_gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set quality signals per document (Rae et al. 2021
+    A1.1, adapted to single-line docs): mean word length, alphabetic
+    word fraction, duplicate-token fraction, top-2-gram character
+    coverage, and the combined keep decision.  Spark computes the
+    2-gram mode as a shuffle-free sorted-run fold (the oracle replays
+    it relationally via unnest+groupBy+argmax — same value, different
+    mechanics); everything else is scan-side arithmetic.  Ratios
+    surface as floor(x*1e6) micro-units."""
+    from .operators import text as TX
+
+    d = read_table(spark, sf_dir, "documents")
+    t2g = TX.top_ngram_char_fraction("text", 2)
+    return d.select(
+        "doc_id",
+        F.floor(TX.mean_word_length("text") * 1e6)
+        .cast("bigint")
+        .alias("mean_word_len_e6"),
+        F.floor(TX.alpha_word_fraction("text") * 1e6)
+        .cast("bigint")
+        .alias("alpha_word_frac_e6"),
+        F.floor(TX.dup_token_fraction("text") * 1e6)
+        .cast("bigint")
+        .alias("dup_token_frac_e6"),
+        F.floor(t2g * 1e6).cast("bigint").alias("top_2gram_frac_e6"),
+        TX.gopher_keep("text").cast("int").alias("keep"),
+    )

@@ -160,3 +160,124 @@ def score_against_profile(docs, profile, text_col: str, id_col: str):
             "top_coverage_e6"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition & quality signals (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Appendix A1.1 — the published rule set
+# most large-corpus pipelines start from).  All narrow Column
+# expressions; the only non-obvious one is top_ngram_char_fraction,
+# whose per-doc mode computation runs as a sorted-run fold instead of an
+# unnest+groupBy (keeping it shuffle-free at scan speed).
+# ---------------------------------------------------------------------------
+
+
+def _tokens(text: Column | str) -> Column:
+    return F.split(F.lower(F.trim(_c(text))), r"\s+")
+
+
+def mean_word_length(text: Column | str) -> Column:
+    """Mean characters per whitespace token (0 for empty text).  Gopher
+    keeps docs whose mean is in [3, 10]."""
+    toks = _tokens(text)
+    n = token_count_ws(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def alpha_word_fraction(text: Column | str) -> Column:
+    """Fraction of tokens containing at least one alphabetic character
+    (Gopher: keep if > 0.8) — catches number/symbol soup."""
+    toks = _tokens(text)
+    n = token_count_ws(text)
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def dup_token_fraction(text: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token
+    (1 - distinct/total) — the word-level analogue of Gopher's
+    duplicate-line fraction for single-line documents."""
+    toks = _tokens(text)
+    n = token_count_ws(text)
+    distinct = F.size(F.array_distinct(toks))
+    return F.when(
+        n > 0, (n - distinct).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_char_fraction(text: Column | str, n: int) -> Column:
+    """Fraction of the document's non-space characters covered by its
+    most frequent word n-gram (Gopher bounds: 2-gram < 0.20, 3-gram
+    < 0.18, 4-gram < 0.16 — repetition soup scores high).
+
+    Computed WITHOUT a shuffle: the n-gram array is sorted, then one
+    ``aggregate`` fold finds the longest run of equal adjacent grams
+    (= the mode and its count; ties resolve to the lexicographically
+    smallest gram, since a later equal-length run never displaces the
+    best).  Coverage = count × gram_chars (spaces excluded) over total
+    token chars.  An unnest+groupBy would shuffle O(corpus × grams)
+    rows; this stays a scan-side expression.
+    """
+    toks = _tokens(text)
+    k = F.size(toks)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best_run"),
+        F.lit("").alias("best_gram"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        better = run > acc["best_run"]
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best_run"]).alias("best_run"),
+            F.when(better, g).otherwise(acc["best_gram"]).alias("best_gram"),
+        )
+
+    best = F.aggregate(F.array_sort(grams), zero, step)
+    gram_chars = F.length(F.replace(best["best_gram"], F.lit(" "), F.lit("")))
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    # Overlapping occurrences ("a a a" has two "a a" grams sharing a
+    # token) can push raw coverage past 1 — clamp, as the published
+    # implementations do, so the signal stays a fraction.
+    return F.when(
+        total_chars > 0,
+        F.least(
+            F.lit(1.0),
+            (best["best_run"] * gram_chars).cast("double") / total_chars,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def gopher_keep(text: Column | str) -> Column:
+    """Gopher rule-set keep decision, adapted to single-line documents
+    (no newline-based rules; word-count floor lowered to 20 for the
+    short synthetic docs).  Every input signal is one of the narrow
+    expressions above, so the whole filter folds into the scan."""
+    n = token_count_ws(text)
+    return (
+        (n >= 20)
+        & (n <= 100_000)
+        & mean_word_length(text).between(3.0, 10.0)
+        & (alpha_word_fraction(text) > 0.8)
+        & (top_ngram_char_fraction(text, 2) < 0.20)
+    )

@@ -342,3 +342,59 @@ def test_char_trigrams_short_text_guard(spark):
     assert got[""] == []
     assert got["  x  "] == []
     assert got["abcd"] == ["abc", "bcd"]
+
+
+def test_gopher_signals_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the cat sat here too"),
+            (2, "a a a a a a a a"),       # pure repetition
+            (3, ""),                       # empty
+            (4, "x1 9 88 zz 7"),           # symbol/number soup
+        ],
+        "id int, text string",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            TX.mean_word_length("text").alias("mwl"),
+            TX.alpha_word_fraction("text").alias("awf"),
+            TX.dup_token_fraction("text").alias("dtf"),
+            TX.top_ngram_char_fraction("text", 2).alias("t2g"),
+            TX.gopher_keep("text").alias("keep"),
+        ).collect()
+    }
+    # empty text: all signals zero, rejected
+    assert rows[3].mwl == 0.0 and rows[3].awf == 0.0 and rows[3].t2g == 0.0
+    assert rows[3].keep is False
+    # repetition soup: clamped coverage, high dup fraction, rejected
+    assert rows[2].t2g == 1.0
+    assert rows[2].dtf == 7 / 8
+    assert rows[2].keep is False
+    # number soup fails the alpha-word rule
+    assert rows[4].awf == 0.4 and rows[4].keep is False
+    # doc 1: "the cat" and "cat sat" both occur twice; the tie goes to
+    # "cat sat" (lexicographic), 6 chars x 2 of 36 token chars
+    assert abs(rows[1].t2g - 12 / 36) < 1e-12
+    assert rows[1].awf == 1.0
+
+
+def test_top_ngram_char_fraction_tie_is_deterministic(spark):
+    """Equal-count grams resolve to the lexicographically smallest —
+    the property the SQL oracle's (cnt DESC, gram) argmax mirrors."""
+    from beacon_data_importer_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "b c a b z z b c a b")], "id int, text string"
+    )
+    # 2-grams: "b c"x2, "c a"x2, "a b"x2, "b z", "z z", "z b" -> tie at 2;
+    # "a b" is lexicographically smallest: 2*2 chars / 10 token chars
+    val = df.select(
+        TX.top_ngram_char_fraction("text", 2).alias("v")
+    ).collect()[0].v
+    assert abs(val - 4 / 10) < 1e-12
