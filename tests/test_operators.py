@@ -398,3 +398,26 @@ def test_top_ngram_char_fraction_tie_is_deterministic(spark):
         TX.top_ngram_char_fraction("text", 2).alias("v")
     ).collect()[0].v
     assert abs(val - 4 / 10) < 1e-12
+
+
+def test_sq_encode_bounds_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.operators import sq as SQ
+
+    rows = [(i, [float(i % 7) - 3.0, 0.5, float(i) / 10.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    enc1 = {r.vec_id: r.codes for r in SQ.sq_encode(df).collect()}
+    enc2 = {
+        r.vec_id: r.codes for r in SQ.sq_encode(df.repartition(7)).collect()
+    }
+    assert enc1 == enc2
+    for codes in enc1.values():
+        assert len(codes) == 3
+        assert all(0 <= c <= 255 for c in codes)
+        # dim 1 is constant -> step 0 -> code 0
+        assert codes[1] == 0
+    # extremes land in the first/last buckets
+    mins = [min(enc1[i][d] for i in enc1) for d in (0, 2)]
+    maxs = [max(enc1[i][d] for i in enc1) for d in (0, 2)]
+    assert mins == [0, 0] and maxs == [255, 255]
