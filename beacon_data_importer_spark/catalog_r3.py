@@ -980,3 +980,112 @@ def q_sq8_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     return sq_search_rerank(emb, q, k=10, shortlist=100, exclude_id=0)
+
+
+# ===========================================================================
+# Corpus hygiene: benchmark decontamination + PII redaction
+# ===========================================================================
+
+
+@query(
+    "decontaminate_ngrams",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(tk) - 2),
+               i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS g
+      FROM toks WHERE len(tk) >= 3
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+    SELECT t.doc_id, count(*) AS n_overlap_grams
+    FROM grams t JOIN ev USING (g)
+    WHERE t.doc_id % 50 != 0
+    GROUP BY t.doc_id
+    """,
+)
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C recipe): train docs
+    sharing any word 3-gram with the held-out set (every 50th doc
+    stands in for the benchmark suite), with distinct-overlap counts.
+    The eval gram set is bounded by construction, so it broadcasts; the
+    only shuffle carries matching (doc, gram) hits into the per-doc
+    count — never a train×eval join."""
+    from .operators.text import contamination_hits
+
+    d = read_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return contamination_hits(train, ev, "text", "doc_id", n=3)
+
+
+@query(
+    "pii_redaction",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+        'reach user' || doc_id || '@example.com or 202-555-' ||
+        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' via 10.0.' ||
+        CAST(doc_id % 256 AS VARCHAR) || '.7 :: ' || text AS t
+      FROM documents
+    ),
+    masked AS (
+      SELECT doc_id, t,
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+      FROM synth
+    ),
+    masked2 AS (
+      SELECT doc_id, t, t1,
+        regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g') AS t2
+      FROM masked
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+        AS n_emails,
+      CAST(len(regexp_extract_all(t1,
+        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ips,
+      CAST(len(regexp_extract_all(t2,
+        '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INT) AS n_phones,
+      regexp_replace(t2, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')
+        AS redacted
+    FROM masked2
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (C4/Dolma-style hygiene): emails, IPv4s, and 3-3-4
+    phone numbers mask to typed placeholders.  The testdata corpus
+    carries no PII, so the query deterministically injects a contact
+    line per doc (derived from doc_id — the oracle replays the same
+    construction) and the operator under test strips it.  Map-only
+    chained regexp_replace at scan speed; counts are taken on the
+    progressively-masked text so overlapping matches never
+    double-count."""
+    from .operators.text import pii_counts, pii_redact
+
+    d = read_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 202-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" via 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 :: "),
+        F.col("text"),
+    )
+    c = pii_counts(synth)
+    return d.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_ips"].alias("n_ips"),
+        c["n_phones"].alias("n_phones"),
+        pii_redact(synth).alias("redacted"),
+    )

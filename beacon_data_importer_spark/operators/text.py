@@ -281,3 +281,93 @@ def gopher_keep(text: Column | str) -> Column:
         & (alpha_word_fraction(text) > 0.8)
         & (top_ngram_char_fraction(text, 2) < 0.20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination & PII redaction (round-3 tier) — the two
+# remaining standard large-corpus hygiene steps (n-gram overlap
+# decontamination per Brown et al. 2020 §4/C; regex PII masking as in
+# C4/Dolma-style pipelines).
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Distinct word n-grams of the lower-trimmed text (space-joined);
+    empty for docs shorter than n tokens."""
+    toks = _tokens(text)
+    k = F.size(toks)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def contamination_hits(
+    train,
+    eval_df,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+):
+    """Benchmark decontamination: train documents sharing at least one
+    word n-gram with the evaluation set, with their distinct-overlap
+    counts (the GPT-3 appendix-C recipe, where flagged docs are dropped
+    or split).
+
+    Scale shape: an eval/benchmark suite is bounded, so its distinct
+    n-gram set builds with one small aggregation and BROADCASTS; the
+    train side explodes its per-doc distinct grams and inner-joins the
+    broadcast — the only shuffle is the per-doc hit count, which
+    carries matching (doc, gram) rows only.  Never a train×eval join.
+
+    Returns (id_col, n_overlap_grams), flagged docs only.
+    """
+    ev = F.broadcast(
+        eval_df.select(
+            F.explode(word_ngrams(text_col, n)).alias("g")
+        ).distinct()
+    )
+    tg = train.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g")
+    )
+    return (
+        tg.join(ev, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap_grams"))
+    )
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Mask emails, IPv4 addresses, and phone numbers with typed
+    placeholder tokens.  Pure chained ``regexp_replace`` — map-only, at
+    scan speed; patterns stay inside the regex subset shared by Java
+    and RE2 so SQL engines replay the exact output.  Order matters:
+    emails first (they can embed digit runs), then IPs (4 octets),
+    then 3-3-4 phone numbers."""
+    t = F.regexp_replace(_c(text), EMAIL_RE, "<EMAIL>")
+    t = F.regexp_replace(t, IP_RE, "<IP>")
+    return F.regexp_replace(t, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column | str) -> Column:
+    """(n_emails, n_ips, n_phones) struct counted in redaction order on
+    the progressively-masked text, so overlapping matches are not
+    double-counted."""
+    raw = _c(text)
+    after_email = F.regexp_replace(raw, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IP_RE, "<IP>")
+    return F.struct(
+        F.regexp_count(raw, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(after_email, F.lit(IP_RE)).alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).alias("n_phones"),
+    )

@@ -421,3 +421,48 @@ def test_sq_encode_bounds_and_determinism(spark):
     mins = [min(enc1[i][d] for i in enc1) for d in (0, 2)]
     maxs = [max(enc1[i][d] for i in enc1) for d in (0, 2)]
     assert mins == [0, 0] and maxs == [255, 255]
+
+
+def test_contamination_hits_counts_distinct_overlaps(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),     # shares "alpha beta gamma"
+            (2, "zeta eta theta iota"),        # no overlap
+            (3, "alpha beta gamma alpha beta gamma"),  # dup grams count once
+            (4, "xy"),                         # too short for 3-grams
+        ],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma epsilon")], "doc_id int, text string"
+    )
+    out = {
+        r.doc_id: r.n_overlap_grams
+        for r in TX.contamination_hits(train, ev, "text", "doc_id", 3).collect()
+    }
+    # doc 3's repeated gram is distinct-counted once; docs 2/4 unflagged
+    assert out == {1: 1, 3: 1}
+
+
+def test_pii_redact_edge_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "no pii here at all"),
+            (2, "a@b.io then 1.2.3.4 then 555-123-4567"),
+            (3, "version 1.2 costs 10.50 not an ip"),
+        ],
+        "id int, text string",
+    )
+    rows = {
+        r.id: (r.t, r.c)
+        for r in df.select(
+            "id",
+            TX.pii_redact("text").alias("t"),
+            TX.pii_counts("text").alias("c"),
+        ).collect()
+    }
+    assert rows[1] == ("no pii here at all", Row(n_emails=0, n_ips=0, n_phones=0))
+    assert rows[2][0] == "<EMAIL> then <IP> then <PHONE>"
+    assert tuple(rows[2][1]) == (1, 1, 1)
+    # short dotted numbers are neither IPs nor phones
+    assert rows[3][0] == "version 1.2 costs 10.50 not an ip"
