@@ -21,6 +21,7 @@ import beacon_data_importer_spark.catalog_ext as _catalog_ext  # noqa: F401 (reg
 import beacon_data_importer_spark.catalog_more as _catalog_more  # noqa: F401 (registers queries)
 import beacon_data_importer_spark.catalog_r2 as _catalog_r2  # noqa: F401 (registers queries)
 import beacon_data_importer_spark.catalog_r3 as _catalog_r3  # noqa: F401 (registers queries)
+import beacon_data_importer_spark.catalog_r3b as _catalog_r3b  # noqa: F401 (registers queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,386 @@
+"""Round-3 catalog, part B: corpus-level dedup COMPOSITIONS.
+
+The round-1/2 tiers built the parts — minhash signatures, LSH banding,
+candidate pairing, connected components, quality signals.  This module
+composes them into the three pipelines a 100 TB pretraining-corpus
+curation run actually executes:
+
+  * near_dup_clusters / near_dup_keep — group ALL near-duplicate
+    documents transitively (LSH pair graph → converged connected
+    components) and keep one representative per cluster.  This is the
+    canonical "fuzzy dedup" stage (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — cluster-and-keep-one,
+    not pairwise-drop, so A~B~C collapses to one doc even when A and C
+    never share a band bucket).
+  * incremental_dedup — dedup a NEW batch against an EXISTING corpus
+    without re-clustering the corpus: exact content-hash anti-join plus
+    LSH band-key semi-join.  The shape every recurring crawl-ingest
+    pipeline needs — corpus-side work is one signature scan, never a
+    corpus×corpus pairing.
+  * boilerplate_shingle_fraction — per-document fraction of shingles
+    that are corpus-common (appear in ≥ threshold docs): the standard
+    template/boilerplate signal (CCNet/C4-style duplicate-line
+    fraction, lifted to shingles because this testdata is single-line).
+
+All queries are EXTRAS (registered=False): the 50 driver slots are full
+this round (rotation policy, catalog.py); the local type-sensitive gate
+(tools/check_oracle.py + tests/test_extra_queries.py) checks them
+against the same DuckDB oracles the driver would run.
+
+Scale notes are per-query docstrings; none of these plans pair docs
+outside a size-guarded band bucket, none collect to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import query
+from .catalog_ext import (
+    BANDS,
+    MAX_BUCKET,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    _docs_parallel,
+    _DUCK_SHINGLES,
+    _duck_band_exprs,
+    _duck_minhash_sig_cte,
+)
+from .operators import dedup as DD
+from .operators.graph import connected_components, symmetrize
+from .sources.parquet import read_table
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments
+# ---------------------------------------------------------------------------
+
+# LSH candidate pairs (identical semantics to minhash_near_dup's oracle:
+# banded buckets, size guard, distinct in-bucket pairs a < b).
+_DUCK_LSH_PAIRS = f"""
+    banded AS ({_duck_band_exprs()}),
+    sizes AS (SELECT band, bucket, count(*) AS c FROM banded
+              GROUP BY band, bucket),
+    small AS (SELECT banded.* FROM banded JOIN sizes USING (band, bucket)
+              WHERE c <= {MAX_BUCKET}),
+    pairs AS (SELECT DISTINCT l.id AS a, r.id AS b
+              FROM small l JOIN small r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)
+"""
+
+# Converged connected components over those pairs (recursive reachability
+# min — algorithm-independent, same device as entity_components).
+_DUCK_DOC_CC = f"""
+    {_duck_minhash_sig_cte()},
+    {_DUCK_LSH_PAIRS},
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL
+              SELECT b AS src, a AS dst FROM pairs),
+    reach(v, lbl) AS (
+      SELECT DISTINCT src AS v, src AS lbl FROM edges
+      UNION
+      SELECT e.src AS v, r.lbl
+      FROM reach r JOIN edges e ON e.dst = r.v
+      WHERE r.lbl < e.src
+    ),
+    lab AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v)
+"""
+
+
+def _doc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged CC labels over the LSH near-dup pair graph: (v, lbl)
+    for every doc that appears in at least one candidate pair."""
+    d = _docs_parallel(spark, sf_dir)
+    # One signature pass feeds banding AND (transitively) pairing.
+    sigs = DD.minhash_signatures(d, "text", "doc_id", NUM_HASHES).persist()
+    pairs = DD.lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND, MAX_BUCKET)
+    return connected_components(symmetrize(pairs, "id_a", "id_b"))
+
+
+@query(
+    "near_dup_clusters",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_DOC_CC}
+    SELECT v AS doc_id, lbl AS cluster_id FROM lab
+    """,
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: converged connected components
+    (pointer jumping, O(log n) rounds — operators/graph.py) over the
+    MinHash-LSH candidate-pair graph.  cluster_id = minimum doc_id of
+    the component, so the label is algorithm-independent and the oracle
+    is a recursive reachability min.
+
+    100 TB: pair generation is the banded-bucket stream (never all
+    pairs); CC rounds shuffle the edge list (edges ≈ near-dup pairs ≪
+    corpus); per-round parquet materialization keeps lineage flat
+    (graph.py, PERF.md)."""
+    labels = _doc_cluster_labels(spark, sf_dir)
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+@query(
+    "near_dup_keep",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_DOC_CC},
+    m AS (
+      SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN lab l ON l.v = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS n_members,
+           CAST(CASE WHEN row_number() OVER (
+                    PARTITION BY cluster_id
+                    ORDER BY n_chars DESC, doc_id) = 1
+                 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM m
+    """,
+)
+def q_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-and-keep-one fuzzy dedup over the WHOLE corpus: every
+    document gets its near-dup cluster (singletons are their own
+    cluster) and a keep flag — the representative is the longest
+    member (``n_chars`` desc, doc_id tiebreak), the usual
+    "keep the most complete copy" policy.
+
+    Plan: labels (CC over LSH pairs) LEFT-joined onto the corpus —
+    label-less docs coalesce to themselves — then ONE window
+    partitioning on cluster_id serves both the member count and the
+    representative rank (no second shuffle).  At 100 TB the label
+    frame is tiny next to the corpus (only docs in ≥1 pair), so the
+    join broadcasts; the window shuffle is on cluster_id whose
+    cardinality ≈ corpus, i.e. well-distributed."""
+    d = read_table(spark, sf_dir, "documents")
+    labels = _doc_cluster_labels(spark, sf_dir)
+    m = (
+        d.join(
+            F.broadcast(labels), d.doc_id == labels.v, "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("lbl", "doc_id").alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return m.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        (
+            F.row_number().over(
+                w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+            )
+            == 1
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental batch-vs-corpus dedup
+# ---------------------------------------------------------------------------
+
+
+def _duck_sig_cte_named(prefix: str, source: str) -> str:
+    """Suffixed clone of _duck_minhash_sig_cte so two signature chains
+    (corpus + batch) coexist in one oracle query."""
+    from .operators.dedup import MINHASH_P, minhash_coeffs
+
+    mins = ", ".join(
+        f"list_aggregate(list_transform(range(len(x)), "
+        f"i -> ({a} * x[i+1] + {b} * y[i+1] + {s}) % {MINHASH_P}), 'min')"
+        for s, (a, b) in enumerate(minhash_coeffs(NUM_HASHES))
+    )
+    return f"""
+    {prefix}_shing AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh
+                       FROM {source}),
+    {prefix}_based AS (SELECT id,
+      list_transform(sh, g -> CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)
+                              % {MINHASH_P}) AS x,
+      list_transform(sh, g -> CAST('0x' || substring(md5(g), 16, 15) AS BIGINT)
+                              % {MINHASH_P}) AS y
+      FROM {prefix}_shing),
+    {prefix}_sigs AS (SELECT id, [{mins}] AS sig FROM {prefix}_based)
+    """
+
+
+def _duck_band_exprs_named(prefix: str) -> str:
+    rows = []
+    for b in range(BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(sig[{b * ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        rows.append(
+            f"SELECT id, {b} AS band, md5({cols}) AS bucket"
+            f" FROM {prefix}_sigs"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@query(
+    "incremental_dedup",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE source = 'src0'),
+    batch AS (SELECT * FROM documents WHERE source <> 'src0'),
+    chash AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+    {_duck_sig_cte_named("c", "corpus")},
+    {_duck_sig_cte_named("n", "batch")},
+    cband AS ({_duck_band_exprs_named("c")}),
+    nband AS ({_duck_band_exprs_named("n")}),
+    near_ids AS (SELECT DISTINCT n.id FROM nband n
+                 JOIN cband c ON c.band = n.band AND c.bucket = n.bucket)
+    SELECT b.doc_id, b.source,
+      CAST(CASE WHEN ch.h IS NOT NULL THEN 1 ELSE 0 END AS INT)
+        AS exact_dup,
+      CAST(CASE WHEN ni.id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+        AS near_dup,
+      CAST(CASE WHEN ch.h IS NULL AND ni.id IS NULL THEN 1 ELSE 0 END
+           AS INT) AS keep
+    FROM batch b
+    LEFT JOIN chash ch ON ch.h = md5(b.text)
+    LEFT JOIN near_ids ni ON ni.id = b.doc_id
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEW ingest batch against an EXISTING corpus without
+    touching corpus-side clustering (here: ``source='src0'`` plays the
+    corpus, every other source the batch).  Two independent tests per
+    batch doc, surfaced as flags so downstream chooses its policy:
+
+      * ``exact_dup``  — content md5 appears in the corpus (anti-join
+        semantics via a distinct corpus hash set).
+      * ``near_dup``   — any LSH band key collides with a corpus band
+        key (``operators.dedup.lsh_bands`` on both sides, semi-join on
+        (band, bucket) — the recall of in-corpus LSH pairing, zero
+        corpus×corpus or batch×batch work).
+      * ``keep``       — neither.
+
+    100 TB: the corpus side is ONE narrow signature scan producing
+    (hash) and (band, bucket) key tables — in a recurring pipeline both
+    are computed once at corpus-build time and stored; each nightly
+    batch then costs two hash-partitioned joins sized by the BATCH.
+    Flags are computed with left joins against distinct key sets (not
+    semi-joins) so one pass yields all three columns."""
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") == "src0")
+    batch = d.filter(F.col("source") != "src0")
+
+    chash = corpus.select(F.md5("text").alias("h")).distinct()
+
+    csig = DD.minhash_signatures(corpus, "text", "doc_id", NUM_HASHES)
+    nsig = DD.minhash_signatures(batch, "text", "doc_id", NUM_HASHES)
+    cband = DD.lsh_bands(csig, BANDS, ROWS_PER_BAND).select("band", "bucket")
+    nband = DD.lsh_bands(nsig, BANDS, ROWS_PER_BAND)
+    near_ids = (
+        nband.join(cband, ["band", "bucket"])
+        .select(F.col("id").alias("near_id"))
+        .distinct()
+    )
+
+    b = batch.select("doc_id", "source", F.md5("text").alias("__h"))
+    return (
+        b.join(chash, b.__h == chash.h, "left")
+        .join(near_ids, b.doc_id == near_ids.near_id, "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("h").isNotNull().cast("int").alias("exact_dup"),
+            F.col("near_id").isNotNull().cast("int").alias("near_dup"),
+            (F.col("h").isNull() & F.col("near_id").isNull())
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate / template detection via corpus-common shingles
+# ---------------------------------------------------------------------------
+
+_COMMON_DF = 5  # a shingle in >= this many docs is "corpus-common"
+
+
+@query(
+    "boilerplate_shingle_fraction",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, unnest(sh) AS g FROM per_doc
+    ),
+    freq AS (
+      SELECT g FROM exploded GROUP BY g
+      HAVING count(*) >= {_COMMON_DF}
+    ),
+    hits AS (
+      SELECT e.doc_id, count(*) AS n_common
+      FROM exploded e JOIN freq USING (g)
+      GROUP BY e.doc_id
+    )
+    SELECT p.doc_id,
+      CAST(len(p.sh) AS BIGINT) AS n_shingles,
+      CAST(coalesce(h.n_common, 0) AS BIGINT) AS n_common,
+      CAST(floor(coalesce(h.n_common, 0) * 1e6 / len(p.sh)) AS BIGINT)
+        AS common_frac_e6
+    FROM per_doc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+    """,
+)
+def q_boilerplate_shingle_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document boilerplate signal: the fraction of a doc's DISTINCT
+    word-3-gram shingles that are corpus-common (appear in ≥ {df} docs).
+    High fraction ⇒ template/boilerplate text (the shingle-level analog
+    of C4's duplicate-line / CCNet's duplicated-paragraph filters —
+    this testdata is single-line, so shingles stand in for lines).
+
+    Plan: distinct shingles per doc (narrow array op), explode, ONE
+    groupBy(shingle) keeps only shingles with document-frequency ≥
+    threshold, join the exploded stream against that common set (the
+    per-doc hit count), then join counts back to the narrow per-doc
+    frame.  The common-shingle set is the high-DF TAIL of the
+    distribution — orders of magnitude smaller than the shingle stream
+    — so at 100 TB that join is broadcast-able after the threshold
+    filter; the remaining shuffles partition by shingle and by doc_id,
+    both well-spread keys.  No doc×doc work anywhere."""
+    d = _docs_parallel(spark, sf_dir)
+    per_doc = d.select(
+        "doc_id",
+        F.array_distinct(DD._shingles(F.col("text"), 3)).alias("sh"),
+    ).persist()
+    exploded = per_doc.select("doc_id", F.explode("sh").alias("g"))
+    freq = (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _COMMON_DF)
+        .select("g")
+    )
+    hits = (
+        exploded.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("sh").cast("bigint").alias("n_shingles"),
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            F.floor(
+                F.coalesce("n_common", F.lit(0)) * F.lit(1e6) / F.size("sh")
+            )
+            .cast("bigint")
+            .alias("common_frac_e6"),
+        )
+    )

@@ -167,6 +167,45 @@ def minhash_signatures(
     return hexes.select("id", sig.alias("sig"))
 
 
+def lsh_bands(
+    sig_df: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH keys for a ``(id, sig)`` signature frame: one row per
+    (doc, band) with ``bucket`` = md5 of that band's signature slice.
+
+    Narrow (generator explode of a literal-sized array, no shuffle) —
+    the band frame is the JOIN KEY SURFACE for every LSH consumer:
+    in-corpus pairing (``lsh_candidate_pairs`` groups it by
+    (band, bucket)) and batch-vs-corpus incremental dedup (semi-join of
+    two band frames on (band, bucket), ``catalog_r3b``).  Output:
+    ``(id, band, bucket)``.
+    """
+    return sig_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        F.col("sig"), b * rows_per_band + r + 1
+                                    )
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     bands: int = 4,
@@ -198,28 +237,7 @@ def lsh_candidate_pairs(
     bucket is irrelevant — pairs are emitted id-ordered and
     ``distinct`` unions them across bands.
     """
-    banded = sig_df.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = lsh_bands(sig_df, bands, rows_per_band)
 
     buckets = (
         banded.groupBy("band", "bucket")

@@ -75,6 +75,19 @@ HEADLINE += [
 # >1.3x slower than its r2 warm time is a regression to chase.
 R2_SET = list(HEADLINE)
 
+HEADLINE += [
+    # added in round 3: corpus-dedup compositions (catalog_r3b) + the
+    # headline round-3 extras (TPC-H completion is covered by the Q-shape
+    # queries already in the set; these are the new operator families)
+    "near_dup_keep",
+    "incremental_dedup",
+    "boilerplate_shingle_fraction",
+    "gopher_quality_signals",
+    "sq8_search_rerank",
+    "decontaminate_ngrams",
+    "pii_redaction",
+]
+
 
 def _stage_stats(base: str, app_id: str) -> dict[int, dict]:
     """Completed-stage metrics from the Spark UI REST API, by stageId."""

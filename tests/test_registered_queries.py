@@ -56,6 +56,7 @@ def _registered_names():
     import beacon_data_importer_spark.catalog_more  # noqa: F401
     import beacon_data_importer_spark.catalog_r2  # noqa: F401
     import beacon_data_importer_spark.catalog_r3  # noqa: F401
+    import beacon_data_importer_spark.catalog_r3b  # noqa: F401
 
     return sorted(catalog.QUERIES)
 
