@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import ROWS_ONLY, cents, query
+from .catalog_ext import _docs_parallel
 from .catalog_r2 import _duck_hash64
 from .sources.parquet import read_table
 
@@ -858,22 +859,44 @@ def q_gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanics); everything else is scan-side arithmetic.  Ratios
     surface as floor(x*1e6) micro-units."""
     from .operators import text as TX
+    from .operators.text import _ntoks, _tokens
 
-    d = read_table(spark, sf_dir, "documents")
-    t2g = TX.top_ngram_char_fraction("text", 2)
-    return d.select(
+    # Three staged projections so the shared subexpressions evaluate
+    # ONCE per doc: (1) the regexp tokenization, (2) the raw signals —
+    # including the expensive sorted-run 2-gram fold — and (3) the
+    # published output units + the keep decision DERIVED FROM the
+    # signal columns.  Catalyst keeps the stages separate (non-cheap
+    # aliases referenced multiple times are not collapsed); the inline
+    # form re-ran the split ~6× and the fold 2× per doc (measured 26.7 s
+    # → see PERF.md round-3 notes).
+    d = _docs_parallel(spark, sf_dir)
+    toked = d.select("doc_id", _tokens("text").alias("__toks"))
+    t = F.col("__toks")
+    sig = toked.select(
         "doc_id",
-        F.floor(TX.mean_word_length("text") * 1e6)
-        .cast("bigint")
-        .alias("mean_word_len_e6"),
-        F.floor(TX.alpha_word_fraction("text") * 1e6)
+        _ntoks(t).alias("__n"),
+        TX.mean_word_length_t(t).alias("__mwl"),
+        TX.alpha_word_fraction_t(t).alias("__awf"),
+        TX.dup_token_fraction_t(t).alias("__dtf"),
+        TX.top_ngram_char_fraction_t(t, 2).alias("__t2g"),
+    )
+    return sig.select(
+        "doc_id",
+        F.floor(F.col("__mwl") * 1e6).cast("bigint").alias("mean_word_len_e6"),
+        F.floor(F.col("__awf") * 1e6)
         .cast("bigint")
         .alias("alpha_word_frac_e6"),
-        F.floor(TX.dup_token_fraction("text") * 1e6)
+        F.floor(F.col("__dtf") * 1e6)
         .cast("bigint")
         .alias("dup_token_frac_e6"),
-        F.floor(t2g * 1e6).cast("bigint").alias("top_2gram_frac_e6"),
-        TX.gopher_keep("text").cast("int").alias("keep"),
+        F.floor(F.col("__t2g") * 1e6)
+        .cast("bigint")
+        .alias("top_2gram_frac_e6"),
+        TX.gopher_keep_from_signals(
+            F.col("__n"), F.col("__mwl"), F.col("__awf"), F.col("__t2g")
+        )
+        .cast("int")
+        .alias("keep"),
     )
 
 

@@ -176,36 +176,67 @@ def _tokens(text: Column | str) -> Column:
     return F.split(F.lower(F.trim(_c(text))), r"\s+")
 
 
-def mean_word_length(text: Column | str) -> Column:
-    """Mean characters per whitespace token (0 for empty text).  Gopher
-    keeps docs whose mean is in [3, 10]."""
-    toks = _tokens(text)
-    n = token_count_ws(text)
+def _ntoks(toks: Column) -> Column:
+    """Token count from a ``_tokens`` array.  Blank text tokenizes to
+    ``['']`` — mapped back to 0 so the *_t variants agree byte-for-byte
+    with the text-based ones (and the SQL oracles' CASE trim='')."""
+    return F.when(
+        (F.size(toks) == 1) & (F.element_at(toks, 1) == ""), F.lit(0)
+    ).otherwise(F.size(toks))
+
+
+# Each signal has a *_t variant over a PRECOMPUTED token array so a
+# multi-signal projection (gopher_quality_signals computes five) can
+# tokenize once per document: `select(_tokens(text).alias("__toks"))`
+# then signals from `__toks` in a SECOND select.  Catalyst's
+# CollapseProject declines to merge the two projections because the
+# alias is non-cheap and referenced many times, so the split runs once —
+# inlining text into every signal re-ran the regexp split per signal
+# (measured: the dominant cost of the gopher query before this split).
+
+
+def mean_word_length_t(toks: Column) -> Column:
+    """``mean_word_length`` over a precomputed token array."""
+    n = _ntoks(toks)
     total = F.aggregate(
         toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
     )
     return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
 
 
+def mean_word_length(text: Column | str) -> Column:
+    """Mean characters per whitespace token (0 for empty text).  Gopher
+    keeps docs whose mean is in [3, 10]."""
+    return mean_word_length_t(_tokens(text))
+
+
+def alpha_word_fraction_t(toks: Column) -> Column:
+    """``alpha_word_fraction`` over a precomputed token array."""
+    n = _ntoks(toks)
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
 def alpha_word_fraction(text: Column | str) -> Column:
     """Fraction of tokens containing at least one alphabetic character
     (Gopher: keep if > 0.8) — catches number/symbol soup."""
-    toks = _tokens(text)
-    n = token_count_ws(text)
-    hits = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+    return alpha_word_fraction_t(_tokens(text))
+
+
+def dup_token_fraction_t(toks: Column) -> Column:
+    """``dup_token_fraction`` over a precomputed token array."""
+    n = _ntoks(toks)
+    distinct = F.size(F.array_distinct(toks))
+    return F.when(
+        n > 0, (n - distinct).cast("double") / n
+    ).otherwise(F.lit(0.0))
 
 
 def dup_token_fraction(text: Column | str) -> Column:
     """Fraction of tokens that are repeats of an earlier token
     (1 - distinct/total) — the word-level analogue of Gopher's
     duplicate-line fraction for single-line documents."""
-    toks = _tokens(text)
-    n = token_count_ws(text)
-    distinct = F.size(F.array_distinct(toks))
-    return F.when(
-        n > 0, (n - distinct).cast("double") / n
-    ).otherwise(F.lit(0.0))
+    return dup_token_fraction_t(_tokens(text))
 
 
 def top_ngram_char_fraction(text: Column | str, n: int) -> Column:
@@ -221,7 +252,11 @@ def top_ngram_char_fraction(text: Column | str, n: int) -> Column:
     token chars.  An unnest+groupBy would shuffle O(corpus × grams)
     rows; this stays a scan-side expression.
     """
-    toks = _tokens(text)
+    return top_ngram_char_fraction_t(_tokens(text), n)
+
+
+def top_ngram_char_fraction_t(toks: Column, n: int) -> Column:
+    """``top_ngram_char_fraction`` over a precomputed token array."""
     k = F.size(toks)
     grams = F.when(
         k >= n,
@@ -272,7 +307,10 @@ def gopher_keep(text: Column | str) -> Column:
     """Gopher rule-set keep decision, adapted to single-line documents
     (no newline-based rules; word-count floor lowered to 20 for the
     short synthetic docs).  Every input signal is one of the narrow
-    expressions above, so the whole filter folds into the scan."""
+    expressions above, so the whole filter folds into the scan.  When
+    several signals are also SELECTED alongside the decision, prefer
+    ``gopher_keep_from_signals`` over already-computed columns — this
+    inline form re-evaluates each signal expression."""
     n = token_count_ws(text)
     return (
         (n >= 20)
@@ -280,6 +318,22 @@ def gopher_keep(text: Column | str) -> Column:
         & mean_word_length(text).between(3.0, 10.0)
         & (alpha_word_fraction(text) > 0.8)
         & (top_ngram_char_fraction(text, 2) < 0.20)
+    )
+
+
+def gopher_keep_from_signals(
+    n: Column, mwl: Column, awf: Column, t2g: Column
+) -> Column:
+    """The Gopher keep rule over ALREADY-COMPUTED signal columns — the
+    zero-recompute form for projections that surface the signals AND
+    the decision (the expensive top-2-gram fold evaluates once in the
+    signal column, not again inside the filter)."""
+    return (
+        (n >= 20)
+        & (n <= 100_000)
+        & mwl.between(3.0, 10.0)
+        & (awf > 0.8)
+        & (t2g < 0.20)
     )
 
 
