@@ -387,3 +387,234 @@ def q_boilerplate_shingle_fraction(
             .alias("common_frac_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The flagship curation composition: every hygiene tier in one plan
+# ---------------------------------------------------------------------------
+
+# Gopher-keep CTE chain over the train split (doc_id % 50 != 0 — every
+# 50th doc stands in for the held-out benchmark suite, as in
+# decontaminate_ngrams).  Mirrors gopher_quality_signals' oracle exactly;
+# ends with gkeep = the doc_ids that pass the rule set.
+_DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_DUCK_GOPHER_KEEP = f"""
+    t0 AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS tk,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_DUCK_TOKS}) END AS n
+      FROM documents WHERE doc_id % 50 != 0
+    ),
+    gb AS (
+      SELECT doc_id, n,
+        CASE WHEN n > 0
+             THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)/n
+             ELSE 0.0 END AS mwl,
+        CASE WHEN n > 0
+             THEN CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+                       AS DOUBLE)/n
+             ELSE 0.0 END AS awf,
+        COALESCE(CAST(list_sum(list_transform(tk, t -> len(t))) AS BIGINT),
+                 0) AS total_chars,
+        CASE WHEN n >= 2
+             THEN list_transform(range(n - 1), i -> tk[i+1] || ' ' || tk[i+2])
+             ELSE [] END AS grams
+      FROM t0
+    ),
+    gc AS (
+      SELECT doc_id, gram, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM gb)
+      GROUP BY doc_id, gram
+    ),
+    gtop AS (
+      SELECT doc_id, gram, cnt FROM (
+        SELECT doc_id, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram) AS rk
+        FROM gc
+      ) WHERE rk = 1
+    ),
+    gkeep AS (
+      SELECT b.doc_id
+      FROM gb b LEFT JOIN gtop t ON t.doc_id = b.doc_id
+      WHERE b.n >= 20 AND b.n <= 100000
+        AND b.mwl BETWEEN 3.0 AND 10.0 AND b.awf > 0.8
+        AND (CASE WHEN b.total_chars > 0
+                  THEN least(1.0, COALESCE(CAST(t.cnt AS DOUBLE)
+                             * len(replace(t.gram, ' ', ''))
+                             / b.total_chars, 0.0))
+                  ELSE 0.0 END) < 0.20
+    )
+"""
+
+_DUCK_3GRAMS = (
+    "list_distinct(list_transform(range(len(tk) - 2), "
+    "i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))"
+)
+
+
+@query(
+    "corpus_curate",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_GOPHER_KEEP},
+    evg AS (
+      SELECT DISTINCT unnest({_DUCK_3GRAMS}) AS g
+      FROM (SELECT {_DUCK_TOKS} AS tk FROM documents WHERE doc_id % 50 = 0)
+      WHERE len(tk) >= 3
+    ),
+    contam AS (
+      SELECT DISTINCT x.doc_id FROM (
+        SELECT t0.doc_id, unnest({_DUCK_3GRAMS.replace("tk", "t0.tk")}) AS g
+        FROM t0 JOIN gkeep USING (doc_id)
+        WHERE len(t0.tk) >= 3
+      ) x JOIN evg USING (g)
+    ),
+    s2 AS (
+      SELECT t0.doc_id, t0.text, t0.n
+      FROM t0 JOIN gkeep USING (doc_id)
+      WHERE t0.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    fk AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             min(doc_id) AS doc_id
+      FROM s2 GROUP BY 1
+    ),
+    s3 AS (
+      SELECT s2.* FROM s2
+      JOIN fk ON md5(regexp_replace(lower(trim(s2.text)), '\\s+', ' ', 'g'))
+                 = fk.fp
+             AND s2.doc_id = fk.doc_id
+    ),
+    {_duck_minhash_sig_cte(source="s3")},
+    {_DUCK_LSH_PAIRS},
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL
+              SELECT b AS src, a AS dst FROM pairs),
+    reach(v, lbl) AS (
+      SELECT DISTINCT src AS v, src AS lbl FROM edges
+      UNION
+      SELECT e.src AS v, r.lbl
+      FROM reach r JOIN edges e ON e.dst = r.v
+      WHERE r.lbl < e.src
+    ),
+    lab AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v),
+    m AS (
+      SELECT s3.doc_id, coalesce(l.lbl, s3.doc_id) AS cluster_id, s3.n
+      FROM s3 LEFT JOIN lab l ON l.v = s3.doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens FROM (
+      SELECT doc_id, n,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n DESC, doc_id) AS rk
+      FROM m
+    ) WHERE rk = 1
+    """,
+)
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pipeline, one plan — what a pretraining
+    data run executes over the raw crawl, every tier from this engine's
+    catalog composed in the order a production pipeline applies them:
+
+        1. Gopher quality rules   (token count / word length / alpha
+                                   fraction / repetition — map-only)
+        2. benchmark decontamination (drop docs sharing any word 3-gram
+                                   with the held-out split; the eval
+                                   gram set broadcasts)
+        3. exact dedup            (canonical fingerprint, first-wins —
+                                   one hash shuffle)
+        4. transitive near-dup    (MinHash-LSH pair graph → converged
+                                   connected components → keep the
+                                   longest member per cluster)
+
+    Output: the curated-corpus manifest (doc_id, n_tokens).
+
+    Stage economics at 100 TB: every tier strictly SHRINKS the corpus
+    before the next pays for it — the quality filter and decon drop are
+    scan-side, the fingerprint shuffle carries survivors only, and the
+    LSH/CC machinery (the only iterative part) runs over the
+    post-dedup survivor set.  Each tier is individually oracle-proven
+    by its standalone query (gopher_quality_signals,
+    decontaminate_ngrams, dedup_exact/corpus_clean, near_dup_keep);
+    this composition is proven end-to-end by one oracle replaying all
+    four stages in order."""
+    from .operators import text as TX
+    from .operators.text import _ntoks, _tokens
+
+    d = _docs_parallel(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+
+    # -- 1. Gopher keep (tokenize once; signals from the token array) --
+    toked = train.select(
+        "doc_id", "text", _tokens("text").alias("__toks")
+    )
+    t = F.col("__toks")
+    sig = toked.select(
+        "doc_id",
+        "text",
+        "__toks",
+        _ntoks(t).alias("__n"),
+        TX.mean_word_length_t(t).alias("__mwl"),
+        TX.alpha_word_fraction_t(t).alias("__awf"),
+        TX.top_ngram_char_fraction_t(t, 2).alias("__t2g"),
+    )
+    q1 = sig.filter(
+        TX.gopher_keep_from_signals(
+            F.col("__n"), F.col("__mwl"), F.col("__awf"), F.col("__t2g")
+        )
+    ).select("doc_id", "text", "__toks", F.col("__n").alias("n"))
+
+    # -- 2. decontamination (eval grams broadcast; survivors anti-join) --
+    evg = F.broadcast(
+        ev.select(F.explode(TX.word_ngrams("text", 3)).alias("g")).distinct()
+    )
+    grams = F.array_distinct(
+        F.when(
+            F.size(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                    F.element_at(t, i + 3),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    contam = (
+        q1.select("doc_id", F.explode(grams).alias("g"))
+        .join(evg, "g")
+        .select("doc_id")
+        .distinct()
+    )
+    q2 = q1.join(contam, "doc_id", "left_anti").select("doc_id", "text", "n")
+
+    # -- 3. exact dedup (canonical fingerprint first-wins) --
+    with_fp = q2.withColumn("fp", TX.fingerprint("text"))
+    keep_ids = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # q3 feeds the signature build AND the final cluster-keep join;
+    # persist so stages 1-3 run once (at warehouse scale: a staged
+    # survivor table).
+    q3 = (
+        with_fp.join(keep_ids, ["fp", "doc_id"])
+        .select("doc_id", "text", "n")
+        .persist()
+    )
+
+    # -- 4. transitive near-dup cluster-keep --
+    sigs = DD.minhash_signatures(q3, "text", "doc_id", NUM_HASHES).persist()
+    pairs = DD.lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND, MAX_BUCKET)
+    labels = connected_components(symmetrize(pairs, "id_a", "id_b"))
+    m = q3.join(F.broadcast(labels), q3.doc_id == labels.v, "left").select(
+        "doc_id", F.coalesce("lbl", "doc_id").alias("cluster_id"), "n"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n").desc(), F.col("doc_id")
+    )
+    return (
+        m.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("n").cast("bigint").alias("n_tokens"))
+    )

@@ -80,6 +80,7 @@ HEADLINE += [
     # headline round-3 extras (TPC-H completion is covered by the Q-shape
     # queries already in the set; these are the new operator families)
     "near_dup_keep",
+    "corpus_curate",
     "incremental_dedup",
     "boilerplate_shingle_fraction",
     "gopher_quality_signals",
