@@ -1040,7 +1040,10 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — never a train×eval join."""
     from .operators.text import contamination_hits
 
-    d = read_table(spark, sf_dir, "documents")
+    # _docs_parallel: the n-gram construction (tokenize + per-gram
+    # concat over every token position) is the CPU cost here, and the
+    # single-split testdata scan would run it all on one core.
+    d = _docs_parallel(spark, sf_dir)
     ev = d.filter(F.col("doc_id") % 50 == 0)
     train = d.filter(F.col("doc_id") % 50 != 0)
     return contamination_hits(train, ev, "text", "doc_id", n=3)

@@ -550,6 +550,14 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", _tokens("text").alias("__toks")
     )
     t = F.col("__toks")
+    # PERSISTED: Catalyst pushes the keep filter below the projection by
+    # SUBSTITUTING the aliased signal expressions (pushdown checks only
+    # determinism, not cost) — so without a materialization boundary the
+    # tokenization and the 2-gram fold re-evaluate in the filter AND in
+    # every downstream branch that re-derives q1 (the decon anti-join
+    # has two).  Measured: 12+ s for stage 1 alone vs ~1.5 s once
+    # staged.  In production this frame IS the staged signals table the
+    # pipeline writes between tiers; persist is its local stand-in.
     sig = toked.select(
         "doc_id",
         "text",
@@ -558,7 +566,7 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.mean_word_length_t(t).alias("__mwl"),
         TX.alpha_word_fraction_t(t).alias("__awf"),
         TX.top_ngram_char_fraction_t(t, 2).alias("__t2g"),
-    )
+    ).persist()
     q1 = sig.filter(
         TX.gopher_keep_from_signals(
             F.col("__n"), F.col("__mwl"), F.col("__awf"), F.col("__t2g")
