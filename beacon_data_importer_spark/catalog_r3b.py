@@ -48,6 +48,7 @@ from .catalog_ext import (
     _duck_minhash_sig_cte,
 )
 from .operators import dedup as DD
+from .operators import similarity as SIM
 from .operators.graph import connected_components, symmetrize
 from .sources.parquet import read_table
 
@@ -625,4 +626,136 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("doc_id", F.col("n").cast("bigint").alias("n_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the production ANN layout (5th tier on the recall/cost curve)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+_IVFPQ_SHORTLIST = 50
+
+
+def _duck_ivfpq_oracle() -> str:
+    """IVF cell pruning (ivf_search's cent/assign/qcells CTEs) composed
+    with the PQ ADC + re-rank chain (catalog_r2._duck_pq_ctes), with
+    encoding restricted to the probed cells' members."""
+    from .catalog_r2 import _duck_pq_ctes
+
+    cos = (
+        "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+    )
+    return f"""
+    WITH {_duck_pq_ctes()},
+    cent AS (SELECT vec_id AS cell_id, embedding AS cvec
+             FROM embeddings WHERE vec_id % 100 = 0),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            {cos.format(a="e.embedding", b="c.cvec")} DESC,
+            c.cell_id) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) t WHERE rn = 1
+    ),
+    qcells AS (SELECT cell_id FROM (
+        SELECT c.cell_id,
+          row_number() OVER (ORDER BY
+            {cos.format(a="qq.embedding", b="c.cvec")} DESC,
+            c.cell_id) AS rn
+        FROM embeddings qq CROSS JOIN cent c WHERE qq.vec_id = 0
+      ) t WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    cand AS (
+      SELECT a.vec_id FROM assign a
+      WHERE a.cell_id IN (SELECT cell_id FROM qcells) AND a.vec_id != 0
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             list_reduce(list(dt.d ORDER BY dt.s), (x, y) -> x + y) AS ad
+      FROM enc e
+      JOIN cand c ON c.vec_id = e.vec_id
+      JOIN dt ON dt.s = e.s AND dt.c = e.c
+      GROUP BY e.vec_id
+    ),
+    short AS (SELECT vec_id FROM scored
+              ORDER BY ad, vec_id LIMIT {_IVFPQ_SHORTLIST}),
+    rer AS (
+      SELECT e.vec_id,
+             list_dot_product(
+               list_transform(range(64), j -> e.ev[j+1] - q.qv[j+1]),
+               list_transform(range(64), j -> e.ev[j+1] - q.qv[j+1])) AS d
+      FROM emb e JOIN short ON e.vec_id = short.vec_id, q
+    )
+    SELECT vec_id AS neighbor_id, CAST(floor(d * 1e6) AS BIGINT) AS dist_e6
+    FROM rer ORDER BY d, vec_id LIMIT 10
+    """
+
+
+@query(
+    "ivfpq_search",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle=_duck_ivfpq_oracle(),
+)
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the layout production vector stores actually run
+    (Jégou et al. 2011 §IV; FAISS IVFPQ): coarse IVF cells prune the
+    corpus to nprobe cells, PQ codes ADC-score ONLY those members, and
+    the exact re-rank touches just the shortlist.
+
+    Composition of two oracle-proven tiers, so cost multiplies down
+    twice: the scan is (nprobe/cells) of the corpus AND reads codes
+    (32× smaller payload) instead of vectors; the full-vector reads are
+    shortlist-sized.  The codebook trains on the FULL corpus
+    (``codebook_source``) — encoding only the probed subset against a
+    subset-derived codebook would silently change the code geometry.
+
+    Simplification vs FAISS: codes quantize raw vectors, not
+    per-cell residuals (residual PQ needs per-cell distance tables —
+    nprobe × M × K — which the packed-broadcast layout supports but the
+    sampled codebook makes pointless on this synthetic corpus).
+
+    Plan: centroid table broadcasts (bounded), cell assignment is the
+    map-only fold (similarity.assign_cells), candidate filter is a
+    broadcast semi join, ADC is M lookups per candidate, and the only
+    shuffles are the two bounded TakeOrdereds (shortlist, final k)."""
+    from pyspark.sql import Window
+
+    from .operators.pq import pq_search_rerank
+
+    e = read_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    corpus = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    assigned = SIM.assign_cells(corpus, centroids).select(
+        "vec_id", "embedding", "cell_id"
+    )
+
+    qvec = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qemb")
+    )
+    scored_cells = centroids.crossJoin(F.broadcast(qvec)).select(
+        "cell_id", SIM.cosine("centroid", "qemb").alias("__s")
+    )
+    wq = Window.orderBy(F.col("__s").desc(), F.col("cell_id"))
+    qcells = (
+        scored_cells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("cell_id")
+    )
+    cand = assigned.join(F.broadcast(qcells), "cell_id", "left_semi").filter(
+        F.col("vec_id") != 0
+    )
+
+    q = e.filter(F.col("vec_id") == 0)
+    return pq_search_rerank(
+        cand,
+        q,
+        k=10,
+        shortlist=_IVFPQ_SHORTLIST,
+        codebook_source=e,
     )

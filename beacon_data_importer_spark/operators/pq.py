@@ -76,6 +76,7 @@ def pq_encode(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook_source: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus → (id, codes) where ``codes[s]`` is the id of the nearest
     codeword (squared L2, ties to the lowest code) for subvector s.
@@ -83,9 +84,20 @@ def pq_encode(
     Map-only: the packed codebook broadcasts; each row folds each
     subspace's K codewords to an argmin.  Output keeps the original
     columns plus ``codes`` (array<int>, length M).
+
+    ``codebook_source`` lets a caller encode a SUBSET of the corpus
+    (e.g. the probed IVF cells) against the codebook trained on the
+    full corpus — required whenever ``corpus`` might not contain the
+    sample rows the codebook derives from.  Defaults to ``corpus``.
     """
     cb = F.broadcast(
-        _packed_codebook(corpus, n_subspaces, n_codes, id_col, vec_col)
+        _packed_codebook(
+            codebook_source if codebook_source is not None else corpus,
+            n_subspaces,
+            n_codes,
+            id_col,
+            vec_col,
+        )
     )
     with_cb = corpus.crossJoin(cb)
     d_sub = (F.size(vec_col) / n_subspaces).cast("int")
@@ -126,6 +138,7 @@ def pq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    codebook_source: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: score every encoded corpus vector against ONE query
     vector via its per-subspace distance table, return the k nearest by
@@ -140,11 +153,14 @@ def pq_search(
 
     Output: (neighbor_id, approx_dist_e6).
     """
-    encoded = pq_encode(corpus, n_subspaces, n_codes, id_col, vec_col)
+    cb_src = codebook_source if codebook_source is not None else corpus
+    encoded = pq_encode(
+        corpus, n_subspaces, n_codes, id_col, vec_col, codebook_source=cb_src
+    )
     if exclude_id is not None:
         encoded = encoded.filter(F.col(id_col) != exclude_id)
 
-    cb = _packed_codebook(corpus, n_subspaces, n_codes, id_col, vec_col)
+    cb = _packed_codebook(cb_src, n_subspaces, n_codes, id_col, vec_col)
     d_sub = (F.size("__qvec") / n_subspaces).cast("int")
     qrow = query.select(F.col(vec_col).cast("array<double>").alias("__qvec"))
     # __dt[s*K + c + 1] = ||q_sub(s) - w(s,c)||²  (same (s,c) order as __cb)
@@ -193,6 +209,7 @@ def pq_search_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    codebook_source: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage PQ search: ADC shortlist → exact squared-L2 re-rank.
 
@@ -220,6 +237,7 @@ def pq_search_rerank(
         id_col=id_col,
         vec_col=vec_col,
         exclude_id=exclude_id,
+        codebook_source=codebook_source,
     ).select(F.col("neighbor_id").alias(id_col))
 
     qrow = F.broadcast(

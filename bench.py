@@ -85,9 +85,14 @@ HEADLINE += [
     "boilerplate_shingle_fraction",
     "gopher_quality_signals",
     "sq8_search_rerank",
+    "ivfpq_search",
     "decontaminate_ngrams",
     "pii_redaction",
 ]
+
+# Round-3's full headline set, frozen for round-4+ per-query deltas
+# (same device as R1_SET/R2_SET).
+R3_SET = list(HEADLINE)
 
 
 def _stage_stats(base: str, app_id: str) -> dict[int, dict]:
@@ -221,6 +226,12 @@ def main() -> None:
         r.neighbor_id for r in qs["pq_search_rerank"](spark, sf_dir).collect()
     ]
     pq_recall = round(len(set(exact_l2) & set(rr_ids)) / max(len(exact_l2), 1), 3)
+    ivfpq_ids = [
+        r.neighbor_id for r in qs["ivfpq_search"](spark, sf_dir).collect()
+    ]
+    ivfpq_recall = round(
+        len(set(exact_l2) & set(ivfpq_ids)) / max(len(exact_l2), 1), 3
+    )
 
     # Peak JVM heap across executors (single-JVM locally): the "does it
     # fit in executor memory at this SF" signal next to spill bytes.
@@ -260,11 +271,15 @@ def main() -> None:
                 "warm_total_r2_set": round(
                     sum(warm[n] for n in R2_SET if n in warm), 3
                 ),
+                "warm_total_r3_set": round(
+                    sum(warm[n] for n in R3_SET if n in warm), 3
+                ),
                 "quality": {
                     "ivf_recall_at_10": ivf_recall,
                     "kmeans_ivf_recall_at_10": kmivf_recall,
                     "pq_recall_at_10": pq_recall,
                     "pq_adc_recall_at_10": pq_adc_recall,
+                    "ivfpq_recall_at_10": ivfpq_recall,
                 },
                 # Bytes written to shuffle per query (warm run, all stages).
                 # Scale-safety signal: aggregations should shuffle O(groups),
