@@ -759,3 +759,93 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=_IVFPQ_SHORTLIST,
         codebook_source=e,
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition reports (the QA dashboards a curation run prints)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_length_histogram",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+             END AS n
+      FROM documents
+    )
+    SELECT CAST(n // 50 AS BIGINT) AS bucket_50,
+           count(*) AS n_docs,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens,
+           CAST(sum(n) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution in fixed 50-token buckets — the length
+    histogram every curation run prints before choosing packing/filter
+    thresholds.  One map-side-combined hash aggregation over a
+    scan-side token count; bucket key = integer division (portable,
+    unlike width_bucket's open-ended edges)."""
+    from .operators.text import token_count_ws
+
+    d = _docs_parallel(spark, sf_dir)
+    n = token_count_ws("text")
+    return (
+        d.select(n.alias("n"))
+        .groupBy(F.floor(F.col("n") / 50).cast("bigint").alias("bucket_50"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").cast("bigint").alias("min_tokens"),
+            F.max("n").cast("bigint").alias("max_tokens"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "source_mix_report",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    WITH g AS (
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source, lang
+    ),
+    t AS (SELECT sum(n_docs) AS td, sum(total_chars) AS tc FROM g)
+    SELECT g.source, g.lang, g.n_docs, g.total_chars,
+           CAST(floor(g.n_docs * 1e6 / t.td) AS BIGINT) AS doc_share_e6,
+           CAST(floor(g.total_chars * 1e6 / t.tc) AS BIGINT)
+             AS char_share_e6
+    FROM g, t
+    """,
+)
+def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by (source, lang): doc and character counts
+    with micro-unit shares of the whole — the mixture dashboard that
+    feeds mixture_weighted_sample's target weights.  One hash
+    aggregation; the grand total is a 1-row broadcast back onto the
+    groups (same device as top_supplier_q15), never a second scan."""
+    d = read_table(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    t = g.agg(
+        F.sum("n_docs").alias("__td"), F.sum("total_chars").alias("__tc")
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.floor(F.col("n_docs") * 1e6 / F.col("__td"))
+        .cast("bigint")
+        .alias("doc_share_e6"),
+        F.floor(F.col("total_chars") * 1e6 / F.col("__tc"))
+        .cast("bigint")
+        .alias("char_share_e6"),
+    )
