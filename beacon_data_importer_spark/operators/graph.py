@@ -76,7 +76,10 @@ def min_label_propagation(edges: DataFrame, iters: int) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 40, work_dir: str | None = None
+    edges: DataFrame,
+    max_rounds: int = 40,
+    work_dir: str | None = None,
+    mem_rounds: int = 8,
 ) -> DataFrame:
     """FULLY-CONVERGED connected components: every vertex labeled with
     its component's minimum vertex id, in O(log n) rounds instead of
@@ -95,17 +98,20 @@ def connected_components(
     inherent to iterate-until-converged; the payload is one value, never
     rows).  ``max_rounds`` bounds the loop defensively.
 
-    Each round's labels are materialized to parquet and read back
-    (alternating slots under ``work_dir``), NOT checkpointed.  Measured
-    hazard (tools-level probes, round-2): when the jump join's two
-    inputs both descend from the previous round's frame, per-round cost
-    grows ~2.7× per round past ~16 rounds — with ``persist``,
-    ``localCheckpoint`` AND reliable ``checkpoint`` alike; only a fully
-    detached re-read (a fresh parquet scan) keeps rounds flat
-    (0.45 s/round measured flat through 40 rounds).  A materialized
-    label table per round is also the standard formulation for
-    cluster-scale iterative jobs — restartable, and the per-round
-    shuffle barrier is a write the scheduler can re-plan after.
+    Each round's labels are MATERIALIZED — the first ``mem_rounds``
+    rounds via ``localCheckpoint`` (in-memory, no filesystem
+    round-trip), parquet slots under ``work_dir`` after that.  The
+    hybrid follows the round-2 probe numbers: per-round cost with
+    memory-backed materialization only starts compounding (~2.7×/round,
+    with ``persist``, ``localCheckpoint`` AND reliable ``checkpoint``
+    alike) past ~16 rounds, while a fully detached parquet re-read
+    stays flat through 40 (0.45 s/round) — so short-diameter graphs
+    (LSH near-dup components, most ER graphs: 2-6 rounds) skip the
+    per-round parquet I/O entirely and long chains still get the flat
+    path before the blowup region.  A materialized label table per
+    round is also the standard formulation for cluster-scale iterative
+    jobs — restartable, and the per-round shuffle barrier is a write
+    the scheduler can re-plan after.
     """
     import tempfile
     import uuid
@@ -132,11 +138,15 @@ def connected_components(
             if ckpt
             else tempfile.mkdtemp(prefix="cc_rounds_")
         )
+    wrote_parquet = False
     try:
-        verts.withColumn("lbl", F.col("v")).write.mode("overwrite").parquet(
-            f"{tmp}/r0"
-        )
-        labels = spark.read.parquet(f"{tmp}/r0")
+        labels = verts.withColumn("lbl", F.col("v"))
+        if mem_rounds > 0:
+            labels = labels.localCheckpoint()
+        else:
+            labels.write.mode("overwrite").parquet(f"{tmp}/r0")
+            labels = spark.read.parquet(f"{tmp}/r0")
+            wrote_parquet = True
         prev_sum = labels.agg(F.sum("lbl")).first()[0]
         for i in range(max_rounds):
             # neighbor min (self-loops fold in the keep-own-label term)
@@ -149,26 +159,27 @@ def connected_components(
             parent = labels.select(
                 F.col("v").alias("p_v"), F.col("lbl").alias("p_lbl")
             )
-            out = f"{tmp}/r{(i % 2) + 1}"
-            (
-                nmin.join(parent, nmin["lbl"] == parent["p_v"], "left")
-                .select(
-                    "v",
-                    F.least(
-                        F.col("lbl"), F.coalesce("p_lbl", "lbl")
-                    ).alias("lbl"),
-                )
-                .write.mode("overwrite")
-                .parquet(out)
+            nxt = nmin.join(parent, nmin["lbl"] == parent["p_v"], "left").select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce("p_lbl", "lbl")).alias("lbl"),
             )
-            labels = spark.read.parquet(out)
+            if i < mem_rounds:
+                labels = nxt.localCheckpoint()
+            else:
+                out = f"{tmp}/r{(i % 2) + 1}"
+                nxt.write.mode("overwrite").parquet(out)
+                labels = spark.read.parquet(out)
+                wrote_parquet = True
             cur_sum = labels.agg(F.sum("lbl")).first()[0]
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
         # hand the final labels back as a frame with no dependence on
-        # the temp dir (it is deleted below when we created it)
-        result = labels.localCheckpoint() if own_dir else labels
+        # the temp dir (it is deleted below when we created it);
+        # memory-round results are already localCheckpoint frames
+        result = (
+            labels.localCheckpoint() if (own_dir and wrote_parquet) else labels
+        )
         return result
     finally:
         # in finally so a mid-round failure cannot leak the cached
