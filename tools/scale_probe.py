@@ -179,6 +179,27 @@ def main() -> None:
             "sec": round(dt, 2),
             "rows_per_sec": int(n_docs / dt),
         }
+
+        # Incremental dedup's band-key semi-join (batch vs corpus —
+        # catalog_r3b): split the amplified corpus in half by id parity,
+        # band both sides, join on (band, bucket).  Work is two narrow
+        # banding passes + one hash join keyed on band buckets — should
+        # scale linearly; adversarial duplicate growth fattens buckets
+        # but the join carries only (id, band, bucket), never payloads.
+        from beacon_data_importer_spark.operators.dedup import lsh_bands
+
+        even = sigs.filter(F.col("id") % 2 == 0)
+        odd = sigs.filter(F.col("id") % 2 == 1)
+        cband = lsh_bands(even).select("band", "bucket")
+        nband = lsh_bands(odd)
+        dt = timed(
+            nband.join(cband, ["band", "bucket"]).select("id").distinct()
+        )
+        results.setdefault("incremental_band_join", {})[f"x{factor}"] = {
+            "rows": n_docs,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n_docs / dt),
+        }
         sigs.unpersist()
         spark.catalog.clearCache()
 
