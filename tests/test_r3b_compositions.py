@@ -122,3 +122,42 @@ def test_lsh_bands_matches_candidate_pair_surface(spark):
         )
     }
     assert via_op == via_join
+
+
+def test_incremental_flags_exact_copy_via_both_tests(spark):
+    """A batch doc that is a byte-identical copy of a corpus doc MUST be
+    flagged by BOTH mechanisms: md5 equality (exact_dup) and band-key
+    collision (identical text → identical signature → every band bucket
+    collides).  A batch doc with disjoint vocabulary must be flagged by
+    neither.  Synthetic frames — the guarantee, not the testdata."""
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.operators import dedup as DD
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta token{i} end") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        # 100: exact copy of corpus doc 7; 101: disjoint vocabulary
+        [
+            (100, "alpha beta gamma delta epsilon zeta token7 end"),
+            (101, "qqq www eee rrr ttt yyy uuu iii"),
+        ],
+        ["doc_id", "text"],
+    )
+    chash = corpus.select(F.md5("text").alias("h")).distinct()
+    csig = DD.minhash_signatures(corpus, "text", "doc_id", 16)
+    nsig = DD.minhash_signatures(batch, "text", "doc_id", 16)
+    cband = DD.lsh_bands(csig).select("band", "bucket")
+    nband = DD.lsh_bands(nsig)
+    near_ids = {
+        r.id
+        for r in nband.join(cband, ["band", "bucket"]).select("id").distinct().collect()
+    }
+    exact_ids = {
+        r.doc_id
+        for r in batch.join(chash, F.md5(batch.text) == chash.h, "left_semi").collect()
+    }
+    assert 100 in exact_ids and 100 in near_ids
+    assert 101 not in exact_ids and 101 not in near_ids
