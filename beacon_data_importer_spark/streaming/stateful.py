@@ -133,3 +133,27 @@ def streaming_first_seen_tws(events: DataFrame) -> DataFrame:
         "update",
         "none",
     )
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    ``operators.dedup.exact_dedup`` for the ingest side of
+    ``incremental_dedup`` (catalog_r3b): drop rows whose key
+    (e.g. a content fingerprint) was already seen.
+
+    Spark-native: ``dropDuplicatesWithinWatermark`` keeps each key in
+    state only until the watermark passes it, so state is bounded by
+    the delay window × arrival rate instead of growing with the corpus
+    — the standard tradeoff for infinite streams (an exact forever-
+    dedup needs the batch anti-join against the corpus key table,
+    which is what incremental_dedup does per ingest batch; this
+    operator handles the within-window duplicate storm a crawler
+    produces).  First arrival wins within a microbatch."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -326,3 +326,54 @@ def test_rate_source_soak_windowed_agg(spark):
         assert total and total > 500, total
     finally:
         q.stop()
+
+
+def test_streaming_dedup_exact_matches_batch_distinct(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on a content fingerprint drops the
+    duplicate storm: a synthetic stream where every doc arrives 1-3
+    times (duplicates within the watermark window) ends with exactly
+    the batch-distinct fingerprint set."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.streaming.stateful import (
+        streaming_dedup_exact,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(60):
+        for copy in range(1 + i % 3):  # 1-3 arrivals per doc
+            rows.append(
+                (
+                    i * 10 + copy,
+                    base + datetime.timedelta(seconds=i * 5 + copy),
+                    f"doc body {i}",
+                )
+            )
+    batch = spark.createDataFrame(rows, ["arrival_id", "ts", "content"])
+    src = str(tmp_path / "dup_stream")
+    batch.repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src)
+        .withColumn("fp", F.md5("content"))
+    )
+    out = streaming_dedup_exact(stream, ["fp"], ts_col="ts", delay="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream")
+    want_fps = {
+        r.fp
+        for r in batch.select(F.md5("content").alias("fp")).distinct().collect()
+    }
+    assert {r.fp for r in got.collect()} == want_fps
+    assert got.count() == len(want_fps), "exactly one survivor per fingerprint"
