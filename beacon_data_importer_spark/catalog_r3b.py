@@ -849,3 +849,205 @@ def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("char_share_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ: the full FAISS IVFPQ semantics (codes quantize
+# residuals x - centroid; ADC tables are per probed cell)
+# ---------------------------------------------------------------------------
+
+
+def _duck_ivfpq_residual_oracle() -> str:
+    def d2(a_expr: str, b_expr: str) -> str:
+        diff = (
+            f"list_transform(range(8), j -> ({a_expr})[j+1] - ({b_expr})[j+1])"
+        )
+        return f"list_dot_product({diff}, {diff})"
+
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b})))"
+    )
+    rsub = "r.rv[cw.s*8+1 : cw.s*8+8]"
+    qsub = "qr.qv[cw.s*8+1 : cw.s*8+8]"
+    return f"""
+    WITH emb AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    cent AS MATERIALIZED (
+      SELECT vec_id AS cell_id, ev AS cvec FROM emb WHERE vec_id % 100 = 0),
+    assign AS MATERIALIZED (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            {cos.format(a="e.ev", b="c.cvec")} DESC, c.cell_id) AS rn
+        FROM emb e CROSS JOIN cent c
+      ) t WHERE rn = 1),
+    res AS MATERIALIZED (
+      SELECT e.vec_id, a.cell_id,
+             list_transform(range(64), j -> e.ev[j+1] - c.cvec[j+1]) AS rv
+      FROM emb e
+      JOIN assign a ON a.vec_id = e.vec_id
+      JOIN cent c ON c.cell_id = a.cell_id),
+    cw AS MATERIALIZED (
+      SELECT s.i AS s, r.vec_id AS c, r.rv[s.i*8+1 : s.i*8+8] AS w
+      FROM res r, range(8) s(i) WHERE r.vec_id < 16),
+    enc AS MATERIALIZED (
+      SELECT vec_id, cell_id, s, c FROM (
+        SELECT r.vec_id, r.cell_id, cw.s, cw.c,
+               row_number() OVER (PARTITION BY r.vec_id, cw.s
+                                  ORDER BY {d2(rsub, "cw.w")}, cw.c) AS rn
+        FROM res r, cw
+      ) t WHERE rn = 1),
+    qcells AS (SELECT cell_id FROM (
+        SELECT c.cell_id,
+          row_number() OVER (ORDER BY
+            {cos.format(a="qq.ev", b="c.cvec")} DESC, c.cell_id) AS rn
+        FROM emb qq CROSS JOIN cent c WHERE qq.vec_id = 0
+      ) t WHERE rn <= {_IVFPQ_NPROBE}),
+    qres AS (
+      SELECT qc.cell_id,
+             list_transform(range(64), j -> q.ev[j+1] - c.cvec[j+1]) AS qv
+      FROM qcells qc
+      JOIN cent c ON c.cell_id = qc.cell_id,
+      (SELECT ev FROM emb WHERE vec_id = 0) q),
+    dt AS (
+      SELECT qr.cell_id, cw.s, cw.c, {d2(qsub, "cw.w")} AS d
+      FROM qres qr, cw),
+    scored AS (
+      SELECT e.vec_id,
+             list_reduce(list(dt.d ORDER BY dt.s), (x, y) -> x + y) AS ad
+      FROM enc e
+      JOIN dt ON dt.cell_id = e.cell_id AND dt.s = e.s AND dt.c = e.c
+      WHERE e.vec_id != 0
+      GROUP BY e.vec_id),
+    short AS (SELECT vec_id FROM scored
+              ORDER BY ad, vec_id LIMIT {_IVFPQ_SHORTLIST}),
+    rer AS (
+      SELECT e.vec_id,
+             list_dot_product(
+               list_transform(range(64), j -> e.ev[j+1] - q.qv[j+1]),
+               list_transform(range(64), j -> e.ev[j+1] - q.qv[j+1])) AS d
+      FROM emb e JOIN short ON e.vec_id = short.vec_id,
+           (SELECT ev AS qv FROM emb WHERE vec_id = 0) q)
+    SELECT vec_id AS neighbor_id, CAST(floor(d * 1e6) AS BIGINT) AS dist_e6
+    FROM rer ORDER BY d, vec_id LIMIT 10
+    """
+
+
+@query(
+    "ivfpq_residual_search",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle=_duck_ivfpq_residual_oracle(),
+)
+def q_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL FAISS-semantics IVFPQ (Jégou et al. 2011 §IV.B): codes
+    quantize the RESIDUAL x − centroid(x), and the query builds one ADC
+    distance table PER PROBED CELL from its own residual q − centroid.
+    Residuals concentrate near the origin, so a shared codebook covers
+    them far better than raw vectors — the reason production IVFPQ
+    encodes residuals (``ivfpq_search`` is the simplified raw-vector
+    form; bench reports both recalls).
+
+    Plan shape: residual computation is a broadcast centroid join +
+    narrow zip_with; encoding is the same map-only argmin fold
+    (``pq_encode`` with ``vec_col='rv'``, codebook from the sampled
+    residuals); the per-cell tables are nprobe rows of M×K doubles —
+    broadcast-joined to candidates ON cell_id, which simultaneously
+    restricts the scan to probed cells.  Only shuffles: the two bounded
+    TakeOrdereds."""
+    from pyspark.sql import Window
+
+    from .operators.pq import _packed_codebook, _sq_dist, pq_encode
+
+    M, K, DSUB = 8, 16, 8
+    e = read_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    corpus = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    assigned = SIM.assign_cells(corpus, centroids, centroid_vec="cvec").select(
+        "vec_id", "embedding", "cell_id"
+    )
+    res = assigned.join(F.broadcast(centroids), "cell_id").select(
+        "vec_id",
+        "cell_id",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            "cvec",
+            lambda x, c: x - c,
+        ).alias("rv"),
+    )
+    res_cb = res.filter(F.col("vec_id") < K)
+    encoded = pq_encode(
+        res, M, K, id_col="vec_id", vec_col="rv", codebook_source=res_cb
+    ).select("vec_id", "cell_id", "codes")
+
+    qvec = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qemb")
+    )
+    scored_cells = centroids.crossJoin(F.broadcast(qvec)).select(
+        "cell_id", SIM.cosine("cvec", "qemb").alias("__s")
+    )
+    wq = Window.orderBy(F.col("__s").desc(), F.col("cell_id"))
+    qcells = (
+        scored_cells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("cell_id")
+    )
+    cb_row = _packed_codebook(res_cb, M, K, "vec_id", "rv")
+    qres = (
+        qcells.join(F.broadcast(centroids), "cell_id")
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "cell_id",
+            F.zip_with("qemb", "cvec", lambda q, c: q - c).alias("qv"),
+        )
+    )
+    dts = qres.crossJoin(F.broadcast(cb_row)).select(
+        "cell_id",
+        F.transform(
+            F.col("__cb"),
+            lambda cw: _sq_dist(
+                F.slice(F.col("qv"), cw["s"] * DSUB + 1, DSUB), cw["w"]
+            ),
+        ).alias("__dt"),
+    )
+
+    cand = encoded.join(F.broadcast(dts), "cell_id").filter(
+        F.col("vec_id") != 0
+    )
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("__dt"),
+            s.cast("int") * K
+            + F.element_at(F.col("codes"), s.cast("int") + 1)
+            + 1,
+        ),
+    )
+    short = (
+        cand.withColumn("__ad", approx)
+        .select("vec_id", "__ad")
+        .orderBy(F.col("__ad").asc(), F.col("vec_id").asc())
+        .limit(_IVFPQ_SHORTLIST)
+        .select("vec_id")
+    )
+    exact = (
+        e.join(F.broadcast(short), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            _sq_dist(
+                F.col("embedding").cast("array<double>"), F.col("qemb")
+            ).alias("__d"),
+        )
+    )
+    return (
+        exact.orderBy(F.col("__d").asc(), F.col("neighbor_id").asc())
+        .limit(10)
+        .select("neighbor_id", F.floor(F.col("__d") * 1e6).alias("dist_e6"))
+    )

@@ -94,6 +94,11 @@ HEADLINE += [
 # (same device as R1_SET/R2_SET).
 R3_SET = list(HEADLINE)
 
+HEADLINE += [
+    # late round-3: full FAISS-semantics residual IVFPQ
+    "ivfpq_residual_search",
+]
+
 
 def _stage_stats(base: str, app_id: str) -> dict[int, dict]:
     """Completed-stage metrics from the Spark UI REST API, by stageId."""
@@ -232,6 +237,13 @@ def main() -> None:
     ivfpq_recall = round(
         len(set(exact_l2) & set(ivfpq_ids)) / max(len(exact_l2), 1), 3
     )
+    ivfpqr_ids = [
+        r.neighbor_id
+        for r in qs["ivfpq_residual_search"](spark, sf_dir).collect()
+    ]
+    ivfpqr_recall = round(
+        len(set(exact_l2) & set(ivfpqr_ids)) / max(len(exact_l2), 1), 3
+    )
 
     # Peak JVM heap across executors (single-JVM locally): the "does it
     # fit in executor memory at this SF" signal next to spill bytes.
@@ -280,6 +292,7 @@ def main() -> None:
                     "pq_recall_at_10": pq_recall,
                     "pq_adc_recall_at_10": pq_adc_recall,
                     "ivfpq_recall_at_10": ivfpq_recall,
+                    "ivfpq_residual_recall_at_10": ivfpqr_recall,
                 },
                 # Bytes written to shuffle per query (warm run, all stages).
                 # Scale-safety signal: aggregations should shuffle O(groups),
