@@ -1051,3 +1051,97 @@ def q_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("neighbor_id", F.floor(F.col("__d") * 1e6).alias("dist_e6"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured payloads: JSON extraction + Spark 4 VARIANT
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_payload_extract",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id,
+        '{"id":' || doc_id || ',"lang":"' || lang || '","src":"' || source
+          || '","meta":{"n":' || n_chars || ',"flags":["keep","' || lang
+          || '"]}}' AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(json_extract_string(payload, '$.id') AS BIGINT) AS id,
+      json_extract_string(payload, '$.lang') AS lang,
+      json_extract_string(payload, '$.src') AS src,
+      CAST(json_extract_string(payload, '$.meta.n') AS BIGINT) AS meta_n,
+      json_extract_string(payload, '$.meta.flags[1]') AS flag1
+    FROM payloads
+    WHERE json_extract_string(payload, '$.lang') = 'en'
+    """,
+)
+def q_json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion: each row carries a JSON payload
+    (synthesized deterministically by CONCAT on both engines, so the
+    bytes match and only the PARSERS are under test); fields extract
+    back out typed — including a nested object and an array index —
+    and a filter runs on an extracted field.
+
+    Three Spark access paths exercised, all scan-side expressions:
+    ``get_json_object`` (string JSONPath), ``from_json`` with an
+    explicit schema (typed struct access for the nested object), and
+    Spark 4 VARIANT (``parse_json`` + ``variant_get``) for the array
+    element — the open-schema path a real event feed needs when
+    payloads evolve.  At scale all three are per-row parses; a hot
+    field should be materialized once per stage (same CSE rule as
+    PERF.md's signal-staging note) rather than re-parsed per
+    expression — done here via a staged projection."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit('{"id":'),
+        F.col("doc_id"),
+        F.lit(',"lang":"'),
+        F.col("lang"),
+        F.lit('","src":"'),
+        F.col("source"),
+        F.lit('","meta":{"n":'),
+        F.col("n_chars"),
+        F.lit(',"flags":["keep","'),
+        F.col("lang"),
+        F.lit('"]}}'),
+    )
+    staged = d.select("doc_id", payload.alias("payload"))
+    meta_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("flags", ArrayType(StringType())),
+        ]
+    )
+    parsed = staged.select(
+        "doc_id",
+        "payload",
+        F.get_json_object("payload", "$.id").cast("bigint").alias("id"),
+        F.get_json_object("payload", "$.lang").alias("lang"),
+        F.get_json_object("payload", "$.src").alias("src"),
+        F.from_json(
+            F.get_json_object("payload", "$.meta"), meta_schema
+        ).alias("__meta"),
+        F.try_variant_get(
+            F.parse_json(F.col("payload")), "$.meta.flags[1]", "string"
+        ).alias("flag1"),
+    )
+    return parsed.filter(F.col("lang") == "en").select(
+        "doc_id",
+        "id",
+        "lang",
+        "src",
+        F.col("__meta")["n"].alias("meta_n"),
+        "flag1",
+    )
