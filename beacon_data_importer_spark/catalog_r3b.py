@@ -1145,3 +1145,70 @@ def q_json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__meta")["n"].alias("meta_n"),
         "flag1",
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (Spark 4 lateral table function)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flatmap_attempts_udtf",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS orderkey,
+        CASE WHEN o_orderpriority = '1-URGENT' THEN 3
+             WHEN o_orderpriority = '2-HIGH' THEN 2
+             WHEN o_orderpriority = '3-MEDIUM' THEN 1
+             ELSE 0 END AS cnt,
+        CASE WHEN o_orderstatus = 'F' THEN 'phone_success'
+             WHEN o_orderpriority = '1-URGENT' THEN 'phone_message'
+             ELSE 'phone_failure' END AS category
+      FROM orders
+    )
+    SELECT orderkey, category, CAST(u + 1 AS INT) AS attempt_number
+    FROM (SELECT orderkey, category, unnest(range(cnt)) AS u FROM base) t
+    """,
+)
+def q_flatmap_attempts_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rowmapmany generator (G1/G2) expressed as a Spark 4 PYTHON
+    UDTF in a LATERAL join — the general escape hatch when a row
+    generator is genuinely imperative (API calls, recursive descent)
+    and can't be a ``posexplode`` expression.  Same oracle as
+    ``flatmap_attempts``: the two formulations are interchangeable by
+    construction, and the catalog carries both so the plan audit shows
+    the cost difference (UDTF = Python worker round-trip per batch —
+    BatchEvalPythonUDTF in the plan — vs the codegen'd explode;
+    prefer the expression form wherever semantics allow, SURVEY
+    §2.10)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="attempt_number: int")
+    class AttemptGen:
+        def eval(self, cnt):
+            for i in range(int(cnt or 0)):
+                yield (i + 1,)
+
+    spark.udtf.register("attempt_gen", AttemptGen)
+    o = read_table(spark, sf_dir, "orders")
+    cnt = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 3)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(0)
+    )
+    category = (
+        F.when(F.col("o_orderstatus") == "F", "phone_success")
+        .when(F.col("o_orderpriority") == "1-URGENT", "phone_message")
+        .otherwise("phone_failure")
+    )
+    o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        cnt.alias("cnt"),
+        category.alias("category"),
+    ).createOrReplaceTempView("__flatmap_base")
+    return spark.sql(
+        "SELECT orderkey, category, attempt_number "
+        "FROM __flatmap_base, LATERAL attempt_gen(cnt)"
+    )
