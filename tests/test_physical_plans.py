@@ -246,3 +246,34 @@ def test_q19_disjunction_is_broadcast_no_cartesian(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_all_catalog_plans_stay_jvm_side(spark, sf_dir):
+    """Whole-catalog structural guard: no query's plan may contain a
+    Python evaluation node or a cartesian product unless it is on the
+    documented allowlist — the 'UDFs are the slow path' rule as CI.
+    (Broadcast nested-loop joins of 1-row bounds frames are fine and
+    not counted; this catches accidental row-at-a-time UDFs and
+    unconstrained joins sneaking into new queries.)"""
+    PYTHON_SANCTIONED = {
+        "multimodal_decode",        # Arrow mapInPandas by design (stub codecs)
+        "multimodal_frame_stats",   # same surface
+        "grouped_zscore_pandas",    # exists to MEASURE the escape hatch
+        "pack_bins_bestfit",        # sequential placement loop (ROWS_ONLY)
+        "flatmap_attempts_udtf",    # exists to demonstrate the UDTF path
+    }
+    py_markers = (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "FlatMapGroupsInPandas",
+        "MapInPandas",
+        "EvalPythonUDTF",
+    )
+    offenders: dict[str, str] = {}
+    for name, fn in entrymod.queries().items():
+        txt = plan_of(fn(spark, sf_dir))
+        if name not in PYTHON_SANCTIONED and any(m in txt for m in py_markers):
+            offenders[name] = "python_eval"
+        if "CartesianProduct" in txt:
+            offenders[name] = "cartesian_product"
+    assert not offenders, f"non-sanctioned plan features: {offenders}"
