@@ -1212,3 +1212,160 @@ def q_flatmap_attempts_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT orderkey, category, attempt_number "
         "FROM __flatmap_base, LATERAL attempt_gen(cnt)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned-codebook PQ: per-subspace k-means codewords (closes the
+# "sampled codebook" simplification the PQ tier documented)
+# ---------------------------------------------------------------------------
+
+_PQK_M = 8      # subspaces
+_PQK_K = 16     # codewords per subspace (k of each k-means)
+_PQK_DSUB = 8   # dims per subspace
+_PQK_ITERS = 2  # Lloyd iterations per subspace
+_PQK_SHORT = 100
+
+
+def _duck_pq_kmeans_oracle() -> str:
+    """Per-subspace Lloyd chains (the kmeans_clusters oracle device,
+    once per subspace) feeding the PQ enc/dt/score/re-rank chain."""
+    def d2(a: str, b: str) -> str:
+        diff = (
+            f"list_transform(range({_PQK_DSUB}), j -> ({a})[j+1] - ({b})[j+1])"
+        )
+        return f"list_dot_product({diff}, {diff})"
+
+    parts = [
+        "emb AS MATERIALIZED "
+        "(SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)"
+    ]
+    for j in range(_PQK_M):
+        lo, hi = j * _PQK_DSUB + 1, j * _PQK_DSUB + _PQK_DSUB
+        parts.append(
+            f"s{j}e AS MATERIALIZED "
+            f"(SELECT vec_id, ev[{lo}:{hi}] AS sv FROM emb)"
+        )
+        parts.append(f"""s{j}c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             sv AS v
+      FROM s{j}e ORDER BY vec_id LIMIT {_PQK_K})""")
+        for t in range(1, _PQK_ITERS + 1):
+            p = t - 1
+            parts.append(f"""s{j}a{t} AS MATERIALIZED (
+      SELECT e.vec_id, e.sv, c.cid AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {d2("e.sv", "c.v")}, c.cid) AS rn
+      FROM s{j}e e, s{j}c{p} c)""")
+            parts.append(f"""s{j}m{t} AS MATERIALIZED (
+      SELECT a.cluster, t.i, avg((a.sv)[t.i+1]) AS m
+      FROM (SELECT * FROM s{j}a{t} WHERE rn = 1) a, range({_PQK_DSUB}) t(i)
+      GROUP BY a.cluster, t.i)""")
+            parts.append(f"""s{j}c{t} AS MATERIALIZED (
+      SELECT cluster AS cid, list(m ORDER BY i) AS v
+      FROM s{j}m{t} GROUP BY cluster
+      UNION ALL
+      SELECT cid, v FROM s{j}c{p}
+      WHERE cid NOT IN (SELECT DISTINCT cluster FROM s{j}m{t}))""")
+    cw_union = " UNION ALL ".join(
+        f"SELECT {j} AS s, cid AS c, v AS w FROM s{j}c{_PQK_ITERS}"
+        for j in range(_PQK_M)
+    )
+    parts.append(f"cw AS MATERIALIZED ({cw_union})")
+    sub = f"e.ev[cw.s*{_PQK_DSUB}+1 : cw.s*{_PQK_DSUB}+{_PQK_DSUB}]"
+    qsub = f"q.qv[cw.s*{_PQK_DSUB}+1 : cw.s*{_PQK_DSUB}+{_PQK_DSUB}]"
+    parts.append(f"""enc AS MATERIALIZED (
+      SELECT vec_id, s, c FROM (
+        SELECT e.vec_id, cw.s, cw.c,
+               row_number() OVER (PARTITION BY e.vec_id, cw.s
+                                  ORDER BY {d2(sub, "cw.w")}, cw.c) AS rn
+        FROM emb e, cw
+      ) t WHERE rn = 1)""")
+    parts.append("q AS (SELECT ev AS qv FROM emb WHERE vec_id = 0)")
+    parts.append(
+        f"dt AS MATERIALIZED "
+        f"(SELECT cw.s, cw.c, {d2(qsub, 'cw.w')} AS d FROM cw, q)"
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    scored AS (
+      SELECT e.vec_id,
+             list_reduce(list(dt.d ORDER BY dt.s), (x, y) -> x + y) AS ad
+      FROM enc e JOIN dt ON dt.s = e.s AND dt.c = e.c
+      WHERE e.vec_id != 0
+      GROUP BY e.vec_id
+    ),
+    short AS (SELECT vec_id FROM scored
+              ORDER BY ad, vec_id LIMIT {_PQK_SHORT}),
+    rer AS (
+      SELECT e.vec_id,
+             list_dot_product(
+               list_transform(range(64), j -> e.ev[j+1] - q.qv[j+1]),
+               list_transform(range(64), j -> e.ev[j+1] - q.qv[j+1])) AS d
+      FROM emb e JOIN short ON e.vec_id = short.vec_id, q
+    )
+    SELECT vec_id AS neighbor_id, CAST(floor(d * 1e6) AS BIGINT) AS dist_e6
+    FROM rer ORDER BY d, vec_id LIMIT 10
+    """
+
+
+@query(
+    "pq_kmeans_search_rerank",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle=_duck_pq_kmeans_oracle(),
+)
+def q_pq_kmeans_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with a LEARNED codebook: one deterministic Lloyd k-means per
+    subspace (init = the K lowest-id subvectors, fixed iterations) fits
+    the codewords the sampled-codebook tier documented as the
+    production path — this is how FAISS trains IVFPQ codebooks
+    (Jégou et al. 2011 §III; k-means per subquantizer).
+
+    The M fits are driver-orchestrated loops over TINY state (K×DSUB
+    means per round, same bounded-collect shape as
+    operators/kmeans.py); the learned (s, c, w) entries pack into the
+    same 1-row broadcast ``__cb`` the sampled path uses
+    (``packed_codebook``), so encode/ADC/re-rank reuse the proven
+    operators unchanged.  The oracle replays all eight Lloyd chains
+    (the kmeans_clusters CTE device, once per subspace) and then the
+    PQ chain — early convergence on the Spark side is value-safe
+    because a converged centroid set is a fixed point of further
+    oracle iterations."""
+    from .operators.kmeans import kmeans_fit
+    from .operators.pq import pq_search_rerank
+
+    e = read_table(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    entries = []
+    for j in range(_PQK_M):
+        sub = ev.select(
+            "vec_id",
+            F.slice("ev", j * _PQK_DSUB + 1, _PQK_DSUB).alias("embedding"),
+        )
+        centroids, _ = kmeans_fit(
+            sub, k=_PQK_K, max_iter=_PQK_ITERS
+        )
+        entries += [
+            (j, cid, [float(x) for x in vec]) for cid, vec in centroids
+        ]
+    cb_row = (
+        spark.createDataFrame(entries, "s int, c int, w array<double>")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("s", "c", "w"))
+            ).alias("__cb")
+        )
+    )
+    q = e.filter(F.col("vec_id") == 0)
+    return pq_search_rerank(
+        e,
+        q,
+        k=10,
+        shortlist=_PQK_SHORT,
+        n_subspaces=_PQK_M,
+        n_codes=_PQK_K,
+        exclude_id=0,
+        packed_codebook=cb_row,
+    )

@@ -77,6 +77,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook_source: DataFrame | None = None,
+    packed_codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus → (id, codes) where ``codes[s]`` is the id of the nearest
     codeword (squared L2, ties to the lowest code) for subvector s.
@@ -89,9 +90,13 @@ def pq_encode(
     (e.g. the probed IVF cells) against the codebook trained on the
     full corpus — required whenever ``corpus`` might not contain the
     sample rows the codebook derives from.  Defaults to ``corpus``.
+    ``packed_codebook`` overrides sampling entirely with a prebuilt
+    1-row ``__cb`` frame (e.g. k-means-learned codewords).
     """
     cb = F.broadcast(
-        _packed_codebook(
+        packed_codebook
+        if packed_codebook is not None
+        else _packed_codebook(
             codebook_source if codebook_source is not None else corpus,
             n_subspaces,
             n_codes,
@@ -139,6 +144,7 @@ def pq_search(
     vec_col: str = "embedding",
     exclude_id: int | None = None,
     codebook_source: DataFrame | None = None,
+    packed_codebook: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: score every encoded corpus vector against ONE query
     vector via its per-subspace distance table, return the k nearest by
@@ -155,12 +161,22 @@ def pq_search(
     """
     cb_src = codebook_source if codebook_source is not None else corpus
     encoded = pq_encode(
-        corpus, n_subspaces, n_codes, id_col, vec_col, codebook_source=cb_src
+        corpus,
+        n_subspaces,
+        n_codes,
+        id_col,
+        vec_col,
+        codebook_source=cb_src,
+        packed_codebook=packed_codebook,
     )
     if exclude_id is not None:
         encoded = encoded.filter(F.col(id_col) != exclude_id)
 
-    cb = _packed_codebook(cb_src, n_subspaces, n_codes, id_col, vec_col)
+    cb = (
+        packed_codebook
+        if packed_codebook is not None
+        else _packed_codebook(cb_src, n_subspaces, n_codes, id_col, vec_col)
+    )
     d_sub = (F.size("__qvec") / n_subspaces).cast("int")
     qrow = query.select(F.col(vec_col).cast("array<double>").alias("__qvec"))
     # __dt[s*K + c + 1] = ||q_sub(s) - w(s,c)||²  (same (s,c) order as __cb)
@@ -210,6 +226,7 @@ def pq_search_rerank(
     vec_col: str = "embedding",
     exclude_id: int | None = None,
     codebook_source: DataFrame | None = None,
+    packed_codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage PQ search: ADC shortlist → exact squared-L2 re-rank.
 
@@ -238,6 +255,7 @@ def pq_search_rerank(
         vec_col=vec_col,
         exclude_id=exclude_id,
         codebook_source=codebook_source,
+        packed_codebook=packed_codebook,
     ).select(F.col("neighbor_id").alias(id_col))
 
     qrow = F.broadcast(
