@@ -33,7 +33,8 @@ def features(txt: str) -> dict:
         "take_ordered": "TakeOrderedAndProject" in txt,
         "python_evals": txt.count("ArrowEvalPython")
         + txt.count("FlatMapGroupsInPandas")
-        + txt.count("MapInPandas"),
+        + txt.count("MapInPandas")
+        + txt.count("EvalPythonUDTF"),
         "whole_stage_codegen": "WholeStageCodegen" in txt or "codegen id" in txt,
     }
 
