@@ -245,6 +245,44 @@ def main() -> None:
         len(set(exact_l2) & set(ivfpqr_ids)) / max(len(exact_l2), 1), 3
     )
 
+    # Multi-query recall: the single-query numbers above move in 0.1
+    # steps (one neighbor of ten), so pq_recall_mq averages PQ re-rank
+    # recall over three query vectors via the operator API — the
+    # robustness check that a good single-query number isn't luck.
+    from beacon_data_importer_spark.operators.pq import pq_search_rerank
+
+    n_vecs_total = emb.count()
+    mq_recalls = []
+    for qid in (0, 7, 123):
+        if qid >= n_vecs_total:
+            continue
+        qrow = emb.filter(f"vec_id = {qid}")
+        qv_i = qrow.select(
+            F.col("embedding").cast("array<double>").alias("__q")
+        )
+        exact_i = [
+            r.vec_id
+            for r in emb.crossJoin(F.broadcast(qv_i))
+            .filter(f"vec_id != {qid}")
+            .select(
+                "vec_id",
+                _sq_dist(
+                    F.col("embedding").cast("array<double>"), F.col("__q")
+                ).alias("__d"),
+            )
+            .orderBy("__d", "vec_id")
+            .limit(10)
+            .collect()
+        ]
+        got_i = [
+            r.neighbor_id
+            for r in pq_search_rerank(
+                emb, qrow, k=10, shortlist=200, exclude_id=qid
+            ).collect()
+        ]
+        mq_recalls.append(len(set(exact_i) & set(got_i)) / max(len(exact_i), 1))
+    pq_recall_mq = round(sum(mq_recalls) / max(len(mq_recalls), 1), 3)
+
     # Peak JVM heap across executors (single-JVM locally): the "does it
     # fit in executor memory at this SF" signal next to spill bytes.
     peak_heap = None
@@ -293,6 +331,7 @@ def main() -> None:
                     "pq_adc_recall_at_10": pq_adc_recall,
                     "ivfpq_recall_at_10": ivfpq_recall,
                     "ivfpq_residual_recall_at_10": ivfpqr_recall,
+                    "pq_recall_at_10_3q_mean": pq_recall_mq,
                 },
                 # Bytes written to shuffle per query (warm run, all stages).
                 # Scale-safety signal: aggregations should shuffle O(groups),
