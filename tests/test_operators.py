@@ -466,3 +466,66 @@ def test_pii_redact_edge_cases(spark):
     assert tuple(rows[2][1]) == (1, 1, 1)
     # short dotted numbers are neither IPs nor phones
     assert rows[3][0] == "version 1.2 costs 10.50 not an ip"
+
+
+def test_text_and_dedup_operators_survive_edge_case_docs(spark):
+    """Adversarial inputs through the whole scan-side text/dedup
+    surface: empty text, whitespace-only, one token, unicode,
+    repetition soup, a 2000-token monster.  No exceptions, and every
+    bounded signal stays in range — the guard that a 100 TB run's
+    weird tail rows can't kill a stage."""
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.operators import dedup as DD
+    from beacon_data_importer_spark.operators import text as TX
+    from beacon_data_importer_spark.operators.text import _ntoks, _tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, "one"),
+            (4, "héllo wörld ünïcode tökens ärë fïne"),
+            (5, "dup dup dup dup dup dup dup dup dup dup"),
+            (6, " ".join(f"tok{i % 97}" for i in range(2000))),
+            (7, "\t tab\tand\nnewline  mixed   spacing \n"),
+        ],
+        ["doc_id", "text"],
+    )
+    t = F.col("__toks")
+    sig = docs.select(
+        "doc_id",
+        _tokens("text").alias("__toks"),
+    ).select(
+        "doc_id",
+        _ntoks(t).alias("n"),
+        TX.mean_word_length_t(t).alias("mwl"),
+        TX.alpha_word_fraction_t(t).alias("awf"),
+        TX.dup_token_fraction_t(t).alias("dtf"),
+        TX.top_ngram_char_fraction_t(t, 2).alias("t2g"),
+    )
+    for r in sig.collect():
+        assert r.n >= 0
+        assert 0.0 <= r.awf <= 1.0, r
+        assert 0.0 <= r.dtf <= 1.0, r
+        assert 0.0 <= r.t2g <= 1.0, r
+        if r.doc_id in (1, 2):
+            assert r.n == 0 and r.mwl == 0.0
+
+    sigs = DD.minhash_signatures(docs, "text", "doc_id", 16)
+    rows = sigs.collect()
+    assert len(rows) == 7
+    assert all(len(r.sig) == 16 for r in rows)
+    bands = DD.lsh_bands(sigs, 4, 4)
+    assert bands.count() == 7 * 4
+    # pairing must not blow up or pair the empty/whitespace docs with
+    # real content (their shingle fallback is the trimmed text itself)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in DD.lsh_candidate_pairs(sigs, 4, 4, 50).collect()
+    }
+    assert (1, 2) in pairs  # "" and "   " both canonicalize to ''
+    assert all(a in (1, 2) and b in (1, 2) for a, b in pairs if a <= 2 and b <= 2)
+
+    fps = DD.exact_dedup(docs, "text", "doc_id").collect()
+    assert sum(r.dup_count for r in fps) == 7
