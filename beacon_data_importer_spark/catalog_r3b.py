@@ -714,9 +714,9 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset-derived codebook would silently change the code geometry.
 
     Simplification vs FAISS: codes quantize raw vectors, not
-    per-cell residuals (residual PQ needs per-cell distance tables —
-    nprobe × M × K — which the packed-broadcast layout supports but the
-    sampled codebook makes pointless on this synthetic corpus).
+    per-cell residuals — see ``ivfpq_residual_search`` for the full
+    residual semantics (per-cell ADC tables); bench reports both
+    recalls so the tradeoff is measured, not asserted.
 
     Plan: centroid table broadcasts (bounded), cell assignment is the
     map-only fold (similarity.assign_cells), candidate filter is a

@@ -8,7 +8,10 @@ Spark-first translation: compute the repeat count with a ``when`` chain,
 then ``posexplode(array_repeat(...))`` — a narrow, codegen'd operation.
 No Python UDTF is needed for the reference surface; ``mapInPandas``
 remains the generic escape hatch for arbitrary row generators (see
-operators/multimodal.py for that pattern).
+operators/multimodal.py for that pattern), and catalog_r3b's
+``flatmap_attempts_udtf`` demonstrates the Spark 4 lateral-UDTF form of
+this same generator for the genuinely-imperative case — same oracle,
+Python-worker cost visible in the plan audit.
 """
 
 from __future__ import annotations

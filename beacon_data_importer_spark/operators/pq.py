@@ -19,10 +19,13 @@ At 100 TB the codes frame (M bytes per vector instead of D floats) is
 what you'd persist and scan — a 32× payload reduction at D=64/M=8
 float64 — with exact re-ranking of the PQ top-R as a second pass.
 
-Codewords here are deterministic samples (the subvectors of the K
+Codewords default to deterministic samples (the subvectors of the K
 lowest-id corpus rows) so the exact computation is replayable as a SQL
-oracle; a production build fits them with per-subspace k-means
-(operators/kmeans.py is the in-repo fit loop).
+oracle; the per-subspace k-means TRAINED codebook a production build
+uses is implemented too — catalog_r3b's ``pq_kmeans_search_rerank``
+fits one Lloyd loop per subspace (operators/kmeans.py) and passes the
+learned codewords through ``packed_codebook``, oracle-replayed
+end-to-end.
 """
 
 from __future__ import annotations
