@@ -83,3 +83,39 @@ def approx_quantiles(
             F.lit(accuracy),
         ).alias("q")
     )
+
+
+def approx_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 10,
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Approximate top-k heavy hitters (Spark 4 ``approx_top_k``,
+    space-saving style: bounded ``max_items_tracked`` state regardless
+    of cardinality — the stream-summary structure that makes "top
+    tokens over 100 TB" a single bounded aggregation instead of a full
+    count-all-then-sort).
+
+    When the input's distinct count fits inside ``max_items_tracked``
+    the counts are EXACT (the test pins this); past capacity they are
+    upper-bound estimates, like every space-saving sketch.  Output:
+    (item, cnt) rows re-sorted deterministically (cnt desc, item asc) —
+    the sketch's own tie order is unspecified.
+
+    Engine-specific estimates → no DuckDB oracle, same documented
+    policy as the HLL/GK sketches (catalog.py ROWS_ONLY rationale).
+    """
+    sk = df.agg(
+        F.expr(
+            f"approx_top_k({value_col}, {int(k)}, {int(max_items_tracked)})"
+        ).alias("__tk")
+    )
+    return (
+        sk.select(F.explode("__tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("item"))
+    )

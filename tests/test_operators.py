@@ -529,3 +529,29 @@ def test_text_and_dedup_operators_survive_edge_case_docs(spark):
 
     fps = DD.exact_dedup(docs, "text", "doc_id").collect()
     assert sum(r.dup_count for r in fps) == 7
+
+
+def test_approx_heavy_hitters_exact_within_capacity(spark):
+    """Within sketch capacity the space-saving counts are exact: top-k
+    tokens from approx_top_k must equal the exact count-and-sort."""
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.operators.sketch import (
+        approx_heavy_hitters,
+    )
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    got = [(r.item, r.cnt) for r in approx_heavy_hitters(toks, "tok", k=5).collect()]
+    want = [
+        (r.tok, r.cnt)
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(5)
+        .collect()
+    ]
+    assert got == want
