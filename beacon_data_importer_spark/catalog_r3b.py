@@ -1369,3 +1369,53 @@ def q_pq_kmeans_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclude_id=0,
         packed_codebook=cb_row,
     )
+
+
+# ---------------------------------------------------------------------------
+# Large-star/small-star connected components (second converged-CC
+# algorithm — cross-validates pointer jumping under the same oracle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "entity_components_star",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT l.c_custkey AS a, r.c_custkey AS b
+      FROM customer l JOIN customer r
+        ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+      WHERE levenshtein(l.c_name, r.c_name) <= 2),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs),
+    reach(v, lbl) AS (
+      SELECT DISTINCT src AS v, src AS lbl FROM edges
+      UNION
+      SELECT e.src AS v, r.lbl
+      FROM reach r JOIN edges e ON e.dst = r.v
+      WHERE r.lbl < e.src
+    )
+    SELECT v AS custkey, min(lbl) AS cluster_id FROM reach GROUP BY v
+    """,
+)
+def q_entity_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME converged entity components as ``entity_components``,
+    computed by the OTHER algorithm: large-star/small-star edge
+    contraction (Kiveris et al. SoCC'14) instead of pointer jumping.
+    Converged labels are algorithm-independent (component minimum), so
+    both queries share one recursive-CTE oracle and the driver gate
+    cross-validates the algorithms against each other.  Star
+    contraction carries only edge lists between rounds (no per-vertex
+    label frame), which is the shape that wins when components are
+    huge and labels would dwarf the contracted edges."""
+    from .operators.graph import star_connected_components
+
+    from .plans.er import customer_fuzzy_pairs
+
+    pairs = customer_fuzzy_pairs(spark, sf_dir).select("a", "b")
+    labels = star_connected_components(symmetrize(pairs, "a", "b"))
+    return labels.select(
+        F.col("v").alias("custkey"), F.col("lbl").alias("cluster_id")
+    )

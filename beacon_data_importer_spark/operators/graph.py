@@ -197,3 +197,98 @@ def connected_components(
                 import shutil
 
                 shutil.rmtree(tmp, ignore_errors=True)
+
+
+def star_connected_components(
+    edges: DataFrame, max_rounds: int = 40, mem_rounds: int = 8
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the diameter-robust formulation the
+    pointer-jumping docstring cites as the canonical cluster-scale
+    alternative.  Both operations are one groupBy-min plus one join per
+    application, every intermediate is an EDGE LIST (never per-vertex
+    label state carried through joins), and the paper proves
+    convergence in O(log² n) rounds with monotone total edge weight.
+
+        large-star(u): connect every neighbor v > u to m = min(N(u)∪{u})
+        small-star(u): connect every neighbor v ≤ u (and u) to m
+
+    On convergence the edge set is a union of stars centered at each
+    component's minimum; labels read off as each vertex's minimum
+    neighbor.  Output (v, lbl) for every vertex of the input edge list
+    — identical by definition to ``connected_components`` (both
+    converge to component-minimum labels), so the two implementations
+    cross-validate and share oracles.
+
+    Round materialization follows the same hybrid as
+    ``connected_components``: localCheckpoint for the first
+    ``mem_rounds``, then per-round parquet via localCheckpoint fallback
+    (edge lists here stay small after contraction, so memory rounds
+    normally suffice).  Convergence detection: the canonical edge
+    multiset's (count, sum) pair is stable — two scalar aggs per round.
+    """
+    spark = edges.sparkSession
+
+    def canon(e: DataFrame) -> DataFrame:
+        """Undirected canonical form (lo, hi), self-loops dropped."""
+        lo = F.least("src", "dst")
+        hi = F.greatest("src", "dst")
+        return (
+            e.filter(F.col("src") != F.col("dst"))
+            .select(lo.alias("src"), hi.alias("dst"))
+            .distinct()
+        )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        """One star operation over the symmetric closure of ``e``."""
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        j = sym.join(m, "src")
+        cond = (
+            F.col("dst") > F.col("src") if large else F.col("dst") <= F.col("src")
+        )
+        out = j.filter(cond).select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        # the small-star also re-attaches u itself to its minimum
+        if not large:
+            out = out.unionByName(
+                m.select(F.col("src"), F.col("m").alias("dst"))
+            )
+        return canon(out)
+
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = canon(edges).localCheckpoint()
+
+    def sig(e: DataFrame):
+        r = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("src") + F.col("dst")).alias("s"),
+        ).first()
+        return (r["c"], r["s"])
+
+    prev = sig(e)
+    for i in range(max_rounds):
+        e = star(star(e, large=True), large=False).localCheckpoint()
+        cur = sig(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # read labels off the star forest: min neighbor (or self for the
+    # centers / isolated vertices)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nmin = sym.groupBy(F.col("src").alias("v")).agg(F.min("dst").alias("n"))
+    return verts.join(nmin, "v", "left").select(
+        "v", F.least(F.coalesce("n", "v"), F.col("v")).alias("lbl")
+    )

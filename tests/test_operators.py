@@ -555,3 +555,37 @@ def test_approx_heavy_hitters_exact_within_capacity(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_star_cc_matches_pointer_jump_cc(spark):
+    """Large-star/small-star contraction and pointer-jumping CC must
+    produce identical component-minimum labels — two independent
+    algorithms cross-validating on a seeded random graph plus a long
+    path (the diameter-stress case)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.operators.graph import (
+        connected_components,
+        star_connected_components,
+        symmetrize,
+    )
+
+    rng = random.Random(7)
+    pairs = {(rng.randrange(0, 400), rng.randrange(0, 400)) for _ in range(300)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    # long path 1000..1020 (diameter 20)
+    pairs += [(1000 + i, 1000 + i + 1) for i in range(20)]
+    e = symmetrize(
+        spark.createDataFrame(pairs, ["a", "b"]), "a", "b"
+    )
+    jump = {
+        (r.v, r.lbl) for r in connected_components(e).collect()
+    }
+    star = {
+        (r.v, r.lbl) for r in star_connected_components(e).collect()
+    }
+    assert star == jump
+    # the path collapses to one component labeled 1000
+    assert all(l == 1000 for v, l in star if v >= 1000)
