@@ -1419,3 +1419,48 @@ def q_entity_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("v").alias("custkey"), F.col("lbl").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_sample_docs",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+        pow(
+          (CAST(('0x' || substring(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 13))
+                AS BIGINT) + 1.0) / 4503599627370498.0,
+          1.0 / CAST(n_chars AS DOUBLE)
+        ) AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars FROM keyed
+    ORDER BY k DESC, doc_id LIMIT 100
+    """,
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 documents sampled WITHOUT replacement with probability
+    proportional to length: the Efraimidis-Spirakis reservoir key
+    (``u^(1/w)``, deterministic md5-derived u) computed scan-side, the
+    selection one bounded TakeOrdered — the primitive behind "sample N
+    docs by token budget" that stays a single pass at any corpus size.
+    The deterministic u makes the draw reproducible AND oracle-able;
+    both engines compute the identical key expression."""
+    from .operators.sampling import weighted_sample_keys
+
+    d = read_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        weighted_sample_keys("doc_id", "n_chars").alias("__k"),
+    )
+    return (
+        keyed.orderBy(F.col("__k").desc(), F.col("doc_id"))
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )

@@ -369,3 +369,34 @@ def mixture_sample(
         portable_hash64(F.col(id_col).cast("string"), seed=seed) % 10000
     ) < rate
     return df.filter(keep)
+
+
+def weighted_sample_keys(
+    id_col: Column | str,
+    weight_col: Column | str,
+    seed: str = "ws",
+) -> Column:
+    """Efraimidis-Spirakis weighted-reservoir key: ``u^(1/w)`` with a
+    DETERMINISTIC uniform u derived from the id's md5 (52 mantissa-safe
+    bits), so the "random" sample is reproducible across runs, engines,
+    and partitionings — the same rationale as ``split_assign``.
+
+    Taking the k LARGEST keys yields a weighted sample WITHOUT
+    replacement where P(i first) = w_i / Σw (Efraimidis & Spirakis
+    2006, "Weighted random sampling with a reservoir") — the one-pass,
+    shuffle-once primitive for "sample 1M docs proportional to length"
+    at any scale: key computation is scan-side, selection is a bounded
+    TakeOrdered.
+    """
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + "|"), idc.cast("string"))), 1, 13),
+            16,
+            10,
+        ).cast("bigint")
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4503599627370498.0)  # (h+1) / (2^52+2): u in (0,1) open
+    return F.pow(u, F.lit(1.0) / wc.cast("double"))

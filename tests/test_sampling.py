@@ -269,3 +269,26 @@ def test_mixture_sample_config_default_rate(spark):
     n_other = sum(1 for r in both if r.source == "other")
     assert sum(1 for r in both if r.source == "cfg") == 1000
     assert 150 <= n_other <= 350, n_other
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """The Efraimidis-Spirakis sample must (a) be deterministic, (b)
+    never repeat a row (without replacement by construction), and (c)
+    skew heavier than the corpus — length-proportional sampling."""
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.catalog_r3b import q_weighted_sample_docs
+    from tests.conftest import SF_DIR
+
+    s1 = [(r.doc_id, r.n_chars) for r in q_weighted_sample_docs(spark, SF_DIR).collect()]
+    s2 = [(r.doc_id, r.n_chars) for r in q_weighted_sample_docs(spark, SF_DIR).collect()]
+    assert s1 == s2, "deterministic draw"
+    ids = [i for i, _ in s1]
+    assert len(ids) == len(set(ids)), "without replacement"
+    corpus_mean = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    sample_mean = sum(n for _, n in s1) / len(s1)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
