@@ -109,8 +109,9 @@ def _docs_parallel(
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures over word-3-gram shingles (narrow, no shuffle;
     fixed-size signatures regardless of doc size)."""
-    d = _docs_parallel(spark, sf_dir)
-    sig = DD.minhash_signatures(d, "text", "doc_id", NUM_HASHES)
+    from .plans.corpus_lsh import corpus_signatures
+
+    sig = corpus_signatures(spark, sf_dir)
     return sig.select(
         F.col("id").alias("doc_id"),
         F.concat_ws(
@@ -153,13 +154,15 @@ def _duck_band_exprs() -> str:
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs with estimated Jaccard —
     the O(n²)-avoiding scale path (shuffle on (band,bucket) only)."""
-    d = _docs_parallel(spark, sf_dir)
-    # The signature frame feeds 6 plan branches (banding, bucket sizing,
-    # the pair self-join, and both similarity probes) — persist it so the
-    # shingle+hash work runs once.  At warehouse scale this is "write the
-    # signature table once, reuse it"; locally MEMORY_AND_DISK.
-    sigs = DD.minhash_signatures(d, "text", "doc_id", NUM_HASHES).persist()
-    pairs = DD.lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND, MAX_BUCKET)
+    # Signatures and pairs come from the shared corpus-LSH stage
+    # (plans/corpus_lsh.py): materialized once per session, consumed by
+    # every near-dup query — the ER-staging pattern applied to the
+    # document tier, so the marginal cost here is the similarity probe,
+    # not the signature pass.
+    from .plans.corpus_lsh import corpus_candidate_pairs, corpus_signatures
+
+    sigs = corpus_signatures(spark, sf_dir)
+    pairs = corpus_candidate_pairs(spark, sf_dir)
     sim = DD.minhash_similarity(pairs, sigs)
     return sim.select(
         "id_a", "id_b", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")
@@ -506,11 +509,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     after MinHash estimation): |A∩B| / |A∪B| over distinct word-3-gram
     shingle sets.  Exact set math only runs on same-bucket pairs, never
     all n² — the two-tier (estimate → verify) near-dup pattern."""
-    from .operators.dedup import _shingles, lsh_candidate_pairs, minhash_signatures
+    from .operators.dedup import _shingles
+    from .plans.corpus_lsh import corpus_candidate_pairs
 
     d = _docs_parallel(spark, sf_dir)
-    sigs = minhash_signatures(d, "text", "doc_id", NUM_HASHES).persist()
-    pairs = lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND, MAX_BUCKET)
+    pairs = corpus_candidate_pairs(spark, sf_dir)
 
     shd = d.select(
         F.col("doc_id").alias("id"),

@@ -90,11 +90,12 @@ _DUCK_DOC_CC = f"""
 
 def _doc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Converged CC labels over the LSH near-dup pair graph: (v, lbl)
-    for every doc that appears in at least one candidate pair."""
-    d = _docs_parallel(spark, sf_dir)
-    # One signature pass feeds banding AND (transitively) pairing.
-    sigs = DD.minhash_signatures(d, "text", "doc_id", NUM_HASHES).persist()
-    pairs = DD.lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND, MAX_BUCKET)
+    for every doc that appears in at least one candidate pair.  The
+    pair stream comes from the shared corpus-LSH stage
+    (plans/corpus_lsh.py), so the marginal cost here is the CC rounds."""
+    from .plans.corpus_lsh import corpus_candidate_pairs
+
+    pairs = corpus_candidate_pairs(spark, sf_dir)
     return connected_components(symmetrize(pairs, "id_a", "id_b"))
 
 
