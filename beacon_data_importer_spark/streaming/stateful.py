@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -156,4 +157,71 @@ def streaming_dedup_exact(
     produces).  First arrival wins within a microbatch."""
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         key_cols
+    )
+
+
+NEAR_DUP_SCHEMA = StructType(
+    [
+        StructField("band", LongType(), False),
+        StructField("bucket", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("first_id", LongType(), False),
+    ]
+)
+
+BUCKET_STATE_SCHEMA = StructType([StructField("min_id", LongType(), True)])
+
+
+def streaming_near_dup_flags(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Streaming NEAR-dup detection: MinHash signatures and LSH band
+    keys compute scan-side on the stream (both are narrow expressions,
+    so they run unchanged under Structured Streaming), then per-
+    (band, bucket) state remembers the first doc_id to claim the
+    bucket — every later doc colliding with it is emitted as a
+    near-dup flag ``(band, bucket, doc_id, first_id)``.
+
+    This is the streaming half of ``incremental_dedup``: the batch
+    side anti-joins a staged corpus band table; this operator catches
+    the within-stream duplicate storm with state bounded by the number
+    of DISTINCT buckets (one long per bucket), not by documents seen.
+    A doc colliding in several bands yields several flag rows —
+    consumers ``.select("doc_id").distinct()`` (exactly how the batch
+    ``lsh_candidate_pairs`` consumers dedup across bands).
+    """
+    from ..operators.dedup import lsh_bands, minhash_signatures
+
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes)
+    banded = lsh_bands(sigs, bands, rows_per_band)
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["id"])
+        if not ids:
+            return
+        prev = state.get[0] if state.exists else None
+        first = min(ids) if prev is None else min(prev, min(ids))
+        state.update((first,))
+        dups = sorted(i for i in ids if i != first)
+        if dups:
+            yield pd.DataFrame(
+                [(key[0], key[1], d, first) for d in dups],
+                columns=["band", "bucket", "doc_id", "first_id"],
+            )
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        fn,
+        NEAR_DUP_SCHEMA,
+        BUCKET_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )

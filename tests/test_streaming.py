@@ -377,3 +377,49 @@ def test_streaming_dedup_exact_matches_batch_distinct(spark, tmp_path):
     }
     assert {r.fp for r in got.collect()} == want_fps
     assert got.count() == len(want_fps), "exactly one survivor per fingerprint"
+
+
+def test_streaming_near_dup_flags_match_batch_lsh(spark, tmp_path):
+    """The streaming band-collision detector must flag exactly the docs
+    the BATCH LSH pairing would flag as later-than-first in some bucket
+    (single micro-batch ⇒ identical 'earlier' semantics)."""
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.operators import dedup as DD
+    from beacon_data_importer_spark.streaming.stateful import (
+        streaming_near_dup_flags,
+    )
+
+    rows = []
+    for i in range(40):
+        base = f"alpha beta gamma delta epsilon zeta eta theta grp{i // 4}"
+        # 4 near-identical docs per group (distinct tail token)
+        rows.append((i, base + f" tail{i % 4}"))
+    batch = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "neardup_stream")
+    batch.repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = streaming_near_dup_flags(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_flags")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.table("neardup_flags").collect()}
+
+    sigs = DD.minhash_signatures(batch, "text", "doc_id", 16)
+    bands = DD.lsh_bands(sigs, 4, 4)
+    want = {
+        r.doc_id
+        for r in bands.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .select(F.explode("ids").alias("doc_id"), F.array_min("ids").alias("m"))
+        .filter(F.col("doc_id") != F.col("m"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0, "the planted near-dup groups must collide"
