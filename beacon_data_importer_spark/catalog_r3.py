@@ -4,7 +4,7 @@ the remaining TPC-H query shapes.
 Packing gains the two no-split variants a training-shard builder
 actually chooses between — serpentine balanced binning (SQL-exact,
 oracle-replayed) and hard-capacity best-fit-decreasing (per-shard Arrow
-escape hatch, invariant-tested, catalog ROWS_ONLY) — plus the
+escape hatch, oracle-replayed via a recursive placement CTE) — plus the
 pack-utilization QA histogram.  Sampling gains exact-count stratified
 selection and config-table mixture weights (broadcast-joined, with a
 default-rate fallback).  All new queries are EXTRAS (registered=False):
@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import ROWS_ONLY, cents, query
+from .catalog import cents, query
 from .catalog_ext import _docs_parallel
 from .catalog_r2 import _duck_hash64
 from .sources.parquet import read_table
@@ -117,21 +117,63 @@ def q_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_utilization(packed, budget=512)
 
 
-ROWS_ONLY.add("pack_bins_bestfit")
-
-
 @query(
     "pack_bins_bestfit",
-    registered=False,  # round-3 addition; ROWS_ONLY (no SQL twin — see operator docstring)
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS id,
+        CAST('0x' || substring(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % 8 AS shard,
+        CAST(CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END
+             AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    docs AS (
+      SELECT *, row_number() OVER (PARTITION BY shard
+                                   ORDER BY n_tokens DESC, id) AS rn
+      FROM base
+    ),
+    st(shard, rn, pack_id, rem) AS (
+      SELECT shard, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+             [greatest(512 - n_tokens, 0)]
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn,
+        CASE WHEN f.pos IS NOT NULL THEN CAST(f.pos - 1 AS BIGINT)
+             ELSE CAST(len(s.rem) AS BIGINT) END,
+        CASE WHEN f.pos IS NOT NULL
+             THEN list_transform(range(len(s.rem)),
+                    j -> CASE WHEN j + 1 = f.pos THEN s.rem[j+1] - d.n_tokens
+                         ELSE s.rem[j+1] END)
+             ELSE list_append(s.rem, greatest(512 - d.n_tokens, 0)) END
+      FROM st s
+      JOIN docs d ON d.shard = s.shard AND d.rn = s.rn + 1
+      LEFT JOIN LATERAL (
+        SELECT CASE WHEN d.n_tokens <= 512
+                    THEN list_position(s.rem,
+                           list_min(list_filter(s.rem,
+                                                r -> r >= d.n_tokens)))
+               END AS pos
+      ) f ON true
+    )
+    SELECT d.id AS id, d.shard, d.n_tokens, st.pack_id
+    FROM st JOIN docs d ON d.shard = st.shard AND d.rn = st.rn
+    """,
 )
 def q_pack_bins_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-capacity best-fit-decreasing packing (512-token budget, 8
     hash shards) via the per-shard Arrow escape hatch.  The open-bin
-    placement loop has no SQL twin, so this is a ROWS_ONLY catalog
-    entry; tests/test_sampling.py asserts the invariants (capacity
-    respected, every doc packed exactly once, deterministic under
-    repartitioning, pack count within the BFD bound of the
-    ceil(total/budget) lower bound)."""
+    placement loop is inherently sequential — but it IS deterministic,
+    so the oracle replays it exactly with a per-shard RECURSIVE CTE
+    whose state row carries the open-pack remaining-capacity LIST (one
+    recursion step per placed doc: best pack = first position of the
+    minimum remaining ≥ tokens; no fit or oversize → append a pack).
+    This upgraded the catalog's last ROWS_ONLY entry to a full value
+    oracle; tests/test_sampling.py keeps the BFD invariants (capacity,
+    exactly-once, 11/9·OPT+1 bound) as the semantic checks the hash
+    can't express."""
     from .operators.sampling import pack_bins_bestfit
     from .operators.text import token_count_ws
 
