@@ -455,10 +455,7 @@ _DUCK_3GRAMS = (
 )
 
 
-@query(
-    "corpus_curate",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
-    oracle=f"""
+_DUCK_CURATE_CTES = f"""
     WITH RECURSIVE {_DUCK_GOPHER_KEEP},
     evg AS (
       SELECT DISTINCT unnest({_DUCK_3GRAMS}) AS g
@@ -504,14 +501,23 @@ _DUCK_3GRAMS = (
     m AS (
       SELECT s3.doc_id, coalesce(l.lbl, s3.doc_id) AS cluster_id, s3.n
       FROM s3 LEFT JOIN lab l ON l.v = s3.doc_id
+    ),
+    curated AS (
+      SELECT doc_id, n FROM (
+        SELECT doc_id, n,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n DESC, doc_id) AS rk
+        FROM m
+      ) WHERE rk = 1
     )
-    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens FROM (
-      SELECT doc_id, n,
-             row_number() OVER (PARTITION BY cluster_id
-                                ORDER BY n DESC, doc_id) AS rk
-      FROM m
-    ) WHERE rk = 1
-    """,
+"""
+
+
+@query(
+    "corpus_curate",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle=_DUCK_CURATE_CTES
+    + "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens FROM curated",
 )
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE curation pipeline, one plan — what a pretraining
@@ -1465,3 +1471,64 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("doc_id", "n_chars")
     )
+
+
+@query(
+    "corpus_to_shards",
+    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    oracle=_DUCK_CURATE_CTES
+    + """,
+    cbase AS (
+      SELECT doc_id AS id,
+        CAST('0x' || substring(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % 8 AS shard,
+        CAST(n AS BIGINT) AS n_tokens
+      FROM curated
+    ),
+    ranked AS (
+      SELECT id, shard, n_tokens,
+        row_number() OVER (
+          PARTITION BY shard ORDER BY n_tokens DESC, id
+        ) - 1 AS pos,
+        greatest(CAST(1 AS BIGINT),
+          CAST(floor((sum(n_tokens) OVER (PARTITION BY shard) + 511)
+                     / 512.0) AS BIGINT)) AS n_bins
+      FROM cbase
+    ),
+    packed AS (
+      SELECT id, shard, n_tokens,
+        CAST(CASE WHEN (pos // n_bins) % 2 = 0 THEN pos % n_bins
+                  ELSE n_bins - 1 - (pos % n_bins) END AS BIGINT)
+          AS pack_id
+      FROM ranked
+    ),
+    per_pack AS (
+      SELECT shard, pack_id, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+      FROM packed GROUP BY shard, pack_id
+    )
+    SELECT CAST(floor(pack_tokens * 10 / 512.0) AS BIGINT) AS util_decile,
+           count(*) AS n_packs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(pack_tokens) AS BIGINT) AS sum_tokens
+    FROM per_pack GROUP BY 1
+    """,
+)
+def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw crawl → training shards, the WHOLE prep pipeline in one
+    plan: the four curation tiers (corpus_curate: Gopher quality →
+    decontamination → exact dedup → near-dup cluster-keep) feed the
+    serpentine shard packer at a 512-token budget, and the output is
+    the pack-utilization QA histogram a shard build signs off on.
+
+    This is the end-to-end a reference user would run nightly; every
+    stage is individually oracle-proven and the composition is proven
+    by one oracle replaying curation + packing + QA in sequence.  Plan
+    economics: curation strictly shrinks the corpus before the packing
+    shuffle (one shard exchange for both window passes), and the QA
+    aggregations run over one-row-per-pack frames."""
+    from .operators.sampling import pack_bins_serpentine, pack_utilization
+
+    cur = q_corpus_curate(spark, sf_dir)
+    packed = pack_bins_serpentine(cur, "doc_id", "n_tokens", budget=512)
+    return pack_utilization(packed, budget=512)
