@@ -95,8 +95,11 @@ HEADLINE += [
 R3_SET = list(HEADLINE)
 
 HEADLINE += [
-    # late round-3: full FAISS-semantics residual IVFPQ
+    # late round-3: full FAISS-semantics residual IVFPQ; the raw-crawl ->
+    # training-shards end-to-end; ES weighted sampling
     "ivfpq_residual_search",
+    "corpus_to_shards",
+    "weighted_sample_docs",
 ]
 
 
