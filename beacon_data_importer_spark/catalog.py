@@ -407,6 +407,7 @@ def q_qa_left_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multiway_join_cte",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     WITH cmap AS (
       SELECT c_custkey, n_name
@@ -441,6 +442,7 @@ def q_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "surrogate_returning",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     WITH ins AS (
       SELECT o_orderkey,
@@ -635,6 +637,7 @@ def q_window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_revenue",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
       count(*) AS n_items,

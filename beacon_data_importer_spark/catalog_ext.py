@@ -368,6 +368,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_windowed",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
       count(*) AS n_events,
@@ -483,6 +484,7 @@ _DUCK_SHD = f"list_distinct({_DUCK_SHINGLES.strip()})"
 
 @query(
     "ngram_jaccard_pairs",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle=f"""
     WITH {_duck_minhash_sig_cte()},
     banded AS ({_duck_band_exprs()}),

@@ -282,6 +282,7 @@ def _spark_bucket() -> F.Column:
 
 @query(
     "vector_lsh_near_dup",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding, {_duck_bucket()} AS bucket FROM embeddings
@@ -322,6 +323,7 @@ def q_vector_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ivf_search",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     WITH cent AS (SELECT vec_id AS cell_id, embedding AS cvec
                   FROM embeddings WHERE vec_id % 100 = 0),
@@ -420,6 +422,7 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "skew_salted_agg",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT l_returnflag AS returnflag,
       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
@@ -551,6 +554,7 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "high_cardinality_agg",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT l_orderkey AS orderkey, count(*) AS n_lines,
       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
@@ -571,6 +575,7 @@ def q_high_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "session_window_native",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
@@ -612,6 +617,7 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pivot_events",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT user_id,
       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
@@ -670,6 +676,7 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "intersect_except",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     WITH a AS (SELECT c_mktsegment AS segment FROM customer WHERE c_custkey % 2 = 0),
     b AS (SELECT c_mktsegment AS segment FROM customer WHERE c_acctbal > 0)
@@ -697,6 +704,7 @@ def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "exists_correlated",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT o.o_orderpriority AS priority, count(*) AS order_count
     FROM orders o
@@ -727,6 +735,7 @@ def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "order_count_distribution",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     WITH c_orders AS (
       SELECT c.c_custkey, count(o.o_orderkey) AS c_count
@@ -753,6 +762,7 @@ def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "notin_distinct_suppliers",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT p.p_brand AS brand, p.p_type AS type,
            count(DISTINCT l.l_suppkey) AS supplier_cnt
@@ -869,6 +879,7 @@ def _duck_kmeans_ctes() -> str:
 
 @query(
     "kmeans_clusters",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle=f"""
     WITH {_duck_kmeans_ctes()}
     SELECT vec_id, cluster, CAST(floor(dist * 1e6) AS BIGINT) AS dist_e6
@@ -895,6 +906,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ivf_kmeans_search",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle=f"""
     WITH {{kmeans_ctes}},
     asg AS (SELECT vec_id, ev, cluster FROM fin WHERE rn = 1),
@@ -977,6 +989,7 @@ def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "click_attribution",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT c.event_id AS click_id, p.event_id AS purchase_id,
            c.user_id AS user_id,
@@ -1032,6 +1045,7 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lang_profile_score",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     WITH base AS (
       SELECT doc_id, lower(trim(text)) AS t,
@@ -1083,6 +1097,7 @@ def q_lang_profile_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "max_order_per_customer",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
            CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents
@@ -1112,6 +1127,7 @@ def q_max_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "small_quantity_revenue",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT CAST(sum(round(l.l_extendedprice * 100, 0)) AS BIGINT)
              AS revenue_cents,
@@ -1143,6 +1159,7 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "grouping_sets_revenue",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT
       CASE WHEN GROUPING(o_orderpriority) = 0 THEN o_orderpriority END
@@ -1185,6 +1202,7 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "running_totals",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
       CAST(sum(round(o_totalprice * 100, 0)) OVER (
@@ -1229,6 +1247,7 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_revenue",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT
       CASE WHEN GROUPING(o_orderpriority) = 0 THEN o_orderpriority END
@@ -1265,6 +1284,7 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fuzzy_name_pairs",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT l.c_custkey AS custkey_a, r.c_custkey AS custkey_b,
            CAST(levenshtein(l.c_name, r.c_name) AS INT) AS edit_dist
@@ -1300,6 +1320,7 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "regex_extract_tokens",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT tok, count(*) AS cnt
     FROM (
@@ -1328,6 +1349,7 @@ def q_regex_extract_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "waiting_customers_q22",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     WITH thr AS (
       SELECT floor(avg(round(c_acctbal * 100))) AS t

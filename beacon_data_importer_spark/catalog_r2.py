@@ -36,6 +36,7 @@ from .sources.parquet import read_table
 
 @query(
     "min_cost_supplier",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
@@ -106,7 +107,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "min_cost_supplier_agg",
-    registered=False,  # variant of min_cost_supplier (same oracle-checked output); local gate
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
@@ -183,6 +184,7 @@ def q_min_cost_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "top_supplier_q15",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     WITH rev AS (
       SELECT l_suppkey AS suppkey,
@@ -297,6 +299,7 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "entity_survivors",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle=f"""
     WITH {_duck_cc_ctes()},
     members AS (
@@ -541,6 +544,7 @@ def _duck_pq_ctes() -> str:
 
 @query(
     "pq_search",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle=f"""
     WITH {_duck_pq_ctes()},
     scored AS (
@@ -580,6 +584,7 @@ _PQ_SHORTLIST = 200
 
 @query(
     "pq_search_rerank",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle=f"""
     WITH {_duck_pq_ctes()},
     scored AS (
@@ -627,6 +632,7 @@ def q_pq_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "important_parts_q11",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     WITH pv AS (
       SELECT l.l_partkey AS partkey,
@@ -682,6 +688,7 @@ def q_important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "blamed_suppliers_q21",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     WITH late AS (
       SELECT l.l_orderkey, l.l_suppkey
@@ -745,6 +752,7 @@ def q_blamed_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rolling_30d_spend",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT o_custkey AS custkey,
            CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
@@ -786,6 +794,7 @@ def q_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ntile_percentiles",
+    registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle="""
     SELECT c_custkey AS custkey,
            c_nationkey AS nationkey,

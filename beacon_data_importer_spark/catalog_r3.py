@@ -66,7 +66,7 @@ _SERPENTINE_CTES = f"""
 
 @query(
     "pack_bins_balanced",
-    registered=False,  # round-3 addition; slots are full this round (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=_SERPENTINE_CTES + "SELECT id, shard, n_tokens, pack_id FROM packed",
 )
 def q_pack_bins_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +86,7 @@ def q_pack_bins_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pack_utilization",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=_SERPENTINE_CTES
     + """,
     per_pack AS (
@@ -119,7 +119,7 @@ def q_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pack_bins_bestfit",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH RECURSIVE base AS (
       SELECT doc_id AS id,
@@ -185,7 +185,7 @@ def q_pack_bins_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stratified_exact_sample",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH targets(lang, target_n) AS (
       VALUES ('en', 150), ('de', 40), ('es', 40), ('fr', 100), ('zh', 30)
@@ -222,7 +222,7 @@ def q_stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mixture_config_sample",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH rates(source, rate_bp) AS (
       VALUES ('src0', 9000), ('src1', 8000), ('src2', 7000), ('src3', 6000),
@@ -274,7 +274,7 @@ def q_mixture_config_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "local_supplier_volume_q5",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT n_name AS nation,
            CAST(sum(round(l_extendedprice * (1 - l_discount) * 100))
@@ -334,7 +334,7 @@ def q_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "forecast_revenue_q6",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT CAST(sum(round(l_extendedprice * l_discount * 100)) AS BIGINT)
              AS revenue_cents,
@@ -371,7 +371,7 @@ def q_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "market_share_q8",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH vol AS (
       SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
@@ -452,7 +452,7 @@ def q_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "product_profit_q9",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
@@ -507,7 +507,7 @@ def q_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "returned_items_q10",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
            CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100))
@@ -557,7 +557,7 @@ def q_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "late_lines_priority_q12",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT l.l_linestatus,
       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -604,7 +604,7 @@ def q_late_lines_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "promo_revenue_q14",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT
       CAST(sum(CASE WHEN p.p_type = 'PROMO'
@@ -654,7 +654,7 @@ def q_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "large_volume_customers_q18",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH big AS (
       SELECT l_orderkey,
@@ -701,7 +701,7 @@ def q_large_volume_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "brand_bracket_revenue_q19",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100))
                 AS BIGINT) AS revenue_cents,
@@ -761,7 +761,7 @@ def q_brand_bracket_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "excess_share_suppliers_q20",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH ps AS (
       SELECT l.l_partkey, l.l_suppkey,
@@ -830,7 +830,7 @@ _DUCK_TOKS_Q = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
 @query(
     "gopher_quality_signals",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_DUCK_TOKS_Q} AS tk,
@@ -977,7 +977,7 @@ _DUCK_SQ_CTES = """
 
 @query(
     "sq8_search",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH {_DUCK_SQ_CTES}
     SELECT r.vec_id AS neighbor_id,
@@ -1011,7 +1011,7 @@ def q_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sq8_search_rerank",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH {_DUCK_SQ_CTES},
     short AS (
@@ -1054,7 +1054,7 @@ def q_sq8_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "decontaminate_ngrams",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
@@ -1093,7 +1093,7 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pii_redaction",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH synth AS (
       SELECT doc_id,

@@ -101,7 +101,7 @@ def _doc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "near_dup_clusters",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH RECURSIVE {_DUCK_DOC_CC}
     SELECT v AS doc_id, lbl AS cluster_id FROM lab
@@ -126,7 +126,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "near_dup_keep",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH RECURSIVE {_DUCK_DOC_CC},
     m AS (
@@ -229,7 +229,7 @@ def _duck_band_exprs_named(prefix: str) -> str:
 
 @query(
     "incremental_dedup",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH corpus AS (SELECT * FROM documents WHERE source = 'src0'),
     batch AS (SELECT * FROM documents WHERE source <> 'src0'),
@@ -316,7 +316,7 @@ _COMMON_DF = 5  # a shingle in >= this many docs is "corpus-common"
 
 @query(
     "boilerplate_shingle_fraction",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH per_doc AS (
       SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
@@ -515,7 +515,7 @@ _DUCK_CURATE_CTES = f"""
 
 @query(
     "corpus_curate",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=_DUCK_CURATE_CTES
     + "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens FROM curated",
 )
@@ -704,7 +704,7 @@ def _duck_ivfpq_oracle() -> str:
 
 @query(
     "ivfpq_search",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=_duck_ivfpq_oracle(),
 )
 def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -775,7 +775,7 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "token_length_histogram",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH t AS (
       SELECT CASE WHEN trim(text) = '' THEN 0
@@ -815,7 +815,7 @@ def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "source_mix_report",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH g AS (
       SELECT source, lang, count(*) AS n_docs,
@@ -944,7 +944,7 @@ def _duck_ivfpq_residual_oracle() -> str:
 
 @query(
     "ivfpq_residual_search",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=_duck_ivfpq_residual_oracle(),
 )
 def q_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1067,7 +1067,7 @@ def q_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_payload_extract",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH payloads AS (
       SELECT doc_id,
@@ -1161,7 +1161,7 @@ def q_json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "flatmap_attempts_udtf",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH base AS (
       SELECT o_orderkey AS orderkey,
@@ -1318,7 +1318,7 @@ def _duck_pq_kmeans_oracle() -> str:
 
 @query(
     "pq_kmeans_search_rerank",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=_duck_pq_kmeans_oracle(),
 )
 def q_pq_kmeans_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1386,7 +1386,7 @@ def q_pq_kmeans_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "entity_components_star",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH RECURSIVE pairs AS (
       SELECT l.c_custkey AS a, r.c_custkey AS b
@@ -1435,7 +1435,7 @@ def q_entity_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "weighted_sample_docs",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH keyed AS (
       SELECT doc_id, n_chars,
@@ -1475,7 +1475,7 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_to_shards",
-    registered=False,  # round-3 addition; slots full (rotation policy, catalog.py)
+    # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=_DUCK_CURATE_CTES
     + """,
     cbase AS (
