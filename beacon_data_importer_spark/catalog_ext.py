@@ -51,14 +51,15 @@ def _duck_minhash_sig_cte(source: str = "documents") -> str:
         for s, (a, b) in enumerate(minhash_coeffs(NUM_HASHES))
     )
     return f"""
-    shing AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM {source}),
-    based AS (SELECT id,
+    shing AS MATERIALIZED (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh
+                           FROM {source}),
+    based AS MATERIALIZED (SELECT id,
       list_transform(sh, g -> CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)
                               % {MINHASH_P}) AS x,
       list_transform(sh, g -> CAST('0x' || substring(md5(g), 16, 15) AS BIGINT)
                               % {MINHASH_P}) AS y
       FROM shing),
-    sigs AS (SELECT id, [{mins}] AS sig FROM based)
+    sigs AS MATERIALIZED (SELECT id, [{mins}] AS sig FROM based)
     """
 
 
@@ -135,10 +136,12 @@ def _duck_band_exprs() -> str:
     "minhash_near_dup",
     oracle=f"""
     WITH {_duck_minhash_sig_cte()},
-    banded AS ({_duck_band_exprs()}),
-    sizes AS (SELECT band, bucket, count(*) AS c FROM banded GROUP BY band, bucket),
-    small AS (SELECT banded.* FROM banded JOIN sizes USING (band, bucket)
-              WHERE c <= {MAX_BUCKET}),
+    banded AS MATERIALIZED ({_duck_band_exprs()}),
+    sizes AS MATERIALIZED (SELECT band, bucket, count(*) AS c FROM banded
+                           GROUP BY band, bucket),
+    small AS MATERIALIZED (SELECT banded.* FROM banded
+                           JOIN sizes USING (band, bucket)
+                           WHERE c <= {MAX_BUCKET}),
     pairs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
               FROM small l JOIN small r
                 ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)
@@ -487,10 +490,12 @@ _DUCK_SHD = f"list_distinct({_DUCK_SHINGLES.strip()})"
     registered=False,  # driver-proven green in r01/r02; slot rotated to a round-3 query (rotation policy)
     oracle=f"""
     WITH {_duck_minhash_sig_cte()},
-    banded AS ({_duck_band_exprs()}),
-    sizes AS (SELECT band, bucket, count(*) AS c FROM banded GROUP BY band, bucket),
-    small AS (SELECT banded.* FROM banded JOIN sizes USING (band, bucket)
-              WHERE c <= {MAX_BUCKET}),
+    banded AS MATERIALIZED ({_duck_band_exprs()}),
+    sizes AS MATERIALIZED (SELECT band, bucket, count(*) AS c FROM banded
+                           GROUP BY band, bucket),
+    small AS MATERIALIZED (SELECT banded.* FROM banded
+                           JOIN sizes USING (band, bucket)
+                           WHERE c <= {MAX_BUCKET}),
     pairs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
               FROM small l JOIN small r
                 ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
@@ -569,10 +574,12 @@ _CLEAN_TAU_POS = 8  # est_jaccard >= 0.5  ⇔  >= 8 of 16 signature positions eq
        AND f.doc_id = k.doc_id
     ),
     {_duck_minhash_sig_cte(source="keep1")},
-    banded AS ({_duck_band_exprs()}),
-    sizes AS (SELECT band, bucket, count(*) AS c FROM banded GROUP BY band, bucket),
-    small AS (SELECT banded.* FROM banded JOIN sizes USING (band, bucket)
-              WHERE c <= {MAX_BUCKET}),
+    banded AS MATERIALIZED ({_duck_band_exprs()}),
+    sizes AS MATERIALIZED (SELECT band, bucket, count(*) AS c FROM banded
+                           GROUP BY band, bucket),
+    small AS MATERIALIZED (SELECT banded.* FROM banded
+                           JOIN sizes USING (band, bucket)
+                           WHERE c <= {MAX_BUCKET}),
     pairs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
               FROM small l JOIN small r
                 ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),

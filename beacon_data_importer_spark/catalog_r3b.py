@@ -59,12 +59,13 @@ from .sources.parquet import read_table
 # LSH candidate pairs (identical semantics to minhash_near_dup's oracle:
 # banded buckets, size guard, distinct in-bucket pairs a < b).
 _DUCK_LSH_PAIRS = f"""
-    banded AS ({_duck_band_exprs()}),
-    sizes AS (SELECT band, bucket, count(*) AS c FROM banded
+    banded AS MATERIALIZED ({_duck_band_exprs()}),
+    sizes AS MATERIALIZED (SELECT band, bucket, count(*) AS c FROM banded
               GROUP BY band, bucket),
-    small AS (SELECT banded.* FROM banded JOIN sizes USING (band, bucket)
+    small AS MATERIALIZED (SELECT banded.* FROM banded
+              JOIN sizes USING (band, bucket)
               WHERE c <= {MAX_BUCKET}),
-    pairs AS (SELECT DISTINCT l.id AS a, r.id AS b
+    pairs AS MATERIALIZED (SELECT DISTINCT l.id AS a, r.id AS b
               FROM small l JOIN small r
                 ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)
 """
@@ -74,7 +75,7 @@ _DUCK_LSH_PAIRS = f"""
 _DUCK_DOC_CC = f"""
     {_duck_minhash_sig_cte()},
     {_DUCK_LSH_PAIRS},
-    edges AS (SELECT a AS src, b AS dst FROM pairs
+    edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
               UNION ALL
               SELECT b AS src, a AS dst FROM pairs),
     reach(v, lbl) AS (
@@ -84,7 +85,7 @@ _DUCK_DOC_CC = f"""
       FROM reach r JOIN edges e ON e.dst = r.v
       WHERE r.lbl < e.src
     ),
-    lab AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v)
+    lab AS MATERIALIZED (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v)
 """
 
 
@@ -129,7 +130,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH RECURSIVE {_DUCK_DOC_CC},
-    m AS (
+    m AS MATERIALIZED (
       SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster_id, d.n_chars
       FROM documents d LEFT JOIN lab l ON l.v = d.doc_id
     )
@@ -401,13 +402,13 @@ def q_boilerplate_shingle_fraction(
 # ends with gkeep = the doc_ids that pass the rule set.
 _DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 _DUCK_GOPHER_KEEP = f"""
-    t0 AS (
+    t0 AS MATERIALIZED (
       SELECT doc_id, text, {_DUCK_TOKS} AS tk,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len({_DUCK_TOKS}) END AS n
       FROM documents WHERE doc_id % 50 != 0
     ),
-    gb AS (
+    gb AS MATERIALIZED (
       SELECT doc_id, n,
         CASE WHEN n > 0
              THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)/n
@@ -423,12 +424,12 @@ _DUCK_GOPHER_KEEP = f"""
              ELSE [] END AS grams
       FROM t0
     ),
-    gc AS (
+    gc AS MATERIALIZED (
       SELECT doc_id, gram, count(*) AS cnt
       FROM (SELECT doc_id, unnest(grams) AS gram FROM gb)
       GROUP BY doc_id, gram
     ),
-    gtop AS (
+    gtop AS MATERIALIZED (
       SELECT doc_id, gram, cnt FROM (
         SELECT doc_id, gram, cnt,
                row_number() OVER (PARTITION BY doc_id
@@ -436,7 +437,7 @@ _DUCK_GOPHER_KEEP = f"""
         FROM gc
       ) WHERE rk = 1
     ),
-    gkeep AS (
+    gkeep AS MATERIALIZED (
       SELECT b.doc_id
       FROM gb b LEFT JOIN gtop t ON t.doc_id = b.doc_id
       WHERE b.n >= 20 AND b.n <= 100000
@@ -457,29 +458,29 @@ _DUCK_3GRAMS = (
 
 _DUCK_CURATE_CTES = f"""
     WITH RECURSIVE {_DUCK_GOPHER_KEEP},
-    evg AS (
+    evg AS MATERIALIZED (
       SELECT DISTINCT unnest({_DUCK_3GRAMS}) AS g
       FROM (SELECT {_DUCK_TOKS} AS tk FROM documents WHERE doc_id % 50 = 0)
       WHERE len(tk) >= 3
     ),
-    contam AS (
+    contam AS MATERIALIZED (
       SELECT DISTINCT x.doc_id FROM (
         SELECT t0.doc_id, unnest({_DUCK_3GRAMS.replace("tk", "t0.tk")}) AS g
         FROM t0 JOIN gkeep USING (doc_id)
         WHERE len(t0.tk) >= 3
       ) x JOIN evg USING (g)
     ),
-    s2 AS (
+    s2 AS MATERIALIZED (
       SELECT t0.doc_id, t0.text, t0.n
       FROM t0 JOIN gkeep USING (doc_id)
       WHERE t0.doc_id NOT IN (SELECT doc_id FROM contam)
     ),
-    fk AS (
+    fk AS MATERIALIZED (
       SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
              min(doc_id) AS doc_id
       FROM s2 GROUP BY 1
     ),
-    s3 AS (
+    s3 AS MATERIALIZED (
       SELECT s2.* FROM s2
       JOIN fk ON md5(regexp_replace(lower(trim(s2.text)), '\\s+', ' ', 'g'))
                  = fk.fp
@@ -487,7 +488,7 @@ _DUCK_CURATE_CTES = f"""
     ),
     {_duck_minhash_sig_cte(source="s3")},
     {_DUCK_LSH_PAIRS},
-    edges AS (SELECT a AS src, b AS dst FROM pairs
+    edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
               UNION ALL
               SELECT b AS src, a AS dst FROM pairs),
     reach(v, lbl) AS (
@@ -497,12 +498,12 @@ _DUCK_CURATE_CTES = f"""
       FROM reach r JOIN edges e ON e.dst = r.v
       WHERE r.lbl < e.src
     ),
-    lab AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v),
-    m AS (
+    lab AS MATERIALIZED (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v),
+    m AS MATERIALIZED (
       SELECT s3.doc_id, coalesce(l.lbl, s3.doc_id) AS cluster_id, s3.n
       FROM s3 LEFT JOIN lab l ON l.v = s3.doc_id
     ),
-    curated AS (
+    curated AS MATERIALIZED (
       SELECT doc_id, n FROM (
         SELECT doc_id, n,
                row_number() OVER (PARTITION BY cluster_id
