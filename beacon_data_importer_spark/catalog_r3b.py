@@ -1533,3 +1533,90 @@ def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = q_corpus_curate(spark, sf_dir)
     packed = pack_bins_serpentine(cur, "doc_id", "n_tokens", budget=512)
     return pack_utilization(packed, budget=512)
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (fixed token windows with overlap)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@query(
+    "chunk_documents",
+    registered=False,  # round-3 late addition; will rotate into a round-4 slot
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+             END AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n,
+             unnest(range(0, greatest(n - 1, 0) + 1, {_CHUNK_STRIDE}))
+               AS start_tok
+      FROM toks WHERE n > 0
+    )
+    SELECT c.doc_id,
+           CAST(c.start_tok / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(c.start_tok AS BIGINT) AS start_tok,
+           CAST(least(c.start_tok + {_CHUNK_SIZE}, c.n) - c.start_tok
+                AS BIGINT) AS chunk_tokens,
+           array_to_string(
+             t.tk[c.start_tok + 1 :
+                  least(c.start_tok + {_CHUNK_SIZE}, c.n)], ' ')
+             AS chunk_text
+    FROM chunks c JOIN toks t ON t.doc_id = c.doc_id
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document splits into fixed
+    {size}-token windows on a {stride}-token stride ({size}-{stride} =
+    overlap), the standard LM training prep when documents exceed the
+    model context (each token appears in at most ceil(size/stride)
+    chunks; the trailing partial window is kept).  Map-only: tokenize
+    once per doc (staged projection, the CSE rule), explode the window
+    starts with ``sequence``, slice per window — no shuffle at all;
+    chunk counts scale with corpus tokens, not documents².""".format(
+        size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+    from .operators.text import _ntoks, _tokens
+
+    d = _docs_parallel(spark, sf_dir)
+    toked = d.select(
+        "doc_id", _tokens("text").alias("__toks")
+    ).select("doc_id", "__toks", _ntoks(F.col("__toks")).alias("__n"))
+    chunks = toked.filter(F.col("__n") > 0).select(
+        "doc_id",
+        "__toks",
+        "__n",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("__n") - 1, F.lit(0)),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("start_tok"),
+    )
+    end = F.least(
+        F.col("start_tok") + F.lit(_CHUNK_SIZE), F.col("__n")
+    )
+    return chunks.select(
+        "doc_id",
+        F.floor(F.col("start_tok") / _CHUNK_STRIDE)
+        .cast("bigint")
+        .alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        (end - F.col("start_tok")).cast("bigint").alias("chunk_tokens"),
+        F.array_join(
+            F.slice(
+                F.col("__toks"),
+                F.col("start_tok") + 1,
+                end - F.col("start_tok"),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
