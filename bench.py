@@ -100,6 +100,7 @@ HEADLINE += [
     "ivfpq_residual_search",
     "corpus_to_shards",
     "weighted_sample_docs",
+    "chunk_documents",
 ]
 
 
