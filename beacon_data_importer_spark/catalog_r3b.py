@@ -1620,3 +1620,117 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered stage progression per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_progression",
+    registered=False,  # round-3 late addition; will rotate into a round-4 slot
+    oracle="""
+    WITH u1 AS MATERIALIZED (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    u2 AS MATERIALIZED (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN u1 ON u1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > u1.t1
+        AND e.ts <= u1.t1 + INTERVAL 2 HOUR
+      GROUP BY e.user_id
+    ),
+    u3 AS MATERIALIZED (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN u2 ON u2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+        AND e.ts <= u2.t2 + INTERVAL 2 HOUR
+      GROUP BY e.user_id
+    ),
+    allu AS (SELECT DISTINCT user_id FROM events),
+    depth AS (
+      SELECT a.user_id,
+        CAST(CASE WHEN u3.user_id IS NOT NULL THEN 3
+                  WHEN u2.user_id IS NOT NULL THEN 2
+                  WHEN u1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS INT) AS funnel_depth,
+        CASE WHEN u3.user_id IS NOT NULL
+             THEN date_diff('second', u1.t1, u3.t3) END AS secs
+      FROM allu a
+      LEFT JOIN u1 ON u1.user_id = a.user_id
+      LEFT JOIN u2 ON u2.user_id = a.user_id
+      LEFT JOIN u3 ON u3.user_id = a.user_id
+    )
+    SELECT funnel_depth, count(*) AS n_users,
+           CAST(coalesce(sum(secs), 0) AS BIGINT)
+             AS total_conversion_secs
+    FROM depth GROUP BY funnel_depth
+    """,
+)
+def q_funnel_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase) with a 2-hour
+    conversion window per stage: a user reaches stage k+1 only with an
+    event STRICTLY AFTER their stage-k time and within the window — the
+    classic product-analytics funnel, expressed as three cascaded
+    min-aggregations (each stage's frame shrinks to users who reached
+    the previous stage, so later joins touch ever-less data; every
+    stage reuses the user_id hash partitioning).  Output: users per
+    max depth reached + total view→purchase conversion seconds for
+    completers.  At 100 TB the per-stage aggs are map-side-combined on
+    user_id — never a sessionization sort of the whole event log."""
+    e = read_table(spark, sf_dir, "events")
+    u1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    u2 = (
+        e.join(u1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 2 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        e.join(u2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 2 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    allu = e.select("user_id").distinct()
+    depth = (
+        allu.join(u1, "user_id", "left")
+        .join(u2, "user_id", "left")
+        .join(u3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_depth"),
+            # events ship TIMESTAMP_NTZ; cast through timestamp (UTC
+            # session keeps the instant) before the epoch-seconds diff
+            F.when(
+                F.col("t3").isNotNull(),
+                F.col("t3").cast("timestamp").cast("long")
+                - F.col("t1").cast("timestamp").cast("long"),
+            ).alias("secs"),
+        )
+    )
+    return depth.groupBy("funnel_depth").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.coalesce(F.sum("secs"), F.lit(0))
+        .cast("bigint")
+        .alias("total_conversion_secs"),
+    )
