@@ -101,6 +101,7 @@ HEADLINE += [
     "corpus_to_shards",
     "weighted_sample_docs",
     "chunk_documents",
+    "funnel_progression",
 ]
 
 
