@@ -102,6 +102,9 @@ HEADLINE += [
     "weighted_sample_docs",
     "chunk_documents",
     "funnel_progression",
+    # session C: passage-granular exact dedup + inverted-index BM25
+    "passage_dedup",
+    "bm25_search",
 ]
 
 

@@ -57,6 +57,7 @@ def _registered_names():
     import beacon_data_importer_spark.catalog_r2  # noqa: F401
     import beacon_data_importer_spark.catalog_r3  # noqa: F401
     import beacon_data_importer_spark.catalog_r3b  # noqa: F401
+    import beacon_data_importer_spark.catalog_r3c  # noqa: F401
 
     return sorted(catalog.QUERIES)
 
