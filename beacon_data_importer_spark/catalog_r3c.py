@@ -1,7 +1,8 @@
-"""Round-3 catalog, part C: passage-level exact dedup and relational
-keyword search.
+"""Round-3 catalog, part C: passage-level exact dedup, relational
+keyword search, and an analytics tier (cohorts, Markov transitions,
+c-TF-IDF, integer PageRank).
 
-Two corpus capabilities the earlier tiers did not cover:
+Corpus capabilities the earlier tiers did not cover:
 
   * passage_dedup — EXACT SUBSTRING dedup at passage granularity
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -16,8 +17,16 @@ Two corpus capabilities the earlier tiers did not cover:
     score → top-k.  The standard corpus-inspection query ("which docs
     match these probe terms") expressed as DataFrame ops; the postings
     build is the classic search-engine shape.
+  * cohort_retention / event_transitions — the two standard
+    event-analytics reports (retention triangle, first-order Markov
+    transition matrix) over the events stream.
+  * source_top_terms — class-based TF-IDF "characteristic terms" per
+    source, all-integer scoring.
+  * pagerank_parts — link-analysis centrality over the part↔supplier
+    bipartite graph, in exact e6-scaled integer arithmetic so the
+    oracle replays the iterations as chained CTEs.
 
-Both are EXTRAS (registered=False): the 50 driver slots were rotated to
+All are EXTRAS (registered=False): the 50 driver slots were rotated to
 the never-proven queries this round (catalog.py rotation policy); the
 local type-sensitive gate (tools/check_oracle.py via
 tests/test_extra_queries.py) checks them against the DuckDB oracles
@@ -45,6 +54,7 @@ from pyspark.sql import functions as F
 
 from .catalog import query
 from .catalog_ext import _docs_parallel
+from .sources.parquet import read_table
 
 # ---------------------------------------------------------------------------
 # passage_dedup
@@ -259,4 +269,333 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score_e6").desc(), "doc_id")
         .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_retention",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH weeks AS MATERIALIZED (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    cohort AS MATERIALIZED (
+      SELECT user_id, min(wk) AS cw FROM weeks GROUP BY user_id
+    )
+    SELECT c.cw AS cohort_week,
+           CAST(date_diff('day', c.cw, w.wk) / 7 AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM weeks w JOIN cohort c ON c.user_id = w.user_id
+    GROUP BY c.cw, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active ISO week
+    (both engines truncate weeks to Monday), counted in every later week
+    they return — the standard product-retention report.  week_offset is
+    exact integer arithmetic (Monday-aligned dates differ by multiples
+    of 7 days, so days/7 never rounds).
+
+    Plan: one distinct on (user, week) — shuffle O(active user-weeks,
+    not events, thanks to partial aggregation — then a user-keyed min
+    and a join that REUSES the user_id hash partitioning from the
+    distinct, then a final small agg.  At 100 TB every exchange carries
+    user-week rows; nothing is event-cardinality after the first
+    partial agg."""
+    e = read_table(spark, sf_dir, "events")
+    weeks = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    return (
+        weeks.join(cohort, "user_id")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cw")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_transitions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_transitions",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH seq AS MATERIALIZED (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS MATERIALIZED (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    totals AS (SELECT from_type, sum(n) AS tot FROM trans GROUP BY from_type)
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           CAST((t.n * 1000000) // x.tot AS BIGINT) AS share_ppm
+    FROM trans t JOIN totals x ON x.from_type = t.from_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each user's time-ordered events (event_id breaks timestamp ties —
+    the total order the lag depends on), count (previous → next) event
+    type pairs and each pair's share of its from-state, in exact
+    integer ppm ((n*1e6) DIV total — truncating integer division on
+    positives matches DuckDB's floor //).
+
+    Plan: one shuffle on user_id for the sequence window (per-user
+    frames sort locally — partitions are user-sized, never global),
+    partial-aggregated counts on the |types|² transition key, and a
+    broadcast of the |types|-row totals.  At 100 TB the only data-sized
+    exchange is the user_id one; everything after is statistics-sized."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST((n * 1000000) DIV tot AS BIGINT)").alias("share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_top_terms (c-TF-IDF per source)
+# ---------------------------------------------------------------------------
+
+_TOPTERMS_K = 5
+
+
+@query(
+    "source_top_terms",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS MATERIALIZED (
+      SELECT t.source, u.tok AS term, count(*) AS tf
+      FROM toks t, unnest(t.tk) AS u(tok)
+      GROUP BY t.source, u.tok
+    ),
+    ns AS (SELECT count(DISTINCT source) AS ns FROM tf),
+    dfreq AS MATERIALIZED (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT f.source, f.term,
+             (f.tf * 1000000 * (s.ns + 1)) // (d.df + 1) AS score_ppm
+      FROM tf f JOIN dfreq d ON d.term = f.term CROSS JOIN ns s
+    ),
+    ranked AS (
+      SELECT source, term, CAST(score_ppm AS BIGINT) AS score_ppm,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score_ppm DESC, term) AS rk
+      FROM scored
+    )
+    SELECT source, term, score_ppm, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_TOPTERMS_K}
+    """,
+)
+def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per source (class-based TF-IDF, the device
+    behind topic labeling à la BERTopic's c-TF-IDF): term frequency
+    within each source, weighted by an integer rational idf
+    (ns+1)/(df+1) over SOURCE-level document frequency, top-{k} per
+    source.  All-integer scoring — tf·1e6·(ns+1) DIV (df+1) — so the
+    ranking is bit-identical cross-engine (no doubles anywhere).
+
+    Plan: postings aggregate on (source, term) — partial agg makes the
+    exchange vocabulary-sized — broadcast |vocab| document frequencies
+    and the 1-row source count, then a per-source top-k window over
+    vocabulary-sized data.  Nothing downstream of the first agg scales
+    with corpus bytes.""".format(k=_TOPTERMS_K)
+    from .operators.text import _tokens
+
+    d = _docs_parallel(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    tf = (
+        d.select("source", F.explode(_tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ns = tf.agg(F.countDistinct("source").alias("ns"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "term",
+            F.expr(
+                "CAST((tf * 1000000 * (ns + 1)) DIV (df + 1) AS BIGINT)"
+            ).alias("score_ppm"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_ppm").desc(), "term"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _TOPTERMS_K)
+        .select("source", "term", "score_ppm", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pagerank_parts — integer PageRank over the part↔supplier co-supply graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_TOPK = 20
+
+
+def _duck_pr_iter(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS MATERIALIZED (
+      SELECT n.node,
+             150000 + (85 * coalesce(s.insum, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank // d.outdeg) AS insum
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+
+
+@query(
+    "pagerank_parts",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle=f"""
+    WITH raw AS MATERIALIZED (
+      SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+      FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT p AS src, s AS dst FROM raw
+      UNION ALL
+      SELECT s AS src, p AS dst FROM raw
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
+    ),
+    nodes AS MATERIALIZED (SELECT node FROM deg),
+    r0 AS MATERIALIZED (SELECT node, 1000000 AS rank FROM nodes),
+    {",".join(_duck_pr_iter(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS))}
+    SELECT CAST(node AS BIGINT) AS node,
+           CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+           CAST(node // 2 AS BIGINT) AS key,
+           CAST(rank AS BIGINT) AS score_e6
+    FROM r{_PR_ITERS}
+    ORDER BY score_e6 DESC, node LIMIT {_PR_TOPK}
+    """,
+)
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality (damping 0.85, {it} unrolled iterations,
+    top-{k}) over the bipartite part↔supplier graph induced by lineitem
+    — "which parts/suppliers sit at the center of the supply network".
+    ALL-INTEGER formulation: ranks are e6-scaled longs, per-edge
+    contribution is rank DIV outdeg, and the damping update is
+    150000 + (85·Σcontrib) DIV 100 — exact integer arithmetic, so the
+    fixpoint trajectory is bit-identical across engines (a double
+    PageRank would differ in summation order) and the oracle replays
+    the same {it} iterations as chained CTEs.
+
+    Plan: the edge list builds from a distinct projection of lineitem
+    (pushdown reads 2 columns); each iteration is one join
+    (edges ⋈ ranks ⋈ outdeg — all shuffle on the SAME node key, so AQE
+    reuses the partitioning) plus a dst-keyed sum.  Iterations-as-plan
+    works at fixed small depth; for iterate-to-convergence at cluster
+    scale the per-round materialization device of operators/graph.py
+    applies unchanged.  Top-k is a TakeOrdered — no global sort.""".format(
+        it=_PR_ITERS, k=_PR_TOPK
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    ).distinct()
+    edges = raw.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
+        raw.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    # the edge list feeds two joins per iteration — materialize the
+    # distinct ONCE (same device as operators/graph.py's CC rounds)
+    # instead of re-running the lineitem distinct 2×ITERS times
+    edges = edges.localCheckpoint()
+    # distinct column names per role (dnode/rnode/cnode) — the iterated
+    # self-referential lineage otherwise makes bare "node" ambiguous
+    deg = edges.groupBy(F.col("src").alias("dnode")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    nodes = deg.select(F.col("dnode").alias("node"))
+    ranks = nodes.select("node", F.lit(1000000).cast("bigint").alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("rnode"), F.col("rank")
+                ),
+                F.col("src") == F.col("rnode"),
+            )
+            .join(deg, F.col("src") == F.col("dnode"))
+            .select(
+                F.col("dst").alias("cnode"),
+                F.expr("rank DIV outdeg").alias("c"),
+            )
+            .groupBy("cnode")
+            .agg(F.sum("c").alias("insum"))
+        )
+        ranks = nodes.join(
+            contrib, F.col("node") == F.col("cnode"), "left"
+        ).select(
+            "node",
+            (
+                F.lit(150000)
+                + F.expr("85 * coalesce(insum, 0) DIV 100")
+            ).cast("bigint").alias("rank"),
+        )
+    return (
+        ranks.select(
+            F.col("node").cast("bigint").alias("node"),
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.expr("node DIV 2").cast("bigint").alias("key"),
+            F.col("rank").alias("score_e6"),
+        )
+        .orderBy(F.col("score_e6").desc(), "node")
+        .limit(_PR_TOPK)
     )

@@ -102,9 +102,15 @@ HEADLINE += [
     "weighted_sample_docs",
     "chunk_documents",
     "funnel_progression",
-    # session C: passage-granular exact dedup + inverted-index BM25
+    # session C: passage-granular exact dedup + inverted-index BM25 +
+    # the analytics tier (cohorts, Markov transitions, c-TF-IDF,
+    # integer PageRank)
     "passage_dedup",
     "bm25_search",
+    "cohort_retention",
+    "event_transitions",
+    "source_top_terms",
+    "pagerank_parts",
 ]
 
 

@@ -81,7 +81,6 @@ def test_passage_dedup_global_first_occurrence(spark, sf_dir):
     out1 = EXTRA_QUERIES["passage_dedup"](spark, sf_dir).select(
         "doc_id", F.col("clean_text").alias("text")
     )
-    out1.createOrReplaceTempView("___pd_once")
     # rebuild passages from the deduped text at the same window size;
     # count cross-occurrence of full windows only (partial tail windows
     # legitimately re-pair after removal shifts positions)
@@ -137,3 +136,57 @@ def test_bm25_hits_contain_a_query_term(spark, sf_dir, bm25_result):
     )
     for r in docs:
         assert set(r.tk) & set(_BM25_TERMS), r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# analytics tier invariants
+# ---------------------------------------------------------------------------
+
+
+def test_event_transitions_shares_sum_to_unity(spark, sf_dir):
+    rows = EXTRA_QUERIES["event_transitions"](spark, sf_dir).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for frm, grp in by_from.items():
+        total_ppm = sum(r.share_ppm for r in grp)
+        # truncating integer division loses < 1 ppm per to-state
+        assert 1_000_000 - len(grp) <= total_ppm <= 1_000_000, frm
+
+
+def test_cohort_retention_offsets_start_at_zero(spark, sf_dir):
+    rows = EXTRA_QUERIES["cohort_retention"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.week_offset >= 0 for r in rows)
+    # every cohort has an offset-0 row (its own first week)
+    cohorts = {r.cohort_week for r in rows}
+    zero = {r.cohort_week for r in rows if r.week_offset == 0}
+    assert cohorts == zero
+
+
+def test_source_top_terms_shape(spark, sf_dir):
+    rows = EXTRA_QUERIES["source_top_terms"](spark, sf_dir).collect()
+    assert rows
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    for src, grp in per_src.items():
+        ranks = sorted(r.rk for r in grp)
+        assert ranks == list(range(1, len(grp) + 1)), src
+        assert len(grp) <= 5
+        ordered = sorted(grp, key=lambda r: r.rk)
+        scores = [r.score_ppm for r in ordered]
+        assert scores == sorted(scores, reverse=True), src
+
+
+def test_pagerank_mass_and_determinism(spark, sf_dir):
+    df = EXTRA_QUERIES["pagerank_parts"](spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    # ranks stay positive and the teleport floor holds
+    assert all(r.score_e6 >= 150000 for r in rows)
+    assert all(r.kind in ("part", "supplier") for r in rows)
+    # deterministic: a second run returns identical rows in order
+    again = EXTRA_QUERIES["pagerank_parts"](spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
