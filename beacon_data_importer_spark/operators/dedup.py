@@ -99,6 +99,7 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 16,
     shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document MinHash signature over word n-gram shingles.
 
@@ -121,25 +122,48 @@ def minhash_signatures(
     Output: (id, sig array<bigint>).  Narrow, no shuffle; fixed-size
     signatures regardless of doc size.  Every step is reproducible in
     ANSI SQL (the DuckDB oracle mirrors it exactly).
+
+    ``hash_fn="xxhash64"`` is the opt-in PRODUCTION path: two seeded
+    JVM xxhash64 calls per shingle instead of one md5 + two hex→dec
+    conversions.  Measured ~12% faster end-to-end on the signature
+    stage at sf0.1 (the array build and min-fold dominate, so the hash
+    swap moves less than raw hash throughput suggests — PERF.md); on
+    this testdata it yields the IDENTICAL banded candidate-pair set.
+    md5 stays the default because DuckDB has no xxhash64, so only the
+    md5 path is cross-engine oracle-reproducible — every CATALOG query
+    uses the default.
     """
-    # Materialize the md5 array ONCE, then derive both 60-bit halves in
-    # one transform — inlining md5 into both halves would evaluate it
-    # twice per shingle (measured 4× slower at sf0.1).
-    hexes = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            _shingles(F.col(text_col), shingle_n), lambda g: F.md5(g)
-        ).alias("__h"),
-    )
-    xy = F.transform(
-        F.col("__h"),
-        lambda h: F.struct(
-            (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % MINHASH_P)
-            .alias("x"),
-            (F.conv(F.substring(h, 16, 15), 16, 10).cast("bigint") % MINHASH_P)
-            .alias("y"),
-        ),
-    )
+    if hash_fn == "xxhash64":
+        xy = F.transform(
+            _shingles(F.col(text_col), shingle_n),
+            lambda g: F.struct(
+                F.pmod(F.xxhash64(F.lit(0), g), F.lit(MINHASH_P)).alias("x"),
+                F.pmod(F.xxhash64(F.lit(1), g), F.lit(MINHASH_P)).alias("y"),
+            ),
+        )
+        hexes = df.select(F.col(id_col).alias("id"), xy.alias("__xy"))
+        xy = F.col("__xy")
+    elif hash_fn == "md5":
+        # Materialize the md5 array ONCE, then derive both 60-bit halves
+        # in one transform — inlining md5 into both halves would evaluate
+        # it twice per shingle (measured 4× slower at sf0.1).
+        hexes = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                _shingles(F.col(text_col), shingle_n), lambda g: F.md5(g)
+            ).alias("__h"),
+        )
+        xy = F.transform(
+            F.col("__h"),
+            lambda h: F.struct(
+                (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % MINHASH_P)
+                .alias("x"),
+                (F.conv(F.substring(h, 16, 15), 16, 10).cast("bigint") % MINHASH_P)
+                .alias("y"),
+            ),
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     coeffs = F.array(
         *[
             F.struct(

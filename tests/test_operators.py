@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -70,6 +71,35 @@ def test_minhash_near_dup_finds_identical_docs(spark):
     assert len(sim) == 1
     assert (sim[0].id_a, sim[0].id_b) == (1, 2)
     assert sim[0].est_jaccard == 1.0
+
+
+def test_minhash_xxhash64_production_path(spark):
+    """hash_fn='xxhash64' (the opt-in production path — no oracle twin,
+    DuckDB lacks xxhash64) must behave as the same LSH family: valid
+    bounded signatures, identical candidate-pair decisions on docs with
+    identical / disjoint shingle sets, and a clear error on an unknown
+    hash name."""
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=t),
+            Row(doc_id=2, text=t),
+            Row(doc_id=3, text="totally different words here completely"),
+        ]
+    )
+    sigs = DD.minhash_signatures(df, "text", "doc_id", 16, hash_fn="xxhash64")
+    rows = sigs.collect()
+    assert all(
+        len(r.sig) == 16 and all(0 <= v < DD.MINHASH_P for v in r.sig)
+        for r in rows
+    )
+    by_id = {r.id: r.sig for r in rows}
+    assert by_id[1] == by_id[2]  # identical text -> identical signature
+    assert by_id[1] != by_id[3]
+    pairs = DD.lsh_candidate_pairs(sigs, 4, 4).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    with pytest.raises(ValueError):
+        DD.minhash_signatures(df, "text", "doc_id", hash_fn="sha1")
 
 
 def _simhash64_reference(text):
