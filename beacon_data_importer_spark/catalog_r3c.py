@@ -599,3 +599,107 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_e6").desc(), "node")
         .limit(_PR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# data_quality_report — declarative expectations over orders
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "data_quality_report",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    SELECT 'custkey_complete' AS check_name,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+             AS violations,
+           CAST(count(*) AS BIGINT) AS total,
+           count(*) FILTER (WHERE o_custkey IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_complete',
+           CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) FILTER (WHERE o_orderdate IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_nonnegative',
+           CAST(count(*) FILTER (WHERE o_totalprice < 0) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) FILTER (WHERE o_totalprice < 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_below_400k',
+           CAST(count(*) FILTER (WHERE o_totalprice > 400000) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) FILTER (WHERE o_totalprice > 400000) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orderstatus_domain',
+           CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+                AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(coalesce((SELECT sum(c - 1)
+                          FROM (SELECT count(*) AS c FROM orders
+                                GROUP BY o_orderkey) g
+                          WHERE c > 1), 0) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           coalesce((SELECT sum(c - 1)
+                     FROM (SELECT count(*) AS c FROM orders
+                           GROUP BY o_orderkey) g
+                     WHERE c > 1), 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_in_customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    FROM orders
+    """,
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over ``orders`` (the
+    Deequ/Great-Expectations shape, operators/quality.py): five
+    row-level expectations — completeness (custkey, orderdate), range
+    (totalprice ≥ 0 and the deliberately-failing ≤ 400k threshold so
+    the report exercises its violation branch), domain (orderstatus ∈
+    {O,F,P}) — evaluated in ONE conditional-aggregation scan, plus a
+    key-uniqueness rule (surplus copies of o_orderkey) and a
+    referential rule (orphaned o_custkey vs the broadcast customer key
+    set).  One scan + one key agg + one broadcast anti join at any
+    scale; the report itself is checks-count rows."""
+    from .operators.quality import (
+        quality_report,
+        referential_check,
+        row_checks,
+        unique_check,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    rows = row_checks(
+        o,
+        {
+            "custkey_complete": F.col("o_custkey").isNull(),
+            "orderdate_complete": F.col("o_orderdate").isNull(),
+            "totalprice_nonnegative": F.col("o_totalprice") < 0,
+            "totalprice_below_400k": F.col("o_totalprice") > 400000,
+            "orderstatus_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+    )
+    uniq = unique_check(o, ["o_orderkey"], "orderkey_unique")
+    ref = referential_check(
+        o, "o_custkey", c, "c_custkey", "custkey_in_customer"
+    )
+    return quality_report([rows, uniq, ref])

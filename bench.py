@@ -111,6 +111,7 @@ HEADLINE += [
     "event_transitions",
     "source_top_terms",
     "pagerank_parts",
+    "data_quality_report",
 ]
 
 

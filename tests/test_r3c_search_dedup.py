@@ -190,3 +190,74 @@ def test_pagerank_mass_and_determinism(spark, sf_dir):
     # deterministic: a second run returns identical rows in order
     again = EXTRA_QUERIES["pagerank_parts"](spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectations
+# ---------------------------------------------------------------------------
+
+
+def test_quality_operators_on_synthetic_violations(spark):
+    from pyspark.sql import Row
+
+    from beacon_data_importer_spark.operators.quality import (
+        quality_report,
+        referential_check,
+        row_checks,
+        unique_check,
+    )
+
+    child = spark.createDataFrame(
+        [
+            Row(id=1, fk=10, v=5),
+            Row(id=1, fk=10, v=-1),   # dup id + negative v
+            Row(id=2, fk=99, v=3),    # orphan fk
+            Row(id=3, fk=None, v=None),  # null fk is NOT an orphan
+        ]
+    )
+    parent = spark.createDataFrame([Row(pk=10), Row(pk=11)])
+    rep = quality_report(
+        [
+            row_checks(
+                child,
+                {
+                    "v_complete": F.col("v").isNull(),
+                    "v_nonneg": F.col("v") < 0,
+                },
+            ),
+            unique_check(child, ["id"], "id_unique"),
+            referential_check(child, "fk", parent, "pk", "fk_in_parent"),
+        ]
+    )
+    got = {r.check_name: (r.violations, r.total, r.passed) for r in rep.collect()}
+    assert got == {
+        "v_complete": (1, 4, False),
+        "v_nonneg": (1, 4, False),
+        "id_unique": (1, 4, False),
+        "fk_in_parent": (1, 4, False),
+    }
+
+
+def test_quality_report_clean_table_passes(spark):
+    from pyspark.sql import Row
+
+    from beacon_data_importer_spark.operators.quality import (
+        row_checks,
+        unique_check,
+    )
+
+    df = spark.createDataFrame([Row(id=i, v=i) for i in range(5)])
+    rep = row_checks(df, {"v_nonneg": F.col("v") < 0}).unionByName(
+        unique_check(df, ["id"], "id_unique")
+    )
+    assert all(r.passed and r.violations == 0 for r in rep.collect())
+
+
+def test_quality_row_checks_requires_predicates(spark):
+    from pyspark.sql import Row
+
+    from beacon_data_importer_spark.operators.quality import row_checks
+
+    df = spark.createDataFrame([Row(a=1)])
+    with pytest.raises(ValueError):
+        row_checks(df, {})
