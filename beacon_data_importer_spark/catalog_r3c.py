@@ -118,46 +118,14 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, never corpus-sized).  At 100 TB both exchanges carry one row
     per passage — corpus tokens / {w} — with no quadratic term
     anywhere.""".format(w=_PASSAGE_W)
-    from .operators.text import _ntoks, _tokens
+    from .operators.dedup import passage_dedup
 
-    d = _docs_parallel(spark, sf_dir).filter(F.trim(F.col("text")) != "")
-    toked = d.select(
-        "doc_id", _tokens("text").alias("__toks")
-    ).select("doc_id", "__toks", _ntoks(F.col("__toks")).alias("__n"))
-    pas = toked.select(
-        "doc_id",
-        "__toks",
-        "__n",
-        F.explode(
-            F.sequence(F.lit(0), F.col("__n") - 1, F.lit(_PASSAGE_W))
-        ).alias("st"),
-    )
-    end = F.least(F.col("st") + F.lit(_PASSAGE_W), F.col("__n"))
-    ph = pas.select(
-        "doc_id",
-        "st",
-        F.array_join(
-            F.slice(F.col("__toks"), F.col("st") + 1, end - F.col("st")), " "
-        ).alias("ptxt"),
-    )
-    w = Window.partitionBy(F.md5(F.col("ptxt"))).orderBy("doc_id", "st")
-    mk = ph.withColumn("rn", F.row_number().over(w))
-    kept_struct = F.when(
-        F.col("rn") == 1, F.struct(F.col("st"), F.col("ptxt"))
-    )  # collect_list drops the NULLs for removed passages
-    return mk.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)), lambda s: s["ptxt"]
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("kept_passages"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("removed_passages"),
+    d = _docs_parallel(spark, sf_dir)
+    return passage_dedup(d, "text", "doc_id", window=_PASSAGE_W).select(
+        F.col("id").alias("doc_id"),
+        "clean_text",
+        "kept_passages",
+        "removed_passages",
     )
 
 

@@ -355,3 +355,63 @@ def simhash_agg(
     return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
 
 
+
+
+def passage_dedup(
+    df: DataFrame, text_col: str, id_col: str, window: int = 8
+) -> DataFrame:
+    """Exact passage-level dedup with text reconstruction (Lee et al.
+    2022 ExactSubstr at fixed ``window``-word boundaries; catalog twin
+    ``passage_dedup`` in catalog_r3c.py carries the DuckDB oracle).
+
+    Split each document into non-overlapping word windows, keep only
+    the globally FIRST occurrence of each distinct passage (order:
+    id, then position), rebuild each document from its survivors.
+    Output: (id, clean_text, kept_passages, removed_passages).
+
+    One shuffle on the passage md5 (first-copy window rank), one on the
+    doc id (ordered reassembly, collect bounded by document size).
+    Empty/blank texts are dropped — they have no passages.
+    """
+    from .text import _ntoks, _tokens
+
+    toked = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("id"), _tokens(text_col).alias("__toks"))
+        .select("id", "__toks", _ntoks(F.col("__toks")).alias("__n"))
+    )
+    pas = toked.select(
+        "id",
+        "__toks",
+        "__n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("__n") - 1, F.lit(window))
+        ).alias("st"),
+    )
+    end = F.least(F.col("st") + F.lit(window), F.col("__n"))
+    ph = pas.select(
+        "id",
+        "st",
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("st") + 1, end - F.col("st")), " "
+        ).alias("ptxt"),
+    )
+    w = Window.partitionBy(F.md5(F.col("ptxt"))).orderBy("id", "st")
+    mk = ph.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("st"), F.col("ptxt"))
+    )  # collect_list drops the NULLs for removed passages
+    return mk.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["ptxt"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_passages"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("removed_passages"),
+    )

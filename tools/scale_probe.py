@@ -172,6 +172,20 @@ def main() -> None:
                 "rows_per_sec": int(n_rows / dt),
             }
 
+        # Passage dedup: amplified copies duplicate EVERY passage, so
+        # each passage-hash window partition grows with the factor —
+        # the adversarial direction for the first-copy rank shuffle.
+        # Throughput should stay ~flat (rows/sec) if the hash key
+        # distributes; a super-linear time jump would flag skew.
+        from beacon_data_importer_spark.operators.dedup import passage_dedup
+
+        dt = timed(passage_dedup(d, "text", "doc_id"))
+        results.setdefault("passage_dedup", {})[f"x{factor}"] = {
+            "rows": n_docs,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n_docs / dt),
+        }
+
         sigs = minhash_signatures(d, "text", "doc_id").persist()
         dt = timed(lsh_candidate_pairs(sigs))
         results.setdefault("minhash_lsh_pairs", {})[f"x{factor}"] = {
