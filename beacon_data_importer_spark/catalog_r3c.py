@@ -671,3 +671,127 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, "o_custkey", c, "c_custkey", "custkey_in_customer"
     )
     return quality_report([rows, uniq, ref])
+
+
+# ---------------------------------------------------------------------------
+# forward_fill_events — per-key LOCF gap filling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forward_fill_events",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def q_forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward (LOCF) gap filling: every event
+    row carries the user's most recent purchase amount (NULL until the
+    first purchase) — the standard timeseries backfill, as an
+    ignore-nulls running ``last`` over the per-user event order
+    (event_id breaks timestamp ties).  The filled values pass through
+    untouched from the scan, so cross-engine bits match by construction.
+
+    Plan: ONE shuffle on user_id; the running last is a single
+    sort-based window with no second pass (rowsBetween unbounded-
+    preceding is the streaming-friendly frame — state is one value).
+    At 100 TB this is the minimum possible: any per-key fill must
+    co-locate the key once."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture_sample — α=0.5 temperature sampling across sources
+# ---------------------------------------------------------------------------
+
+_TEMP_BUDGET = 200
+
+
+@query(
+    "temperature_mixture_sample",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle=f"""
+    WITH counts AS MATERIALIZED (
+      SELECT source, count(*) AS c FROM documents GROUP BY source
+    ),
+    wts AS MATERIALIZED (
+      SELECT source, c,
+             CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1e3) AS BIGINT) AS w
+      FROM counts
+    ),
+    tot AS (SELECT sum(w) AS tw FROM wts),
+    quota AS MATERIALIZED (
+      SELECT wts.source, ({_TEMP_BUDGET} * w) // tw AS q
+      FROM wts CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                         d.doc_id) AS rk
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+    FROM ranked r JOIN quota q ON q.source = r.source
+    WHERE r.rk <= q.q
+    """,
+)
+def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (α = 0.5): per-source quotas
+    proportional to count^α — the multilingual/multi-source rebalancing
+    rule (XLM-R-style upsampling of small sources) — then a
+    deterministic hash-ordered sample of each source up to its quota.
+
+    α = 0.5 is deliberately sqrt: IEEE 754 specifies sqrt CORRECTLY
+    ROUNDED (unlike pow/log), so floor(sqrt(c)·1e3) is bit-identical
+    cross-engine; quotas then stay in exact integer arithmetic
+    ((B·w) DIV Σw with an integer Σw — order-independent).
+
+    Plan: a counts agg (statistics-sized), a broadcast quota table, and
+    ONE window rank per source over the md5 sample order.  At 100 TB
+    the rank window is the only data-sized operation — one shuffle on
+    source (salting applies if one source dominates; the quota filter
+    prunes everything past the per-source budget)."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    wts = counts.select(
+        "source",
+        F.floor(F.sqrt(F.col("c").cast("double")) * 1e3)
+        .cast("bigint")
+        .alias("w"),
+    )
+    tot = wts.agg(F.sum("w").alias("tw"))
+    quota = wts.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr(f"({_TEMP_BUDGET} * w) DIV tw").alias("q")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    return ranked.join(F.broadcast(quota), "source").filter(
+        F.col("rk") <= F.col("q")
+    ).select("doc_id", "source", "rk")

@@ -112,6 +112,8 @@ HEADLINE += [
     "source_top_terms",
     "pagerank_parts",
     "data_quality_report",
+    "forward_fill_events",
+    "temperature_mixture_sample",
 ]
 
 

@@ -261,3 +261,73 @@ def test_quality_row_checks_requires_predicates(spark):
     df = spark.createDataFrame([Row(a=1)])
     with pytest.raises(ValueError):
         row_checks(df, {})
+
+
+# ---------------------------------------------------------------------------
+# LOCF forward fill + temperature sampling
+# ---------------------------------------------------------------------------
+
+
+def test_forward_fill_carries_last_purchase(spark, sf_dir):
+    out = EXTRA_QUERIES["forward_fill_events"](spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # users with no purchase at all must be all-NULL
+    import pyspark.sql.functions as SF
+
+    purchasers = {
+        r.user_id
+        for r in e.filter("event_type = 'purchase'")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    bad = (
+        out.filter(SF.col("last_purchase_value").isNotNull())
+        .select("user_id")
+        .distinct()
+        .collect()
+    )
+    assert all(r.user_id in purchasers for r in bad)
+    # for purchasers: once filled, never returns to NULL downstream
+    rows = (
+        out.join(e.select("event_id", "ts"), "event_id")
+        .filter(SF.col("user_id").isin(list(purchasers)[:20]))
+        .collect()
+    )
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    for uid, grp in per_user.items():
+        grp.sort(key=lambda r: (r.ts, r.event_id))
+        seen = False
+        for r in grp:
+            if r.last_purchase_value is not None:
+                seen = True
+            elif seen:
+                raise AssertionError(f"fill dropped back to NULL for {uid}")
+
+
+def test_temperature_sample_flattens_the_mixture(spark, sf_dir):
+    """α=0.5 sampling must give small sources a LARGER share than raw
+    proportional sampling: quota ratios are compressed toward 1 vs the
+    count ratios."""
+    import pyspark.sql.functions as SF
+
+    out = EXTRA_QUERIES["temperature_mixture_sample"](spark, sf_dir)
+    got = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(SF.count(SF.lit(1)).alias("n")).collect()
+    }
+    counts = {
+        r.source: r.c
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .agg(SF.count(SF.lit(1)).alias("c"))
+        .collect()
+    }
+    assert sum(got.values()) <= 200
+    big = max(counts, key=counts.get)
+    small = min(counts, key=counts.get)
+    if counts[big] > counts[small] and small in got and big in got:
+        # compression: sampled ratio strictly below the raw count ratio
+        assert got[big] / got[small] < counts[big] / counts[small] + 1e-9
