@@ -795,3 +795,172 @@ def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(quota), "source").filter(
         F.col("rk") <= F.col("q")
     ).select("doc_id", "source", "rk")
+
+
+# ---------------------------------------------------------------------------
+# robust_outliers — median/MAD robust anomaly detection per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "robust_outliers",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT c_nationkey AS nationkey, o_totalprice AS price
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    med AS MATERIALIZED (
+      SELECT nationkey, quantile_cont(price, 0.5) AS med
+      FROM base GROUP BY nationkey
+    ),
+    mad AS MATERIALIZED (
+      SELECT b.nationkey, quantile_cont(abs(b.price - m.med), 0.5) AS mad
+      FROM base b JOIN med m USING (nationkey) GROUP BY b.nationkey
+    )
+    SELECT b.nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(floor(max(m.med) * 100) AS BIGINT) AS median_cents,
+           CAST(floor(max(d.mad) * 100) AS BIGINT) AS mad_cents,
+           CAST(count(*) FILTER (WHERE abs(b.price - m.med) > 3e0 * d.mad)
+                AS BIGINT) AS n_outliers
+    FROM base b
+    JOIN med m USING (nationkey)
+    JOIN mad d USING (nationkey)
+    GROUP BY b.nationkey
+    """,
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly detection: median + MAD (median absolute
+    deviation) of order value per customer nation, and the count of
+    orders beyond 3×MAD — the robust-statistics alternative to z-scores
+    (grouped_zscore_pandas), immune to the outliers it is hunting.
+
+    Cross-engine determinism: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation definition, and the
+    outlier predicate compares |x − med| (exact IEEE subtract/abs of
+    bit-identical doubles) against 3·mad — no epsilon anywhere; the
+    displayed median/MAD integerize as floor-cents.
+
+    Plan: three aggregations over the same nationkey partitioning (med →
+    MAD → final), with the 25-row med/mad tables BROADCAST back — the
+    exchanges after the first reuse the co-partitioning.  Exact medians
+    sort within groups; at 100 TB swap in approx_percentile and keep
+    the identical two-pass MAD structure."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    base = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o["o_custkey"] == c["c_custkey"],
+    ).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    med = base.groupBy("nationkey").agg(
+        F.expr("percentile(price, 0.5)").alias("med")
+    )
+    b2 = base.join(F.broadcast(med), "nationkey").withColumn(
+        "adiff", F.abs(F.col("price") - F.col("med"))
+    )
+    mad = b2.groupBy("nationkey").agg(
+        F.expr("percentile(adiff, 0.5)").alias("mad")
+    )
+    b3 = b2.join(F.broadcast(mad), "nationkey")
+    return b3.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.floor(F.max("med") * 100).cast("bigint").alias("median_cents"),
+        F.floor(F.max("mad") * 100).cast("bigint").alias("mad_cents"),
+        F.sum(
+            F.when(F.col("adiff") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token_cooccurrence — GloVe-style co-document matrix with integer lift
+# ---------------------------------------------------------------------------
+
+_COOC_TOPK = 20
+
+
+@query(
+    "token_cooccurrence",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS dt
+      FROM documents WHERE trim(text) <> ''
+    ),
+    nd AS (SELECT count(*) AS n FROM toks),
+    dfreq AS MATERIALIZED (
+      SELECT u.tok, count(*) AS df
+      FROM toks, unnest(dt) AS u(tok) GROUP BY u.tok
+    ),
+    pairs AS MATERIALIZED (
+      SELECT u1.a, u2.b, count(*) AS n_docs
+      FROM toks, unnest(dt) AS u1(a), unnest(dt) AS u2(b)
+      WHERE u1.a < u2.b
+      GROUP BY u1.a, u2.b
+    )
+    SELECT p.a AS term_a, p.b AS term_b,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST((p.n_docs * s.n * 1000000) // (da.df * db.df) AS BIGINT)
+             AS lift_ppm
+    FROM pairs p
+    JOIN dfreq da ON da.tok = p.a
+    JOIN dfreq db ON db.tok = p.b
+    CROSS JOIN nd s
+    ORDER BY n_docs DESC, term_a, term_b LIMIT {_COOC_TOPK}
+    """,
+)
+def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term co-occurrence matrix (document granularity) with integer
+    LIFT — the association-mining / GloVe-matrix build: for every
+    unordered term pair, in how many documents do both appear, and how
+    does that compare to independence (lift = P(a,b)/(P(a)·P(b)),
+    surfaced as exact-integer ppm: (n_ab·N·1e6) DIV (df_a·df_b); at
+    extreme N reorder the multiply/divide to stay in bigint).
+
+    Plan: the per-document pair expansion is a doc_id-equijoined
+    self-join of the DISTINCT-token postings — quadratic only in
+    per-document distinct terms (bounded by doc length), never in the
+    corpus.  Document frequencies and the 1-row doc count broadcast;
+    top-k is a TakeOrdered.  This is the standard scalable shape for
+    co-occurrence: shuffle O(postings), expand locally per doc."""
+    from .operators.text import _tokens
+
+    d = _docs_parallel(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    toked = d.select(
+        "doc_id", F.array_distinct(_tokens("text")).alias("dt")
+    )
+    ex = toked.select("doc_id", F.explode("dt").alias("tok"))
+    nd = toked.agg(F.count(F.lit(1)).alias("n"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    l = ex.select(F.col("doc_id"), F.col("tok").alias("a"))
+    r = ex.select(F.col("doc_id").alias("doc_id_r"), F.col("tok").alias("b"))
+    pairs = (
+        l.join(r, (l["doc_id"] == r["doc_id_r"]) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    da = dfreq.select(F.col("tok").alias("a"), F.col("df").alias("df_a"))
+    db = dfreq.select(F.col("tok").alias("b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr(
+                "CAST((n_docs * n * 1000000) DIV (df_a * df_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("n_docs").desc(), "term_a", "term_b")
+        .limit(_COOC_TOPK)
+    )

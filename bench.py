@@ -114,6 +114,8 @@ HEADLINE += [
     "data_quality_report",
     "forward_fill_events",
     "temperature_mixture_sample",
+    "robust_outliers",
+    "token_cooccurrence",
 ]
 
 

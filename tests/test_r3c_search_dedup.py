@@ -331,3 +331,20 @@ def test_temperature_sample_flattens_the_mixture(spark, sf_dir):
     if counts[big] > counts[small] and small in got and big in got:
         # compression: sampled ratio strictly below the raw count ratio
         assert got[big] / got[small] < counts[big] / counts[small] + 1e-9
+
+
+def test_robust_outliers_bounds(spark, sf_dir):
+    rows = EXTRA_QUERIES["robust_outliers"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mad_cents >= 0 and r.median_cents > 0
+        # 3xMAD on any distribution bounds outliers well under half the mass
+        assert r.n_outliers < r.n_orders / 2
+
+
+def test_token_cooccurrence_symmetric_and_bounded(spark, sf_dir):
+    rows = EXTRA_QUERIES["token_cooccurrence"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.term_a < r.term_b  # canonical unordered pairs
+        assert r.n_docs > 0 and r.lift_ppm >= 0
