@@ -964,3 +964,173 @@ def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "term_a", "term_b")
         .limit(_COOC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff — batch change-data-capture between table versions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_diff",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH old AS MATERIALIZED (
+      SELECT c_custkey AS k, c_name, c_acctbal FROM customer
+    ),
+    new AS MATERIALIZED (
+      SELECT c_custkey AS k, c_name,
+             CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_name, c_acctbal
+      FROM customer WHERE c_custkey % 101 = 0
+    )
+    SELECT coalesce(o.k, n.k) AS custkey,
+           CASE WHEN o.k IS NULL THEN 'insert'
+                WHEN n.k IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+    FROM old o FULL JOIN new n ON n.k = o.k
+    WHERE o.k IS NULL OR n.k IS NULL
+       OR o.c_name IS DISTINCT FROM n.c_name
+       OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC: diff two snapshots of the customer table into the
+    insert/update/delete row set a MERGE would apply (the complement of
+    scd2_merge, which consumes such a diff).  The "new" snapshot is
+    derived deterministically from the same scan — every 97th key
+    deleted, every 13th acctbal bumped (+100 is IEEE-exact on doubles),
+    every 101st re-keyed as an insert — so the oracle rebuilds both
+    sides identically and the diff exercises all three change types.
+
+    Plan: one FULL OUTER sort-merge join on the key — the minimal
+    co-location any snapshot diff needs — with null-safe payload
+    comparison (operators/upsert.py:snapshot_diff; for wide tables pass
+    a single pre-hashed payload column instead)."""
+    from .operators.upsert import snapshot_diff
+
+    c = read_table(spark, sf_dir, "customer")
+    old = c.select(
+        F.col("c_custkey"), F.col("c_name"), F.col("c_acctbal")
+    )
+    new = (
+        c.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 100
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                "c_name",
+                "c_acctbal",
+            )
+        )
+    )
+    return snapshot_diff(
+        old, new, "c_custkey", ["c_name", "c_acctbal"]
+    ).select(F.col("c_custkey").alias("custkey"), "change_type")
+
+
+# ---------------------------------------------------------------------------
+# triangle_count — co-supply graph triangles
+# ---------------------------------------------------------------------------
+
+_TRI_MIN_SHARED = 2
+
+
+@query(
+    "triangle_count",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle=f"""
+    WITH ps AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT x.s AS a, y.s AS b
+      FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s
+      GROUP BY x.s, y.s
+      HAVING count(*) >= {_TRI_MIN_SHARED}
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    deg AS (
+      SELECT count(*) AS n_edges FROM edges
+    ),
+    verts AS (
+      SELECT count(*) AS n_nodes FROM (
+        SELECT a AS v FROM edges UNION SELECT b FROM edges
+      ) u
+    )
+    SELECT CAST(verts.n_nodes AS BIGINT) AS n_nodes,
+           CAST(deg.n_edges AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles
+    FROM tri CROSS JOIN deg CROSS JOIN verts
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the supplier co-supply graph (edge between
+    suppliers sharing ≥ {m} parts): the standard graph-cohesion metric,
+    via the canonical edge-iterator — edges oriented a < b, wedges
+    (a,b)+(b,c), closed by probing (a,c).  Each triangle counts exactly
+    once because its vertices appear in sorted order.
+
+    Plan: the per-part pair expansion is quadratic only in suppliers-
+    per-part (bounded, like token_cooccurrence's per-doc expansion);
+    the wedge join shuffles the edge list twice on vertex keys.  At
+    100 TB the production refinement is DEGREE orientation (point each
+    edge low→high degree, bounding wedge fan-out by sqrt-degree — the
+    Suri-Vassilvitskii MapReduce formulation); id orientation keeps the
+    oracle simple here and the join shape is identical.""".format(
+        m=_TRI_MIN_SHARED
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    x = ps.select(F.col("p"), F.col("s").alias("a"))
+    y = ps.select(F.col("p").alias("p_r"), F.col("s").alias("b"))
+    edges = (
+        x.join(y, (F.col("p") == F.col("p_r")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _TRI_MIN_SHARED)
+        .select("a", "b")
+    )
+    edges = edges.localCheckpoint()  # reused three times in the wedge join
+    e1 = edges.select(F.col("a").alias("a1"), F.col("b").alias("b1"))
+    e2 = edges.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+    tri = (
+        e1.join(e2, F.col("a2") == F.col("b1"))
+        .join(e3, (F.col("a3") == F.col("a1")) & (F.col("b3") == F.col("b2")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    verts = (
+        edges.select(F.col("a").alias("v"))
+        .union(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return (
+        tri.crossJoin(n_edges)
+        .crossJoin(verts)
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        )
+    )

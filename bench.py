@@ -116,6 +116,8 @@ HEADLINE += [
     "temperature_mixture_sample",
     "robust_outliers",
     "token_cooccurrence",
+    "snapshot_diff",
+    "triangle_count",
 ]
 
 

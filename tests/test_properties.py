@@ -124,3 +124,42 @@ def test_callback_start_date_fallback_arithmetic(spark, rows):
     ]
     for (cb, la), g in zip(rows, got):
         assert g == (cb if cb is not None else la + dt.timedelta(days=6))
+
+
+# word-salad docs from a tiny vocabulary so cross-doc passage
+# duplication actually occurs in generated corpora
+_words = st.lists(
+    st.sampled_from(["red", "blue", "fox", "dog", "run", "sky"]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(_words, min_size=1, max_size=12))
+def test_passage_dedup_properties(spark, docs):
+    """Three ExactSubstr invariants on arbitrary corpora: (a) surviving
+    FULL passages are globally unique; (b) a doc with zero removals
+    round-trips to its normalized text; (c) kept+removed covers every
+    window exactly once."""
+    from beacon_data_importer_spark.operators.dedup import passage_dedup
+
+    W = 4
+    rows = [Row(id=i, t=" ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows)
+    out = passage_dedup(df, "t", "id", window=W).collect()
+    assert len(out) == len(docs)
+    by_id = {r.id: r for r in out}
+    seen_full = set()
+    for i, ws in enumerate(docs):
+        r = by_id[i]
+        n_windows = (len(ws) + W - 1) // W
+        assert r.kept_passages + r.removed_passages == n_windows
+        if r.removed_passages == 0:
+            assert r.clean_text == " ".join(ws)
+        toks = r.clean_text.split() if r.clean_text else []
+        for st_ in range(0, len(toks), W):
+            p = " ".join(toks[st_ : st_ + W])
+            if len(toks) - st_ >= W:
+                assert p not in seen_full, "duplicate full passage survived"
+                seen_full.add(p)

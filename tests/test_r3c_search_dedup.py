@@ -348,3 +348,28 @@ def test_token_cooccurrence_symmetric_and_bounded(spark, sf_dir):
     for r in rows:
         assert r.term_a < r.term_b  # canonical unordered pairs
         assert r.n_docs > 0 and r.lift_ppm >= 0
+
+
+def test_snapshot_diff_operator_all_change_types(spark):
+    from pyspark.sql import Row
+
+    from beacon_data_importer_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="B"), Row(k=4, v="d")]
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, "k", ["v"]).collect()
+    }
+    assert got == {2: "update", 3: "delete", 4: "insert"}  # k=1 unchanged
+
+
+def test_triangle_count_is_consistent(spark, sf_dir):
+    r = EXTRA_QUERIES["triangle_count"](spark, sf_dir).collect()[0]
+    assert r.n_nodes > 0 and r.n_edges > 0
+    # triangles bounded by C(edges over any vertex): sanity ceiling
+    assert 0 <= r.n_triangles <= r.n_edges ** 2
