@@ -1134,3 +1134,223 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_triangles").cast("bigint").alias("n_triangles"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset_split_grouped — leakage-safe split by SOURCE hash
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dataset_split_grouped",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH assigned AS (
+      SELECT source, n_chars,
+        CASE WHEN CAST('0x' || substring(md5('0|' || source), 1, 15)
+                       AS BIGINT) % 100 < 90 THEN 'train'
+             WHEN CAST('0x' || substring(md5('0|' || source), 1, 15)
+                       AS BIGINT) % 100 < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned GROUP BY split
+    """,
+)
+def q_dataset_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split: the split key is the SOURCE
+    hash, so every document of a source lands in the same split — the
+    leakage-safe variant of ``dataset_split`` (near-duplicates cluster
+    within a source; an id-hash split would scatter them across train
+    and test, inflating eval scores).  Same deterministic
+    portable-hash bucketing, same no-reshuffle-on-append property, now
+    at group granularity.  Map-only assignment; one statistics-sized
+    agg."""
+    from .operators.sampling import split_assign
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(split_assign("source", 90, 5).alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_eval — precision/recall of the LSH detector vs exact Jaccard truth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_eval",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle=None,  # assigned below — needs fragments from catalog_ext/r3b
+)
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation: precision/recall of the production LSH
+    near-dup detector against EXACT ground truth on a deterministic
+    half-corpus sample (doc_id even).  Ground truth is every sample
+    pair with 3-gram Jaccard ≥ 0.5 — computed via the inverted-index
+    similarity join (postings join on shingle → shared-shingle counts →
+    the INTEGER test 2·|A∩B| ≥ |A∪B|, no floats anywhere) — never an
+    all-pairs cartesian.  Predictions are the corpus LSH candidate
+    pairs restricted to the sample.  Output: one row of counts +
+    integer-ppm precision/recall.
+
+    100 TB posture: evaluation always runs on a hash sample (here 1/2;
+    in production 1/10⁴) — the postings join is quadratic per hot
+    shingle, which the sample bounds; the detector under test runs at
+    full scale unchanged.  This is the QA loop every production dedup
+    pipeline needs: a measured precision/recall, not a vibe."""
+    from .operators.dedup import _shingles
+    from .plans.corpus_lsh import corpus_candidate_pairs
+
+    d = _docs_parallel(spark, sf_dir)
+    samp = d.filter(F.col("doc_id") % 2 == 0)
+    shd = samp.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(_shingles(F.col("text"))).alias("sh"),
+    )
+    sizes = shd.select("id", F.size("sh").alias("ns"))
+    post = shd.select("id", F.explode("sh").alias("g"))
+    pa = post.select(F.col("g"), F.col("id").alias("a"))
+    pb = post.select(F.col("g").alias("g_r"), F.col("id").alias("b"))
+    inter = (
+        pa.join(pb, (F.col("g") == F.col("g_r")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sx = sizes.select(F.col("id").alias("a"), F.col("ns").alias("ns_a"))
+    sy = sizes.select(F.col("id").alias("b"), F.col("ns").alias("ns_b"))
+    truth = (
+        inter.join(F.broadcast(sx), "a")
+        .join(F.broadcast(sy), "b")
+        .filter(
+            2 * F.col("i") >= F.col("ns_a") + F.col("ns_b") - F.col("i")
+        )
+        .select("a", "b")
+    )
+    pred = (
+        corpus_candidate_pairs(spark, sf_dir)
+        .filter((F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 0))
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    predj = (
+        pred.join(inter, ["a", "b"], "left")
+        .join(F.broadcast(sx), "a")
+        .join(F.broadcast(sy), "b")
+        .select(
+            "a",
+            "b",
+            (
+                2 * F.coalesce(F.col("i"), F.lit(0))
+                >= F.col("ns_a") + F.col("ns_b") - F.coalesce(F.col("i"), F.lit(0))
+            ).alias("good"),
+        )
+    )
+    n_samp = samp.agg(F.count(F.lit(1)).alias("n_sample_docs"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_predicted_pairs"))
+    tpfp = predj.agg(
+        F.sum(F.when(F.col("good"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("good"), 1).otherwise(0)).alias("fp"),
+    )
+    fn = truth.join(pred, ["a", "b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("fn")
+    )
+    return (
+        n_samp.crossJoin(n_truth)
+        .crossJoin(n_pred)
+        .crossJoin(tpfp)
+        .crossJoin(fn)
+        .select(
+            F.col("n_sample_docs").cast("bigint").alias("n_sample_docs"),
+            F.col("n_truth_pairs").cast("bigint").alias("n_truth_pairs"),
+            F.col("n_predicted_pairs")
+            .cast("bigint")
+            .alias("n_predicted_pairs"),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce(F.col("fp"), F.lit(0)).cast("bigint").alias("fp"),
+            F.col("fn").cast("bigint").alias("fn"),
+            F.expr(
+                "CAST(coalesce(tp,0)*1000000 DIV NULLIF(coalesce(tp,0)+coalesce(fp,0),0) AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(coalesce(tp,0)*1000000 DIV NULLIF(coalesce(tp,0)+fn,0) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def _install_dedup_eval_oracle() -> None:
+    """The oracle composes shared fragments from catalog_ext/catalog_r3b
+    (minhash signature chain + banded LSH pairs) — assembled after both
+    modules are importable to keep the fragment single-sourced."""
+    from .catalog import EXTRA_ORACLES
+    from .catalog_ext import _DUCK_SHINGLES, _duck_minhash_sig_cte
+    from .catalog_r3b import _DUCK_LSH_PAIRS
+
+    EXTRA_ORACLES["dedup_eval"] = f"""
+    WITH samp AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    shx AS MATERIALIZED (
+      SELECT doc_id AS id, list_distinct({_DUCK_SHINGLES}) AS sh FROM samp
+    ),
+    dsz AS MATERIALIZED (SELECT id, len(sh) AS ns FROM shx),
+    post AS MATERIALIZED (SELECT id, u.g FROM shx, unnest(shx.sh) AS u(g)),
+    inter AS MATERIALIZED (
+      SELECT l.id AS ia, r.id AS ib, count(*) AS i
+      FROM post l JOIN post r ON l.g = r.g AND l.id < r.id
+      GROUP BY l.id, r.id
+    ),
+    truth AS MATERIALIZED (
+      SELECT i.ia, i.ib
+      FROM inter i JOIN dsz x ON x.id = i.ia JOIN dsz y ON y.id = i.ib
+      WHERE 2 * i.i >= x.ns + y.ns - i.i
+    ),
+    {_duck_minhash_sig_cte()},
+    {_DUCK_LSH_PAIRS},
+    pred AS MATERIALIZED (
+      SELECT a, b FROM pairs WHERE a % 2 = 0 AND b % 2 = 0
+    ),
+    predj AS MATERIALIZED (
+      SELECT p.a, p.b,
+             2 * coalesce(i.i, 0)
+               >= x.ns + y.ns - coalesce(i.i, 0) AS good
+      FROM pred p
+      LEFT JOIN inter i ON i.ia = p.a AND i.ib = p.b
+      JOIN dsz x ON x.id = p.a
+      JOIN dsz y ON y.id = p.b
+    ),
+    m AS (
+      SELECT
+        (SELECT count(*) FROM samp) AS n_sample_docs,
+        (SELECT count(*) FROM truth) AS n_truth_pairs,
+        (SELECT count(*) FROM pred) AS n_predicted_pairs,
+        (SELECT count(*) FROM predj WHERE good) AS tp,
+        (SELECT count(*) FROM predj WHERE NOT good) AS fp,
+        (SELECT count(*) FROM truth t
+         WHERE NOT EXISTS (SELECT 1 FROM pred p
+                           WHERE p.a = t.ia AND p.b = t.ib)) AS fn
+    )
+    SELECT CAST(n_sample_docs AS BIGINT) AS n_sample_docs,
+           CAST(n_truth_pairs AS BIGINT) AS n_truth_pairs,
+           CAST(n_predicted_pairs AS BIGINT) AS n_predicted_pairs,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(tp * 1000000 // NULLIF(tp + fp, 0) AS BIGINT)
+             AS precision_ppm,
+           CAST(tp * 1000000 // NULLIF(tp + fn, 0) AS BIGINT) AS recall_ppm
+    FROM m
+    """
+
+
+_install_dedup_eval_oracle()

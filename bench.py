@@ -118,6 +118,8 @@ HEADLINE += [
     "token_cooccurrence",
     "snapshot_diff",
     "triangle_count",
+    "dataset_split_grouped",
+    "dedup_eval",
 ]
 
 

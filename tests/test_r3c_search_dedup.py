@@ -373,3 +373,28 @@ def test_triangle_count_is_consistent(spark, sf_dir):
     assert r.n_nodes > 0 and r.n_edges > 0
     # triangles bounded by C(edges over any vertex): sanity ceiling
     assert 0 <= r.n_triangles <= r.n_edges ** 2
+
+
+def test_dataset_split_grouped_is_leakage_safe(spark, sf_dir):
+    """No source may span two splits — the defining property."""
+    from beacon_data_importer_spark.operators.sampling import split_assign
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = (
+        d.select(split_assign("source", 90, 5).alias("split"), "source")
+        .groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert spans == 0
+
+
+def test_dedup_eval_confusion_matrix_consistent(spark, sf_dir):
+    r = EXTRA_QUERIES["dedup_eval"](spark, sf_dir).collect()[0]
+    assert r.tp + r.fp == r.n_predicted_pairs
+    assert r.tp + r.fn == r.n_truth_pairs
+    if r.n_predicted_pairs:
+        assert 0 <= r.precision_ppm <= 1_000_000
+    if r.n_truth_pairs:
+        assert 0 <= r.recall_ppm <= 1_000_000
