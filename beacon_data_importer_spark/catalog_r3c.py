@@ -1354,3 +1354,67 @@ def _install_dedup_eval_oracle() -> None:
 
 
 _install_dedup_eval_oracle()
+
+
+# ---------------------------------------------------------------------------
+# skew_salted_join — manual skew join (salt big side, replicate small side)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_salted_join",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH big AS (
+      SELECT CASE WHEN l_suppkey % 3 = 0 THEN 0
+                  ELSE l_suppkey % 50 END AS kk,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT DISTINCT s_suppkey % 50 AS kk, (s_suppkey % 50) * 2 + 1 AS factor
+      FROM supplier
+    )
+    SELECT b.kk, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(b.qty_c * d.factor) AS BIGINT) AS weighted_qty_c
+    FROM big b JOIN dim d ON d.kk = b.kk
+    GROUP BY b.kk
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew join (operators/skew.py:salted_join): a deliberately
+    skewed join key (every third supplier collapses to key 0 — ~1/3 of
+    lineitem lands on ONE key) joined against a 50-row non-broadcast
+    dim via salt-the-big-side / replicate-the-small-side.  The hot
+    key's rows spread over 8 salted reducers instead of one; the
+    result is salt-invariant, which the oracle (a plain unsalted join)
+    proves.  Companion to skew_salted_agg, which fixes the same
+    pathology for aggregations; AQE's runtime skew splitting is the
+    zero-code alternative when enabled — this operator is for
+    pre-bucketed layouts and known-hot keys."""
+    from .operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    big = li.select(
+        F.when(F.col("l_suppkey") % 3 == 0, 0)
+        .otherwise(F.col("l_suppkey") % 50)
+        .alias("kk"),
+        F.round(F.col("l_quantity") * 100, 0).cast("bigint").alias("qty_c"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    ).withColumn(
+        "__rid",
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+    )
+    dim = s.select(
+        (F.col("s_suppkey") % 50).alias("kk"),
+        ((F.col("s_suppkey") % 50) * 2 + 1).alias("factor"),
+    ).distinct()
+    joined = salted_join(big, dim, "kk", salt_col="__rid", salts=8)
+    return joined.groupBy("kk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("qty_c") * F.col("factor"))
+        .cast("bigint")
+        .alias("weighted_qty_c"),
+    )

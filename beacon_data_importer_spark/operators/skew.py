@@ -62,3 +62,36 @@ def salted_aggregate(
             for name, (_, fn) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_col: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join: salt the BIG (left) side into ``salts``
+    sub-keys by hashing ``salt_col`` (a high-cardinality column — the
+    row id; deterministic, never rand()), replicate the SMALL-but-not-
+    broadcastable (right) side once per salt, join on (key, salt) —
+    the classic manual skew join for when AQE's runtime splitting is
+    unavailable (pre-shuffle bucketed layouts, non-AQE engines) or the
+    skew is known ahead of time.
+
+    A hot key's rows now spread over ``salts`` reducers instead of one;
+    the right side grows ``salts``× (it must be small enough for that,
+    yet too large / too frequently-joined to broadcast).  The join
+    RESULT is salt-invariant — every (key, salt) pair meets exactly the
+    right rows replicated under that salt — which is what the oracle
+    checks; the salt only reshapes the exchange.
+    """
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salts))
+    )
+    r = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salts - 1))),
+    )
+    return l.join(r, [key, "__salt"], how).drop("__salt")

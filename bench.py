@@ -120,6 +120,7 @@ HEADLINE += [
     "triangle_count",
     "dataset_split_grouped",
     "dedup_eval",
+    "skew_salted_join",
 ]
 
 

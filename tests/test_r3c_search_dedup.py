@@ -398,3 +398,35 @@ def test_dedup_eval_confusion_matrix_consistent(spark, sf_dir):
         assert 0 <= r.precision_ppm <= 1_000_000
     if r.n_truth_pairs:
         assert 0 <= r.recall_ppm <= 1_000_000
+
+
+def test_salted_join_spreads_the_hot_key(spark):
+    """The hot key's rows must land under multiple salts (the point of
+    the operator), and the join result must equal the unsalted join."""
+    from pyspark.sql import Row
+
+    from beacon_data_importer_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [Row(k=0, rid=i, v=1) for i in range(400)]
+        + [Row(k=i % 5 + 1, rid=1000 + i, v=1) for i in range(100)]
+    )
+    dim = spark.createDataFrame([Row(k=i, f=i * 10) for i in range(6)])
+    out = salted_join(big, dim, "k", salt_col="rid", salts=8)
+    plain = big.join(dim, "k")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the hot key actually fans out over salts
+    from pyspark.sql import functions as SF
+
+    n_salts = (
+        big.withColumn(
+            "__salt", SF.pmod(SF.xxhash64(SF.col("rid")), SF.lit(8))
+        )
+        .filter("k = 0")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts >= 4
