@@ -1044,20 +1044,21 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # triangle_count — co-supply graph triangles
 # ---------------------------------------------------------------------------
 
-_TRI_MIN_SHARED = 2
+_TRI_MIN_SHARED = 3
 
 
 @query(
     "triangle_count",
     registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
     oracle=f"""
-    WITH ps AS MATERIALIZED (
-      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    WITH cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     ),
     edges AS MATERIALIZED (
-      SELECT x.s AS a, y.s AS b
-      FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s
-      GROUP BY x.s, y.s
+      SELECT x.c AS a, y.c AS b
+      FROM cp x JOIN cp y ON x.p = y.p AND x.c < y.c
+      GROUP BY x.c, y.c
       HAVING count(*) >= {_TRI_MIN_SHARED}
     ),
     tri AS (
@@ -1081,13 +1082,15 @@ _TRI_MIN_SHARED = 2
     """,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count over the supplier co-supply graph (edge between
-    suppliers sharing ≥ {m} parts): the standard graph-cohesion metric,
+    """Triangle count over the customer co-purchase graph (edge between
+    customers sharing ≥ {m} distinct parts — the supplier projections
+    are near-complete cliques on this data, so customers give the
+    sparse graph triangle counting is for): the standard graph-cohesion metric,
     via the canonical edge-iterator — edges oriented a < b, wedges
     (a,b)+(b,c), closed by probing (a,c).  Each triangle counts exactly
     once because its vertices appear in sorted order.
 
-    Plan: the per-part pair expansion is quadratic only in suppliers-
+    Plan: the per-part pair expansion is quadratic only in customers-
     per-part (bounded, like token_cooccurrence's per-doc expansion);
     the wedge join shuffles the edge list twice on vertex keys.  At
     100 TB the production refinement is DEGREE orientation (point each
@@ -1097,11 +1100,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_TRI_MIN_SHARED
     )
     li = read_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    x = ps.select(F.col("p"), F.col("s").alias("a"))
-    y = ps.select(F.col("p").alias("p_r"), F.col("s").alias("b"))
+    o = read_table(spark, sf_dir, "orders")
+    ps = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x = ps.select(F.col("p"), F.col("c").alias("a"))
+    y = ps.select(F.col("p").alias("p_r"), F.col("c").alias("b"))
     edges = (
         x.join(y, (F.col("p") == F.col("p_r")) & (F.col("a") < F.col("b")))
         .groupBy("a", "b")
@@ -1411,7 +1417,11 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_suppkey") % 50).alias("kk"),
         ((F.col("s_suppkey") % 50) * 2 + 1).alias("factor"),
     ).distinct()
-    joined = salted_join(big, dim, "kk", salt_col="__rid", salts=8)
+    # merge hint: at testdata scale Spark would broadcast the 50-row dim
+    # (collapsing the exchange the salt exists to reshape); the hint
+    # forces the shuffle-join plan the operator targets — a (kk, salt)
+    # exchange on both sides, hot key spread across 8 reducers
+    joined = salted_join(big, dim.hint("merge"), "kk", salt_col="__rid", salts=8)
     return joined.groupBy("kk").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("qty_c") * F.col("factor"))
