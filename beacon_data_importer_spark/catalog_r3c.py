@@ -1428,3 +1428,128 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weighted_qty_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wow_growth — week-over-week revenue growth per nation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wow_growth",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH weekly AS MATERIALIZED (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(date_trunc('week', o.o_orderdate) AS DATE) AS wk,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, date_trunc('week', o.o_orderdate)
+    ),
+    lagged AS (
+      SELECT nationkey, wk, rev_c,
+             lag(rev_c) OVER (PARTITION BY nationkey ORDER BY wk) AS prev_c
+      FROM weekly
+    )
+    SELECT nationkey, wk, CAST(rev_c AS BIGINT) AS rev_c,
+           CAST(floor((rev_c - prev_c) * 1e6 / prev_c) AS BIGINT)
+             AS growth_ppm
+    FROM lagged WHERE prev_c IS NOT NULL
+    """,
+)
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth per customer nation: weekly
+    cents-exact revenue, a per-nation lag, growth as
+    floor((cur−prev)·1e6/prev) — the division runs in DOUBLES in both
+    engines deliberately, because integer division disagrees on
+    negatives (DuckDB ``//`` floors, Spark ``DIV`` truncates toward
+    zero) while floor-of-an-identical-double does not; the products
+    stay < 2^53 so the double arithmetic is exact.
+
+    Plan: one agg shuffle on (nation, week) — partial-aggregated, so
+    the exchange is report-sized — and a 25-partition lag window that
+    reuses nothing data-sized.  The dimension join broadcasts."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    weekly = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.date_trunc("week", F.col("o_orderdate"))
+            .cast("date")
+            .alias("wk"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .alias("rev_c")
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy("wk")
+    return (
+        weekly.withColumn("prev_c", F.lag("rev_c").over(w))
+        .filter(F.col("prev_c").isNotNull())
+        .select(
+            "nationkey",
+            "wk",
+            F.col("rev_c").cast("bigint").alias("rev_c"),
+            F.floor(
+                (F.col("rev_c") - F.col("prev_c")) * F.lit(1e6)
+                / F.col("prev_c")
+            )
+            .cast("bigint")
+            .alias("growth_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ship_latency_histogram — order-to-ship latency distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ship_latency_histogram",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH lat AS MATERIALIZED (
+      SELECT date_diff('day', o.o_orderdate, l.l_shipdate) // 7 AS bucket_wk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    tot AS (SELECT count(*) AS n FROM lat)
+    SELECT CAST(bucket_wk AS BIGINT) AS bucket_wk,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) * 1000000 // max(t.n) AS BIGINT) AS share_ppm
+    FROM lat CROSS JOIN tot t
+    GROUP BY bucket_wk
+    """,
+)
+def q_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution in whole-week buckets (the
+    operational-SLA histogram): days from order date to line ship date,
+    integer-div by 7 (latencies are non-negative, so floor and truncate
+    agree), with each bucket's exact-integer ppm share of all lines.
+
+    Plan: the join shuffles on orderkey (or broadcasts orders' 2-column
+    projection when it fits), then ONE statistics-sized agg on the
+    bucket id; the 1-row total broadcasts.  Column pruning matters here:
+    the scan reads 2 columns of lineitem, 2 of orders."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.expr("CAST(datediff(l_shipdate, o_orderdate) DIV 7 AS BIGINT)")
+        .alias("bucket_wk")
+    )
+    tot = lat.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        lat.crossJoin(F.broadcast(tot))
+        .groupBy("bucket_wk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.expr("CAST(count(1) * 1000000 DIV max(n) AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )

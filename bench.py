@@ -121,6 +121,8 @@ HEADLINE += [
     "dataset_split_grouped",
     "dedup_eval",
     "skew_salted_join",
+    "wow_growth",
+    "ship_latency_histogram",
 ]
 
 
