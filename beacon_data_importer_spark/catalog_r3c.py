@@ -1553,3 +1553,152 @@ def q_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# impute_group_mean — deterministic mean imputation for missing values
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "impute_group_mean",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH masked AS MATERIALIZED (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE CAST(round(value * 100) AS BIGINT) END AS v_c
+      FROM events
+    ),
+    means AS MATERIALIZED (
+      SELECT event_type, sum(v_c) // count(v_c) AS mean_c
+      FROM masked WHERE v_c IS NOT NULL GROUP BY event_type
+    )
+    SELECT m.event_id,
+           CAST(coalesce(m.v_c, x.mean_c) AS BIGINT) AS v_imputed_c,
+           m.v_c IS NULL AS was_imputed
+    FROM masked m JOIN means x ON x.event_type = m.event_type
+    """,
+)
+def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean imputation for missing numeric values, per group: every 7th
+    event's value is deterministically masked to NULL, then refilled
+    with its event type's mean over the NON-null rows — computed as
+    exact integer cents (sum_c DIV n: a double mean would differ by
+    summation order between engines; the integer mean never does, and
+    the values are non-negative so DIV and // agree).  The companion to
+    forward_fill_events: cross-sectional imputation vs temporal.
+
+    Plan: one conditional projection, one statistics-sized group mean,
+    one broadcast join back — the scan is read once per side and the
+    mean table is |types| rows at any scale."""
+    e = read_table(spark, sf_dir, "events")
+    masked = e.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .alias("v_c"),
+    )
+    means = (
+        masked.filter(F.col("v_c").isNotNull())
+        .groupBy("event_type")
+        .agg(F.expr("CAST(sum(v_c) DIV count(v_c) AS BIGINT)").alias("mean_c"))
+    )
+    return masked.join(F.broadcast(means), "event_type").select(
+        "event_id",
+        F.coalesce(F.col("v_c"), F.col("mean_c"))
+        .cast("bigint")
+        .alias("v_imputed_c"),
+        F.col("v_c").isNull().alias("was_imputed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ab_test_ztest — two-proportion z-test over a hash-assigned experiment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_test_ztest",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH assign AS MATERIALIZED (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS grp,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT
+        sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+        sum(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS c_a,
+        sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b,
+        sum(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS c_b
+      FROM assign
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+           CAST(floor(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) * 1e6)
+                AS BIGINT) AS rate_a_ppm,
+           CAST(floor(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 1e6)
+                AS BIGINT) AS rate_b_ppm,
+           CAST(floor(
+             ((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              - (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+             / sqrt(
+                 (CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                 * (1e0 - CAST(c_a + c_b AS DOUBLE)
+                          / CAST(n_a + n_b AS DOUBLE))
+                 * (1e0 / CAST(n_a AS DOUBLE) + 1e0 / CAST(n_b AS DOUBLE)))
+             * 1e6) AS BIGINT) AS z_e6
+    FROM agg
+    """,
+)
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a hash-assigned A/B experiment: users
+    split 50/50 by id parity (deterministic assignment — the
+    experimentation-platform primitive), conversion = any purchase
+    event, z = (p_b − p_a)/√(p̂(1−p̂)(1/n_a+1/n_b)) with the pooled
+    rate p̂.  EVERY arithmetic step is IEEE-exact-or-correctly-rounded
+    (+,−,×,÷ and sqrt — which IEEE 754 specifies correctly rounded,
+    unlike pow/log), over exact integer counts — so z_e6 is
+    bit-identical cross-engine with no tolerance anywhere.
+
+    Plan: one user-level agg (partial-combined on user_id), then a
+    single-row conditional aggregate — nothing after the first exchange
+    scales with events."""
+    e = read_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("grp"), "converted"
+    )
+    agg = assign.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0)).alias("c_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ca = F.col("c_a").cast("double")
+    cb = F.col("c_b").cast("double")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (cb / nb - ca / na) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("c_a").cast("bigint").alias("c_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_b").cast("bigint").alias("c_b"),
+        F.floor(ca / na * 1e6).cast("bigint").alias("rate_a_ppm"),
+        F.floor(cb / nb * 1e6).cast("bigint").alias("rate_b_ppm"),
+        F.floor(z * 1e6).cast("bigint").alias("z_e6"),
+    )

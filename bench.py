@@ -123,6 +123,8 @@ HEADLINE += [
     "skew_salted_join",
     "wow_growth",
     "ship_latency_histogram",
+    "impute_group_mean",
+    "ab_test_ztest",
 ]
 
 
