@@ -1702,3 +1702,133 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(cb / nb * 1e6).cast("bigint").alias("rate_b_ppm"),
         F.floor(z * 1e6).cast("bigint").alias("z_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments — recency / frequency / monetary customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rfm_segments",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+    rfm AS MATERIALIZED (
+      SELECT o_custkey AS custkey,
+             date_diff('day', max(o_orderdate), max(x.mxd)) AS recency_d,
+             count(*) AS frequency,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_c
+      FROM orders CROSS JOIN mx x GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey, recency_d, frequency, monetary_c,
+        ntile(5) OVER (ORDER BY recency_d ASC, custkey) AS r,
+        ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f,
+        ntile(5) OVER (ORDER BY monetary_c DESC, custkey) AS m
+      FROM rfm
+    )
+    SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_c) AS BIGINT) AS total_monetary_c
+    FROM scored GROUP BY r * 100 + f * 10 + m
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic CRM model): per customer — days
+    since last order (recency, vs the corpus max date), order count
+    (frequency), lifetime cents (monetary) — each scored into quintiles
+    by ``ntile``, concatenated into a 3-digit segment code, and
+    aggregated to segment sizes.  Quintile boundaries are deterministic
+    because every ntile ordering carries the custkey tie-break (the
+    catalog's ordering rule); best segment = 111 (recent, frequent,
+    big).
+
+    Plan: one custkey agg (partial-combined), a 1-row max-date
+    broadcast, three ntile windows over the CUSTOMER-level frame (15k
+    rows at sf0.1 — statistics-sized next to orders; at 100 TB a
+    single-partition ntile over customers is the known constraint, and
+    approx-quantile bucketing replaces it), one final segment agg."""
+    o = read_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    rfm = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.max("mxd"), F.max("o_orderdate")).alias("recency_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("monetary_c"),
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_d").asc(), "custkey"))
+    f_ = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary_c").desc(), "custkey"))
+    scored = rfm.select(
+        "monetary_c", (r * 100 + f_ * 10 + m).alias("segment")
+    )
+    return scored.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("monetary_c").cast("bigint").alias("total_monetary_c"),
+    ).select(F.col("segment").cast("bigint").alias("segment"),
+             "n_customers", "total_monetary_c")
+
+
+# ---------------------------------------------------------------------------
+# pareto_frontier — 2-D skyline in one sort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pareto_frontier",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH pts AS MATERIALIZED (
+      SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS size, count(*) AS n_parts
+      FROM part GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT price_c, size, n_parts,
+             max(size) OVER (ORDER BY price_c ASC, size DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS best_prev
+      FROM pts
+    )
+    SELECT price_c, size, CAST(n_parts AS BIGINT) AS n_parts
+    FROM flagged
+    WHERE best_prev IS NULL OR best_prev < size
+    """,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (2-D skyline) of parts under minimize-price /
+    maximize-size: the non-dominated (price, size) points, via the
+    ONE-SORT skyline algorithm — order distinct points by (price asc,
+    size desc); a point is dominated iff the running max of size over
+    all PRECEDING points reaches it (any such predecessor has lower
+    price, or equal price with strictly larger size — either way it
+    dominates).  No pairwise comparison, no quadratic term: dominance
+    resolves in a single window pass after a distinct.
+
+    Plan: the distinct is a statistics-sized agg (price×size points ≪
+    parts); the skyline window is a single global sort over those
+    points — the inherently-sequential running max, applied to the
+    REDUCED point set, never the raw table.  The classic multi-
+    objective "best tradeoff" query (cost vs capability) every
+    procurement/eval pipeline runs."""
+    p = read_table(spark, sf_dir, "part")
+    pts = p.groupBy(
+        F.round(F.col("p_retailprice") * 100, 0)
+        .cast("bigint")
+        .alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size"),
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    w = (
+        Window.orderBy(F.col("price_c").asc(), F.col("size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pts.withColumn("best_prev", F.max("size").over(w))
+    return flagged.filter(
+        F.col("best_prev").isNull() | (F.col("best_prev") < F.col("size"))
+    ).select("price_c", "size", F.col("n_parts").cast("bigint").alias("n_parts"))

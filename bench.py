@@ -125,6 +125,8 @@ HEADLINE += [
     "ship_latency_histogram",
     "impute_group_mean",
     "ab_test_ztest",
+    "rfm_segments",
+    "pareto_frontier",
 ]
 
 

@@ -430,3 +430,14 @@ def test_salted_join_spreads_the_hot_key(spark):
         .count()
     )
     assert n_salts >= 4
+
+
+def test_pareto_frontier_is_mutually_nondominated(spark, sf_dir):
+    rows = EXTRA_QUERIES["pareto_frontier"](spark, sf_dir).collect()
+    assert rows
+    pts = [(r.price_c, r.size) for r in rows]
+    for i, (pa, sa) in enumerate(pts):
+        for j, (pb, sb) in enumerate(pts):
+            if i != j:
+                dominates = pb <= pa and sb >= sa and (pb < pa or sb > sa)
+                assert not dominates, (pts[i], pts[j])
