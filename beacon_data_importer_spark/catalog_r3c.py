@@ -1832,3 +1832,200 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.filter(
         F.col("best_prev").isNull() | (F.col("best_prev") < F.col("size"))
     ).select("price_c", "size", F.col("n_parts").cast("bigint").alias("n_parts"))
+
+
+# ---------------------------------------------------------------------------
+# event_paths — top user journeys (event-type 3-grams)
+# ---------------------------------------------------------------------------
+
+_PATHS_TOPK = 15
+
+
+@query(
+    "event_paths",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle=f"""
+    WITH seq AS MATERIALIZED (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path LIMIT {_PATHS_TOPK}
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: sliding event-type 3-grams over each user's
+    time-ordered stream (event_id breaks ts ties), counted corpus-wide
+    — second-order path analysis on top of ``event_transitions``'
+    first-order matrix (the "what do users actually do" product
+    question).  One user_id window shuffle, then a |types|³-bounded
+    agg and a TakeOrdered top-k."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    return (
+        seq.filter(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATHS_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dim_date — generated calendar dimension
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dim_date",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH bounds AS (
+      SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS d
+      FROM bounds
+    )
+    SELECT d,
+           CAST(year(d) AS BIGINT) AS yr,
+           CAST(quarter(d) AS BIGINT) AS qtr,
+           CAST(month(d) AS BIGINT) AS mo,
+           CAST(isodow(d) AS BIGINT) AS dow_iso,
+           isodow(d) >= 6 AS is_weekend,
+           CAST(date_trunc('week', d) AS DATE) AS week_start
+    FROM days
+    """,
+)
+def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension spanning the orders date range —
+    the warehouse dim_date primitive (year/quarter/month/ISO
+    day-of-week/weekend flag/Monday week start), built from a
+    ``sequence`` + explode over the min-max bounds: no source table,
+    no driver loop, one row per day.  ISO weekday numbering
+    (Mon=1..Sun=7) is the cross-engine-stable choice — Spark's
+    ``dayofweek`` is Sunday-first while both engines agree on
+    ``weekday``/``isodow`` up to an additive shift handled here.
+
+    Plan: a 1-row bounds agg, then a map-only explode — a ~2500-row
+    dimension at any corpus scale; always broadcast-joined downstream."""
+    o = read_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    # Spark weekday(): Monday=0..Sunday=6 → ISO dow = weekday+1
+    dow_iso = F.weekday("d") + 1
+    return days.select(
+        "d",
+        F.year("d").cast("bigint").alias("yr"),
+        F.quarter("d").cast("bigint").alias("qtr"),
+        F.month("d").cast("bigint").alias("mo"),
+        dow_iso.cast("bigint").alias("dow_iso"),
+        (dow_iso >= 6).alias("is_weekend"),
+        F.date_trunc("week", F.col("d")).cast("date").alias("week_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv — cumulative lifetime value by cohort age
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_ltv",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH firsts AS MATERIALIZED (
+      SELECT o_custkey AS ck,
+             CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cm
+      FROM orders GROUP BY o_custkey
+    ),
+    sized AS (SELECT cm, count(*) AS cohort_n FROM firsts GROUP BY cm),
+    rev AS MATERIALIZED (
+      SELECT f.cm,
+             (year(o.o_orderdate) - year(f.cm)) * 12
+               + (month(o.o_orderdate) - month(f.cm)) AS age_mo,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders o JOIN firsts f ON f.ck = o.o_custkey
+      GROUP BY f.cm, age_mo
+    )
+    SELECT r.cm AS cohort_month, CAST(r.age_mo AS BIGINT) AS age_mo,
+           CAST(sum(r2.rev_c) AS BIGINT) AS cum_rev_c,
+           CAST(sum(r2.rev_c) // max(s.cohort_n) AS BIGINT)
+             AS cum_rev_per_user_c
+    FROM rev r
+    JOIN rev r2 ON r2.cm = r.cm AND r2.age_mo <= r.age_mo
+    JOIN sized s ON s.cm = r.cm
+    GROUP BY r.cm, r.age_mo
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by first-order month, then
+    cumulative cents revenue by cohort age in months — total and
+    per-cohort-member (exact integer division) — the
+    lifetime-value-over-time report behind every retention-economics
+    decision.  The cumulative sum is a window over the
+    (cohort, age) aggregate (the oracle replays it as a
+    self-join ≤, the order-free formulation).
+
+    Plan: a custkey min-agg, a (cohort, age) revenue agg (both
+    partial-combined; the join reuses the custkey exchange), then a
+    running-sum window over the report-sized frame — data-sized work
+    ends at the second aggregation."""
+    o = read_table(spark, sf_dir, "orders")
+    firsts = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.date_trunc("month", F.min("o_orderdate"))
+        .cast("date")
+        .alias("cm")
+    )
+    sized = firsts.groupBy("cm").agg(F.count(F.lit(1)).alias("cohort_n"))
+    rev = (
+        o.join(firsts, o["o_custkey"] == firsts["ck"])
+        .groupBy(
+            "cm",
+            (
+                (F.year("o_orderdate") - F.year("cm")) * 12
+                + (F.month("o_orderdate") - F.month("cm"))
+            ).alias("age_mo"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("rev_c")
+        )
+    )
+    w = (
+        Window.partitionBy("cm")
+        .orderBy("age_mo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.withColumn("cum_rev_c", F.sum("rev_c").over(w))
+        .join(F.broadcast(sized), "cm")
+        .select(
+            F.col("cm").alias("cohort_month"),
+            F.col("age_mo").cast("bigint").alias("age_mo"),
+            F.col("cum_rev_c").cast("bigint").alias("cum_rev_c"),
+            F.expr("CAST(cum_rev_c DIV cohort_n AS BIGINT)").alias(
+                "cum_rev_per_user_c"
+            ),
+        )
+    )

@@ -127,6 +127,9 @@ HEADLINE += [
     "ab_test_ztest",
     "rfm_segments",
     "pareto_frontier",
+    "event_paths",
+    "dim_date",
+    "cohort_ltv",
 ]
 
 
