@@ -2029,3 +2029,100 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# feature_hashing — the hashing trick (fixed-width sparse features)
+# ---------------------------------------------------------------------------
+
+_FHASH_BUCKETS = 16
+
+
+@query(
+    "feature_hashing",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, u.tok
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+            FROM documents WHERE trim(text) <> '') t,
+           unnest(t.tk) AS u(tok)
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substring(md5('0|' || tok), 1, 15) AS BIGINT)
+                % {_FHASH_BUCKETS} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM toks
+    GROUP BY doc_id, bucket
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): project an unbounded
+    token vocabulary onto {b} fixed feature buckets via the portable
+    hash — the standard way to featurize text for linear models without
+    a vocabulary pass or a trained dictionary.  Sparse long-format
+    output (doc, bucket, count); a dense array view is one groupBy
+    pivot away.
+
+    Plan: map-only tokenize+hash, one partial-combined agg on
+    (doc, bucket) — the exchange carries at most {b} rows per document
+    regardless of document size.  No vocabulary state anywhere, which
+    is the point: the same expression featurizes a 100 TB corpus and a
+    single streaming row identically.""".format(b=_FHASH_BUCKETS)
+    from .functions.expressions import portable_hash64
+    from .operators.text import _tokens
+
+    d = _docs_parallel(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    toks = d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+    return toks.groupBy(
+        "doc_id",
+        F.pmod(portable_hash64(F.col("tok")), F.lit(_FHASH_BUCKETS))
+        .cast("bigint")
+        .alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize — per-group percent-rank feature scaling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_normalize",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(
+             percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY CAST(round(o_totalprice * 100)
+                                                AS BIGINT), o_orderkey)
+             * 1e6) AS BIGINT) AS pr_ppm
+    FROM orders
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization within groups: each order's price
+    mapped to its percent rank inside its priority class — the
+    outlier-proof feature scaling (vs z-scores) and the per-group
+    calibration step before cross-group comparison.  percent_rank =
+    (rank−1)/(n−1) is a ratio of EXACT integers, so the double is
+    bit-identical cross-engine and floor-ppm needs no tolerance; the
+    ordering carries the orderkey tie-break on exact cents (raw double
+    ordering would be stable too, but ranking on canonical integers is
+    the catalog's determinism rule).
+
+    Plan: one shuffle on the group key, one sort per group — the
+    minimal cost of any exact ranking; approx-quantile bucketing is
+    the sketch alternative at extreme group sizes."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint"),
+        "o_orderkey",
+    )
+    return o.select(
+        "o_orderkey",
+        F.floor(F.percent_rank().over(w) * F.lit(1e6))
+        .cast("bigint")
+        .alias("pr_ppm"),
+    )

@@ -130,6 +130,8 @@ HEADLINE += [
     "event_paths",
     "dim_date",
     "cohort_ltv",
+    "feature_hashing",
+    "quantile_normalize",
 ]
 
 
