@@ -2126,3 +2126,82 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pr_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized_mean — clamp-at-quantiles robust average
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "winsorized_mean",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT c_nationkey AS nationkey, o_totalprice AS price
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    q AS MATERIALIZED (
+      SELECT nationkey,
+             quantile_cont(price, 0.05) AS p05,
+             quantile_cont(price, 0.95) AS p95
+      FROM base GROUP BY nationkey
+    )
+    SELECT b.nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(least(greatest(b.price, q.p05), q.p95) * 100)
+                         AS BIGINT))
+                // count(*) AS BIGINT) AS winsorized_mean_c,
+           CAST(sum(CAST(round(b.price * 100) AS BIGINT)) // count(*)
+                AS BIGINT) AS raw_mean_c
+    FROM base b JOIN q ON q.nationkey = b.nationkey
+    GROUP BY b.nationkey
+    """,
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of order value per customer nation: clamp each
+    price into [p05, p95] (interpolated quantiles — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``), then the EXACT integer
+    mean of the clamped cents (sum DIV count; a double mean would be
+    summation-order-dependent) next to the raw mean for comparison —
+    the third robust-statistics tool beside robust_outliers (MAD) and
+    quantile_normalize (ranks): report averages that one whale order
+    cannot move.
+
+    Plan: same two-pass shape as robust_outliers — one nationkey agg
+    for the 25-row quantile table, broadcast back, one final agg
+    reusing the partitioning."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    base = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o["o_custkey"] == c["c_custkey"],
+    ).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    q = base.groupBy("nationkey").agg(
+        F.expr("percentile(price, 0.05)").alias("p05"),
+        F.expr("percentile(price, 0.95)").alias("p95"),
+    )
+    clamped_c = F.round(
+        F.least(F.greatest(F.col("price"), F.col("p05")), F.col("p95"))
+        * 100,
+        0,
+    ).cast("bigint")
+    raw_c = F.round(F.col("price") * 100, 0).cast("bigint")
+    return (
+        base.join(F.broadcast(q), "nationkey")
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(sum(CAST(round(least(greatest(price, p05), p95) * 100)"
+                " AS BIGINT)) DIV count(1) AS BIGINT)"
+            ).alias("winsorized_mean_c"),
+            F.expr(
+                "CAST(sum(CAST(round(price * 100) AS BIGINT))"
+                " DIV count(1) AS BIGINT)"
+            ).alias("raw_mean_c"),
+        )
+    )

@@ -132,6 +132,7 @@ HEADLINE += [
     "cohort_ltv",
     "feature_hashing",
     "quantile_normalize",
+    "winsorized_mean",
 ]
 
 
