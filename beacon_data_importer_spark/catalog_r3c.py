@@ -2205,3 +2205,159 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("raw_mean_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event_debounce — collapse bursts of repeated events
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_S = 300
+
+
+@query(
+    "event_debounce",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle=f"""
+    WITH gaps AS MATERIALIZED (
+      SELECT event_id, user_id, event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts)
+                       > {_DEBOUNCE_S}
+                  THEN 1 ELSE 0 END AS new_burst
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    isl AS (
+      SELECT *, sum(new_burst) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS burst_id
+      FROM gaps
+    )
+    SELECT user_id, event_type, CAST(burst_id AS BIGINT) AS burst_id,
+           CAST(min(event_id) AS BIGINT) AS kept_event_id,
+           CAST(count(*) AS BIGINT) AS collapsed_n
+    FROM isl GROUP BY user_id, event_type, burst_id
+    """,
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce/burst-collapse for telemetry: consecutive events of the
+    same (user, type) within {s}s of the PREVIOUS event merge into one
+    burst (gaps-and-islands: a new burst starts where the gap exceeds
+    the window; burst id = running sum of starts), keeping the first
+    event id and the collapsed count — the dedup every click/retry/
+    heartbeat pipeline applies before counting anything.
+
+    Plan: ONE shuffle on (user, type); the lag, the running sum and
+    the final group-by all reuse that partitioning (Spark plans a
+    single exchange + in-partition sorts).  Streaming twin: session
+    windows with a {s}s gap (session_window_native)."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    prev = F.lag("ts").over(w)
+    # events ship TIMESTAMP_NTZ; cast through timestamp (UTC session
+    # keeps the instant) before epoch seconds — the funnel query's rule
+    new_burst = F.when(
+        prev.isNull()
+        | (
+            F.col("ts").cast("timestamp").cast("long")
+            - prev.cast("timestamp").cast("long")
+            > _DEBOUNCE_S
+        ),
+        1,
+    ).otherwise(0)
+    isl = e.select(
+        "event_id", "user_id", "event_type", "ts",
+        new_burst.alias("new_burst"),
+    ).withColumn(
+        "burst_id",
+        F.sum("new_burst").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy("user_id", "event_type", "burst_id").agg(
+        F.min("event_id").cast("bigint").alias("kept_event_id"),
+        F.count(F.lit(1)).cast("bigint").alias("collapsed_n"),
+    ).select(
+        "user_id", "event_type",
+        F.col("burst_id").cast("bigint").alias("burst_id"),
+        "kept_event_id", "collapsed_n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# region_share — percent-of-parent contribution in a hierarchy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "region_share",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH rev AS MATERIALIZED (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    ),
+    tot AS (SELECT sum(rev_c) AS world_c FROM rev)
+    SELECT region, nation, CAST(rev_c AS BIGINT) AS rev_c,
+           CAST(rev_c * 1000000 //
+                sum(rev_c) OVER (PARTITION BY region) AS BIGINT)
+             AS share_of_region_ppm,
+           CAST(rev_c * 1000000 // max(t.world_c) OVER () AS BIGINT)
+             AS share_of_world_ppm
+    FROM rev CROSS JOIN tot t
+    """,
+)
+def q_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent contribution through the region → nation
+    hierarchy: each nation's cents revenue as an exact-integer ppm
+    share of its region and of the world — the drill-down contribution
+    report rollup_revenue's totals feed.  All shares are integer DIV
+    over exact cents sums (order-independent; positive, so DIV ≡ //).
+
+    Plan: dims broadcast onto the orders agg; the share windows run
+    over the 25-row report frame.  Nothing after the first aggregation
+    scales with data."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    rev = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("rev_c")
+        )
+    )
+    tot = rev.agg(F.sum("rev_c").alias("world_c"))
+    wr = Window.partitionBy("region")
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.col("rev_c").cast("bigint").alias("rev_c"),
+            F.expr(
+                "CAST(rev_c * 1000000 DIV sum(rev_c)"
+                " OVER (PARTITION BY region) AS BIGINT)"
+            ).alias("share_of_region_ppm"),
+            F.expr(
+                "CAST(rev_c * 1000000 DIV world_c AS BIGINT)"
+            ).alias("share_of_world_ppm"),
+        )
+    )

@@ -133,6 +133,8 @@ HEADLINE += [
     "feature_hashing",
     "quantile_normalize",
     "winsorized_mean",
+    "event_debounce",
+    "region_share",
 ]
 
 
