@@ -2361,3 +2361,192 @@ def q_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_of_world_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# conversion_hazard — discrete-time survival analysis of view→purchase
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "conversion_hazard",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS MATERIALIZED (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t0
+      GROUP BY e.user_id
+    ),
+    mx AS (SELECT max(ts) AS horizon FROM events),
+    dur AS MATERIALIZED (
+      SELECT v.user_id,
+             CASE WHEN p.tp IS NOT NULL
+                  THEN date_diff('day', v.t0, p.tp)
+                  ELSE date_diff('day', v.t0, x.horizon) END AS d,
+             p.tp IS NOT NULL AS converted
+      FROM v LEFT JOIN p ON p.user_id = v.user_id CROSS JOIN mx x
+    ),
+    byday AS MATERIALIZED (
+      SELECT d, count(*) FILTER (WHERE converted) AS conv,
+             count(*) AS ended
+      FROM dur GROUP BY d
+    ),
+    tot AS (SELECT count(*) AS n FROM dur)
+    SELECT CAST(b.d AS BIGINT) AS day,
+           CAST(max(t.n) - coalesce(sum(b2.ended), 0) AS BIGINT) AS at_risk,
+           CAST(b.conv AS BIGINT) AS conversions,
+           CAST(b.conv * 1000000
+                // NULLIF(max(t.n) - coalesce(sum(b2.ended), 0), 0)
+                AS BIGINT) AS hazard_ppm
+    FROM byday b
+    LEFT JOIN byday b2 ON b2.d < b.d
+    CROSS JOIN tot t
+    GROUP BY b.d, b.conv
+    """,
+)
+def q_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival analysis of view→purchase conversion: per
+    whole-day duration — days from first view to first purchase, or to
+    the observation horizon for users who never convert (RIGHT
+    CENSORING, the thing a naive conversion-rate query gets wrong) —
+    the risk set (users still unconverted and uncensored at day d),
+    the conversions at d, and the discrete hazard conv/at_risk in
+    exact-integer ppm.  The Kaplan-Meier curve is the running product
+    of (1 − hazard); the hazard TABLE is the engine primitive (a
+    cross-engine float product would be order-dependent — the product
+    is one array fold away for a consumer).
+
+    Plan: two user-level min-aggs (the second joins only users with a
+    first view), a 1-row horizon broadcast, a day-level agg, and the
+    risk-set running sum — replayed in the oracle as an order-free
+    self-join ≤, computed in Spark as a window cumsum over the
+    day-level frame (report-sized; data-sized work ends at the
+    user-level aggs)."""
+    e = read_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        e.join(v, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    mx = e.agg(F.max("ts").alias("horizon"))
+    dur = (
+        v.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("tp").isNotNull(), F.datediff("tp", "t0")
+            )
+            .otherwise(F.datediff("horizon", "t0"))
+            .alias("d"),
+            F.col("tp").isNotNull().alias("converted"),
+        )
+    )
+    byday = dur.groupBy("d").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("conv"),
+        F.count(F.lit(1)).alias("ended"),
+    )
+    tot = dur.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        byday.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "at_risk",
+            F.col("n") - F.coalesce(F.sum("ended").over(w), F.lit(0)),
+        )
+        .select(
+            F.col("d").cast("bigint").alias("day"),
+            F.col("at_risk").cast("bigint").alias("at_risk"),
+            F.col("conv").cast("bigint").alias("conversions"),
+            F.expr(
+                "CAST(conv * 1000000 DIV NULLIF(at_risk, 0) AS BIGINT)"
+            ).alias("hazard_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew_report — join-key distribution diagnostics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_report",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH ck AS (
+      SELECT 'orders.o_custkey' AS keyname, o_custkey AS k FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+    ),
+    per AS MATERIALIZED (
+      SELECT keyname, k, count(*) AS c FROM ck GROUP BY keyname, k
+    )
+    SELECT keyname,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_key_share_ppm,
+           CAST(max(c) * count(*) * 1000000 // sum(c) AS BIGINT)
+             AS max_over_mean_ppm
+    FROM per GROUP BY keyname
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the report to run BEFORE picking a
+    join strategy at 100 TB: per candidate key, distinct-key count,
+    the hottest key's row count, its exact-ppm share of the table, and
+    the max/mean ratio (1e6 = perfectly uniform; ≫1e6 = a hot key that
+    will strand one reducer — the trigger for salting/skew-join,
+    operators/skew.py).  All-integer arithmetic.
+
+    Plan: one partial-combined count per (key column, key) — the same
+    aggregation a shuffle would do, surfaced as statistics instead of
+    suffered as a straggler — then a statistics-sized rollup."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    ck = (
+        o.select(
+            F.lit("orders.o_custkey").alias("keyname"),
+            F.col("o_custkey").alias("k"),
+        )
+        .unionByName(
+            li.select(
+                F.lit("lineitem.l_suppkey").alias("keyname"),
+                F.col("l_suppkey").alias("k"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.lit("lineitem.l_partkey").alias("keyname"),
+                F.col("l_partkey").alias("k"),
+            )
+        )
+    )
+    per = ck.groupBy("keyname", "k").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("keyname").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        F.expr("CAST(max(c) * 1000000 DIV sum(c) AS BIGINT)").alias(
+            "top_key_share_ppm"
+        ),
+        F.expr(
+            "CAST(max(c) * count(1) * 1000000 DIV sum(c) AS BIGINT)"
+        ).alias("max_over_mean_ppm"),
+    )

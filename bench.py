@@ -135,6 +135,8 @@ HEADLINE += [
     "winsorized_mean",
     "event_debounce",
     "region_share",
+    "conversion_hazard",
+    "skew_report",
 ]
 
 
