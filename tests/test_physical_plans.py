@@ -277,3 +277,45 @@ def test_all_catalog_plans_stay_jvm_side(spark, sf_dir):
         if "CartesianProduct" in txt:
             offenders[name] = "cartesian_product"
     assert not offenders, f"non-sanctioned plan features: {offenders}"
+
+
+def test_forward_fill_single_exchange(spark, sf_dir):
+    """LOCF is one user_id exchange + one in-partition running window —
+    any second exchange is a regression."""
+    import re
+
+    df = entrymod.queries()["forward_fill_events"](spark, sf_dir)
+    txt = optimized_explain(df)
+    # formatted explain lists each node twice (tree + details): count
+    # the numbered detail headers only
+    assert len(re.findall(r"\(\d+\) Exchange", txt)) == 1, txt
+
+
+def test_skew_salted_join_keeps_the_shuffle_shape(spark, sf_dir):
+    """The salted join must stay a sort-merge join on (key, salt) —
+    a broadcast here would silently collapse the exchange the salt
+    exists to reshape (the merge hint pins it)."""
+    df = entrymod.queries()["skew_salted_join"](spark, sf_dir)
+    txt = optimized_explain(df)
+    assert "SortMergeJoin" in txt, txt
+    assert "BroadcastHashJoin" not in txt, txt
+
+
+def test_debounce_reuses_one_composite_exchange(spark, sf_dir):
+    """lag + running burst-id sum + final group-by all share the
+    (user_id, event_type) partitioning: exactly one exchange."""
+    import re
+
+    df = entrymod.queries()["event_debounce"](spark, sf_dir)
+    txt = optimized_explain(df)
+    assert len(re.findall(r"\(\d+\) Exchange", txt)) == 1, txt
+
+
+def test_bm25_broadcasts_statistics(spark, sf_dir):
+    """Document frequencies and corpus stats are broadcast; the only
+    hash exchanges carry postings/doc aggregates, and the top-k is a
+    TakeOrdered, never a global sort."""
+    df = entrymod.queries()["bm25_search"](spark, sf_dir)
+    txt = optimized_explain(df)
+    assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" in txt
+    assert "TakeOrderedAndProject" in txt, txt
