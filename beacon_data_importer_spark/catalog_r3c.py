@@ -2550,3 +2550,233 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(max(c) * count(1) * 1000000 DIV sum(c) AS BIGINT)"
         ).alias("max_over_mean_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# resample_interpolate — per-key time grid with linear interpolation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "resample_interpolate",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH obs AS MATERIALIZED (
+      SELECT user_id, ts, value, event_id FROM events
+      WHERE event_type = 'purchase'
+    ),
+    bounds AS MATERIALIZED (
+      SELECT user_id,
+             date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+      FROM bounds
+    ),
+    mixed AS MATERIALIZED (
+      SELECT user_id, ts, CAST(0 AS INT) AS kind, value,
+             epoch_us(ts) AS es, event_id AS eid
+      FROM obs
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, epoch_us(ts), -1 FROM grid
+    ),
+    filled AS (
+      SELECT user_id, ts, kind,
+             last_value(value IGNORE NULLS) OVER wp AS v0,
+             last_value(CASE WHEN value IS NOT NULL THEN es END
+                        IGNORE NULLS) OVER wp AS t0,
+             first_value(value IGNORE NULLS) OVER wf AS v1,
+             first_value(CASE WHEN value IS NOT NULL THEN es END
+                         IGNORE NULLS) OVER wf AS t1,
+             es
+      FROM mixed
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, kind, eid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts, kind, eid
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, ts AS grid_ts,
+           CAST(floor(
+             (v0 + (v1 - v0) * (CAST(es - t0 AS DOUBLE)
+                                / CAST(t1 - t0 AS DOUBLE))) * 1e4)
+             AS BIGINT) AS v_interp_e4
+    FROM filled
+    WHERE kind = 1 AND v0 IS NOT NULL AND v1 IS NOT NULL AND t1 > t0
+    """,
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with linear interpolation: each user's
+    purchase values resampled onto an hourly grid between their first
+    and last observation, interior grid points interpolated between the
+    surrounding observations — the gap-filling a metrics store does
+    before aligning series.  Implemented with the UNION-then-fill
+    device: observations and grid points interleave in ONE per-user
+    ordered pass (obs sort before a same-instant grid point, so an
+    exact hit interpolates to itself with frac = 0); a forward
+    ignore-nulls ``last`` carries (t0, v0), a backward ``first``
+    carries (t1, v1) — no as-of join, no cartesian.
+
+    Determinism: the fraction is a ratio of exact epoch-second
+    integers; v0 + (v1−v0)·frac is the same IEEE tree on both engines,
+    so floor-e4 needs no tolerance.  Plan: two windows over the SAME
+    (user, ts, kind, eid) sort — one exchange, one sort, both fills in
+    a single stage pair."""
+    e = read_table(spark, sf_dir, "events")
+    obs = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("ts"),
+    )
+    # exact integer MICROSECONDS on both engines (DuckDB epoch() returns
+    # fractional-second doubles; a seconds cast truncates) — the frac
+    # ratio must divide the same exact integers
+    es = F.unix_micros(F.col("ts").cast("timestamp"))
+    mixed = obs.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "value",
+        es.alias("es"),
+        F.col("event_id").alias("eid"),
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("double").alias("value"),
+            es.alias("es"),
+            F.lit(-1).cast("bigint").alias("eid"),
+        )
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "kind", "eid")
+    wp = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t_obs = F.when(F.col("value").isNotNull(), F.col("es"))
+    filled = mixed.select(
+        "user_id",
+        "ts",
+        "kind",
+        "es",
+        F.last("value", ignorenulls=True).over(wp).alias("v0"),
+        F.last(t_obs, ignorenulls=True).over(wp).alias("t0"),
+        F.first("value", ignorenulls=True).over(wf).alias("v1"),
+        F.first(t_obs, ignorenulls=True).over(wf).alias("t1"),
+    )
+    frac = (F.col("es") - F.col("t0")).cast("double") / (
+        F.col("t1") - F.col("t0")
+    ).cast("double")
+    return filled.filter(
+        (F.col("kind") == 1)
+        & F.col("v0").isNotNull()
+        & F.col("v1").isNotNull()
+        & (F.col("t1") > F.col("t0"))
+    ).select(
+        "user_id",
+        F.col("ts").alias("grid_ts"),
+        F.floor(
+            (F.col("v0") + (F.col("v1") - F.col("v0")) * frac) * F.lit(1e4)
+        )
+        .cast("bigint")
+        .alias("v_interp_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops — breadth-first hop distances on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4
+
+
+def _duck_bfs_iter(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS MATERIALIZED (
+      SELECT v, min(d) AS d FROM (
+        SELECT v, d FROM {prev}
+        UNION ALL
+        SELECT e.b AS v, p.d + 1 FROM {prev} p JOIN edges e ON e.a = p.v
+      ) u GROUP BY v
+    )"""
+
+
+@query(
+    "bfs_hops",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle=f"""
+    WITH cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    und AS MATERIALIZED (
+      SELECT x.c AS a, y.c AS b
+      FROM cp x JOIN cp y ON x.p = y.p AND x.c < y.c
+      GROUP BY x.c, y.c
+      HAVING count(*) >= 3
+    ),
+    edges AS MATERIALIZED (
+      SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ),
+    src AS (SELECT min(a) AS s FROM edges),
+    d0 AS MATERIALIZED (SELECT s AS v, 0 AS d FROM src),
+    {",".join(_duck_bfs_iter(f"d{i}", f"d{i + 1}") for i in range(_BFS_ROUNDS))}
+    SELECT CAST(d AS BIGINT) AS hops, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d{_BFS_ROUNDS} GROUP BY d
+    """,
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distances from the minimum vertex of the
+    customer co-purchase graph (≥3 shared parts — the sparse projection
+    triangle_count established), {r} unrolled frontier expansions:
+    dist' = min(dist, min over in-neighbors dist+1) — the min-plus
+    relaxation whose fixpoint is single-source shortest hops; nodes
+    beyond {r} hops stay unreported (the bounded-rounds contract, same
+    device as pagerank_parts).  Output: nodes per hop count.
+
+    Plan: the edge list materializes once (localCheckpoint) and each
+    round is one join + one min-agg on the vertex key — the frontier
+    table stays ≤ |reachable| rows; at cluster scale the per-round
+    parquet materialization of operators/graph.py applies unchanged.
+    The oracle replays the identical rounds as chained CTEs.""".format(
+        r=_BFS_ROUNDS
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    cp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x = cp.select(F.col("p"), F.col("c").alias("a"))
+    y = cp.select(F.col("p").alias("p_r"), F.col("c").alias("b"))
+    und = (
+        x.join(y, (F.col("p") == F.col("p_r")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .select("a", "b")
+    )
+    edges = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    src = edges.agg(F.min("a").alias("s"))
+    dist = src.select(F.col("s").alias("v"), F.lit(0).alias("d"))
+    for _ in range(_BFS_ROUNDS):
+        expanded = dist.unionByName(
+            dist.join(edges, dist["v"] == edges["a"]).select(
+                F.col("b").alias("v"), (F.col("d") + 1).alias("d")
+            )
+        )
+        dist = expanded.groupBy("v").agg(F.min("d").alias("d"))
+    return dist.groupBy(F.col("d").cast("bigint").alias("hops")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )

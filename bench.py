@@ -137,6 +137,8 @@ HEADLINE += [
     "region_share",
     "conversion_hazard",
     "skew_report",
+    "resample_interpolate",
+    "bfs_hops",
 ]
 
 
