@@ -1,8 +1,29 @@
-"""Round-3 catalog, part C: passage-level exact dedup, relational
-keyword search, and an analytics tier (cohorts, Markov transitions,
-c-TF-IDF, integer PageRank).
+"""Round-3 catalog, part C: the session-C breadth tiers.
 
-Corpus capabilities the earlier tiers did not cover:
+Five capability families the earlier tiers did not cover, all under
+the same oracle discipline (every query has a DuckDB twin; every
+float-bearing score is either exact-integer arithmetic or an IEEE
+expression tree identical on both engines):
+
+  * corpus ops — passage_dedup (ExactSubstr at window boundaries),
+    bm25_search (inverted-index retrieval), feature_hashing,
+    dedup_eval (measured LSH precision/recall vs exact truth),
+    dataset_split_grouped (leakage-safe), temperature_mixture_sample.
+  * event analytics — cohort_retention, cohort_ltv, event_transitions,
+    event_paths, event_debounce, conversion_hazard (right-censored
+    survival), funnel-adjacent A/B ab_test_ztest, forward_fill_events,
+    resample_interpolate, impute_group_mean.
+  * graph — pagerank_parts (integer damped rank), triangle_count
+    (sparse co-purchase projection), bfs_hops (min-plus rounds).
+  * warehouse/BI — data_quality_report (Deequ-shape expectations),
+    snapshot_diff (batch CDC), dim_date, region_share, wow_growth,
+    ship_latency_histogram, rfm_segments, source_top_terms,
+    token_cooccurrence, pareto_frontier, skew_report,
+    skew_salted_join.
+  * robust statistics — robust_outliers (MAD), winsorized_mean,
+    quantile_normalize.
+
+Original queries detailed below:
 
   * passage_dedup — EXACT SUBSTRING dedup at passage granularity
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
