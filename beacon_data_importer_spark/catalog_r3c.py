@@ -1120,23 +1120,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle simple here and the join shape is identical.""".format(
         m=_TRI_MIN_SHARED
     )
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    ps = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    x = ps.select(F.col("p"), F.col("c").alias("a"))
-    y = ps.select(F.col("p").alias("p_r"), F.col("c").alias("b"))
-    edges = (
-        x.join(y, (F.col("p") == F.col("p_r")) & (F.col("a") < F.col("b")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= _TRI_MIN_SHARED)
-        .select("a", "b")
-    )
-    edges = edges.localCheckpoint()  # reused three times in the wedge join
+    from .plans.co_purchase import co_purchase_edges
+
+    # shared staged edge list (plans/co_purchase.py) — the per-part
+    # pair expansion is the dominant cost and bfs_hops needs the same
+    # graph; each consumer pays only its algorithm's marginal cost
+    edges = co_purchase_edges(spark, sf_dir)
     e1 = edges.select(F.col("a").alias("a1"), F.col("b").alias("b1"))
     e2 = edges.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
     e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
@@ -2770,25 +2759,12 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the identical rounds as chained CTEs.""".format(
         r=_BFS_ROUNDS
     )
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    cp = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    x = cp.select(F.col("p"), F.col("c").alias("a"))
-    y = cp.select(F.col("p").alias("p_r"), F.col("c").alias("b"))
-    und = (
-        x.join(y, (F.col("p") == F.col("p_r")) & (F.col("a") < F.col("b")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 3)
-        .select("a", "b")
-    )
+    from .plans.co_purchase import co_purchase_edges
+
+    und = co_purchase_edges(spark, sf_dir)  # shared staged edge list
     edges = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    )
     src = edges.agg(F.min("a").alias("s"))
     dist = src.select(F.col("s").alias("v"), F.lit(0).alias("d"))
     for _ in range(_BFS_ROUNDS):

@@ -1,0 +1,61 @@
+"""Co-purchase graph staging plan: ONE sparse edge list shared by the
+graph-analytics consumers.
+
+Same pattern (and rationale) as ``plans/corpus_lsh.py`` / ``plans/
+er.py``: ``triangle_count`` and ``bfs_hops`` each rebuilt the customer
+co-purchase projection — the dominant cost of both queries is the
+per-part pair expansion (~8.7M intermediate rows at sf0.1), not the
+graph algorithm on the resulting 15k edges.  This module materializes
+the thresholded edge list once per (session, sf_dir); consumers pay
+the algorithm's marginal cost only.
+
+At warehouse scale the edge list IS a table the pipeline writes once
+per graph build; the ``localCheckpoint`` is the local stand-in.
+"""
+
+from __future__ import annotations
+
+from weakref import WeakKeyDictionary
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import read_table
+
+#: minimum shared distinct parts for a customer pair to form an edge
+#: (the sparsity knob triangle_count established: ≥3 gives 14.8k edges
+#: over 10k nodes at sf0.1 where the supplier projections are cliques)
+MIN_SHARED = 3
+
+_STAGE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (a < b) customer co-purchase edge list with
+    ``MIN_SHARED``-part thresholding, staged once per session and
+    scale factor."""
+    per_session = _STAGE.setdefault(spark, {})
+    key = ("edges", sf_dir)
+    if key not in per_session:
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders")
+        cp = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select(
+                F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+            )
+            .distinct()
+        )
+        x = cp.select(F.col("p"), F.col("c").alias("a"))
+        y = cp.select(F.col("p").alias("p_r"), F.col("c").alias("b"))
+        edges = (
+            x.join(
+                y, (F.col("p") == F.col("p_r")) & (F.col("a") < F.col("b"))
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= MIN_SHARED)
+            .select("a", "b")
+        )
+        per_session[key] = edges.localCheckpoint()
+    return per_session[key]
