@@ -97,3 +97,29 @@ def test_orc_roundtrip_preserves_schema(spark, tmp_path):
     back = read_orc(spark, out)
     assert back.schema == src.schema
     assert back.count() == src.count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appending files with a WIDER schema must read back as the merged
+    schema under mergeSchema — the source-robustness contract a
+    long-lived corpus directory needs (new extraction fields appear;
+    old files keep reading, missing columns are NULL)."""
+    from pyspark.sql import Row
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([Row(id=1, a="x")]).write.mode("overwrite").parquet(
+        out
+    )
+    spark.createDataFrame(
+        [Row(id=2, a="y", b=42)]
+    ).write.mode("append").parquet(out)
+    got = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .orderBy("id")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [
+        {"id": 1, "a": "x", "b": None},
+        {"id": 2, "a": "y", "b": 42},
+    ]
