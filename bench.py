@@ -348,24 +348,27 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Key ORDER is deliberate: the round-2 driver recorded only the TAIL
+    # of this (single) JSON line, so the per-query detail dicts go FIRST
+    # and the headline fields (metric/value/totals/quality) go LAST —
+    # under tail truncation the decision-bearing numbers survive.  The
+    # spill dict keeps only NONZERO entries (usually none) to shrink the
+    # line; spill_total_b still reports the full sum.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
+                # Bytes written to shuffle per query (warm run, all stages).
+                # Scale-safety signal: aggregations should shuffle O(groups),
+                # LSH O(docs × bands) — never O(input bytes).
+                "shuffle_write_b": shuffle_b,
                 "queries": timings,
                 "queries_warm": warm,
-                "warm_total": round(sum(warm.values()), 3),
-                "warm_total_r1_set": round(
-                    sum(warm[n] for n in R1_SET if n in warm), 3
-                ),
-                "warm_total_r2_set": round(
-                    sum(warm[n] for n in R2_SET if n in warm), 3
-                ),
-                "warm_total_r3_set": round(
-                    sum(warm[n] for n in R3_SET if n in warm), 3
-                ),
+                # Spill per query (memory+disk, warm run): anything nonzero
+                # here means partitions outgrew executor memory at this SF.
+                "spill_b_nonzero": {k: v for k, v in spill_b.items() if v},
+                "spill_total_b": sum(spill_b.values()),
+                "shuffle_write_total_b": sum(shuffle_b.values()),
+                "peak_jvm_heap_b": peak_heap,
                 "quality": {
                     "ivf_recall_at_10": ivf_recall,
                     "kmeans_ivf_recall_at_10": kmivf_recall,
@@ -375,17 +378,21 @@ def main() -> None:
                     "ivfpq_residual_recall_at_10": ivfpqr_recall,
                     "pq_recall_at_10_3q_mean": pq_recall_mq,
                 },
-                # Bytes written to shuffle per query (warm run, all stages).
-                # Scale-safety signal: aggregations should shuffle O(groups),
-                # LSH O(docs × bands) — never O(input bytes).
-                "shuffle_write_b": shuffle_b,
-                "shuffle_write_total_b": sum(shuffle_b.values()),
-                # Spill per query (memory+disk, warm run): anything nonzero
-                # here means partitions outgrew executor memory at this SF.
-                "spill_b": spill_b,
-                "spill_total_b": sum(spill_b.values()),
-                "peak_jvm_heap_b": peak_heap,
+                "warm_total_r1_set": round(
+                    sum(warm[n] for n in R1_SET if n in warm), 3
+                ),
+                "warm_total_r2_set": round(
+                    sum(warm[n] for n in R2_SET if n in warm), 3
+                ),
+                "warm_total_r3_set": round(
+                    sum(warm[n] for n in R3_SET if n in warm), 3
+                ),
+                "warm_total": round(sum(warm.values()), 3),
+                "n_queries": len(warm),
                 "sf": sf_val,
+                "metric": "headline_queries_total_wall",
+                "unit": "sec",
+                "value": round(sum(timings.values()), 3),
             }
         )
     )
