@@ -2777,3 +2777,91 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.groupBy(F.col("d").cast("bigint").alias("hops")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+# ---------------------------------------------------------------------------
+# basket_rules — association rule mining over order baskets
+# ---------------------------------------------------------------------------
+
+_RULES_TOPK = 20
+
+
+@query(
+    "basket_rules",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle=f"""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem
+    ),
+    nb AS (SELECT count(DISTINCT o) AS n FROM items),
+    freq AS MATERIALIZED (
+      SELECT item, count(*) AS nf FROM items GROUP BY item
+    ),
+    pairs AS MATERIALIZED (
+      SELECT x.item AS a, y.item AS b, count(*) AS nab
+      FROM items x JOIN items y ON x.o = y.o AND x.item <> y.item
+      GROUP BY x.item, y.item
+    )
+    SELECT p.a AS antecedent, p.b AS consequent,
+           CAST(p.nab AS BIGINT) AS n_both,
+           CAST(p.nab * 1000000 // fa.nf AS BIGINT) AS confidence_ppm,
+           CAST(p.nab * s.n * 1000000 // (fa.nf * fb.nf) AS BIGINT)
+             AS lift_ppm
+    FROM pairs p
+    JOIN freq fa ON fa.item = p.a
+    JOIN freq fb ON fb.item = p.b
+    CROSS JOIN nb s
+    ORDER BY n_both DESC, confidence_ppm DESC, antecedent, consequent
+    LIMIT {_RULES_TOPK}
+    """,
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (market-basket analysis):
+    DIRECTIONAL a→b rules with exact-integer support (co-orders),
+    confidence (n_ab/n_a) and lift (n_ab·N/(n_a·n_b)) in ppm — the
+    complement of ``token_cooccurrence``'s symmetric matrix, because
+    confidence is asymmetric (milk→bread ≠ bread→milk).
+
+    Plan: the pair expansion is a basket-equijoined self-join of the
+    distinct item postings — quadratic only in items-per-order
+    (single digits here), never in the catalog; item frequencies and
+    the 1-row basket count broadcast; top-k is a TakeOrdered with a
+    fully deterministic (support, confidence, a, b) order."""
+    li = read_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nb = items.select("o").distinct().agg(F.count(F.lit(1)).alias("n"))
+    freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("nf"))
+    xl = items.select(F.col("o"), F.col("item").alias("a"))
+    yr = items.select(F.col("o").alias("o_r"), F.col("item").alias("b"))
+    pairs = (
+        xl.join(yr, (F.col("o") == F.col("o_r")) & (F.col("a") != F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    fa = freq.select(F.col("item").alias("a"), F.col("nf").alias("nf_a"))
+    fb = freq.select(F.col("item").alias("b"), F.col("nf").alias("nf_b"))
+    return (
+        pairs.join(F.broadcast(fa), "a")
+        .join(F.broadcast(fb), "b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            F.col("nab").cast("bigint").alias("n_both"),
+            F.expr("CAST(nab * 1000000 DIV nf_a AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST(nab * n * 1000000 DIV (nf_a * nf_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(
+            F.col("n_both").desc(),
+            F.col("confidence_ppm").desc(),
+            "antecedent",
+            "consequent",
+        )
+        .limit(_RULES_TOPK)
+    )

@@ -139,6 +139,7 @@ HEADLINE += [
     "skew_report",
     "resample_interpolate",
     "bfs_hops",
+    "basket_rules",
 ]
 
 
