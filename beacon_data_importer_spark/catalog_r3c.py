@@ -2865,3 +2865,37 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_RULES_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# cascade_delete_report — right-to-be-forgotten impact analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cascade_delete_report",
+    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    oracle="""
+    WITH victims AS MATERIALIZED (
+      SELECT c_custkey AS ck FROM customer WHERE c_custkey % 53 = 0
+    ),
+    del_orders AS MATERIALIZED (
+      SELECT o_orderkey FROM orders JOIN victims ON ck = o_custkey
+    )
+    SELECT 'customer' AS tbl,
+           CAST((SELECT count(*) FROM victims) AS BIGINT) AS rows_deleted,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS rows_total
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM del_orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem
+                 JOIN del_orders USING (l_orderkey... ) ) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    """,
+)
+def q_cascade_delete_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """placeholder"""
+    raise NotImplementedError
