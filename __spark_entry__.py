@@ -29,7 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the Q3-shaped
     join+agg+top-k (customer ⋈ orders ⋈ lineitem with broadcast dim,
     exact integer revenue)."""
-    return _catalog.QUERIES["top_revenue"](spark, "/root/testdata/sf0.001")
+    flagship = {**_catalog.QUERIES, **_catalog.EXTRA_QUERIES}["top_revenue"]
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -662,6 +662,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pricing_summary",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
@@ -700,6 +701,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "top_revenue",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT l.l_orderkey AS orderkey,
       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)

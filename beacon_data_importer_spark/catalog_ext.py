@@ -134,6 +134,7 @@ def _duck_band_exprs() -> str:
 
 @query(
     "minhash_near_dup",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH {_duck_minhash_sig_cte()},
     banded AS MATERIALIZED ({_duck_band_exprs()}),
@@ -448,6 +449,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_decode",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     oracle="""
     WITH m AS (
       SELECT doc_id AS media_id,
@@ -551,6 +553,7 @@ _CLEAN_TAU_POS = 8  # est_jaccard >= 0.5  ⇔  >= 8 of 16 signature positions eq
 
 @query(
     "corpus_clean",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH filt AS (
       SELECT doc_id, text,

@@ -107,6 +107,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "min_cost_supplier_agg",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH ps AS (
@@ -273,6 +274,7 @@ def _duck_cc_ctes(iters: int = _CC_ITERS) -> str:
 
 @query(
     "entity_clusters",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH {_duck_cc_ctes()}
     SELECT v AS custkey, lbl AS cluster_id FROM l{_CC_ITERS}
@@ -353,6 +355,7 @@ def q_entity_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "entity_golden_records",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 slot): promoted per rotation policy — no driver row in r01/r02
     oracle=f"""
     WITH {_duck_cc_ctes()},
@@ -426,6 +429,7 @@ def q_entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "entity_components",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 slot): promoted per rotation policy — no driver row in r01/r02
     oracle="""
     WITH RECURSIVE pairs AS (
@@ -466,6 +470,7 @@ def q_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fuzzy_pairs_blocked",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT l.c_custkey AS custkey_a, r.c_custkey AS custkey_b,
            CAST(levenshtein(l.c_name, r.c_name) AS INT) AS edit_dist
@@ -841,6 +846,7 @@ def _duck_hash64(expr: str, seed: int = 0) -> str:
 
 @query(
     "dataset_split",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 slot): promoted per rotation policy — no driver row in r01/r02
     oracle=f"""
     WITH assigned AS (
@@ -880,6 +886,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "source_quota_sample",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 slot): promoted per rotation policy — no driver row in r01/r02
     oracle=f"""
     SELECT doc_id, source FROM (
@@ -912,6 +919,7 @@ def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sequence_packing",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 slot): promoted per rotation policy — no driver row in r01/r02
     oracle=f"""
     WITH toks AS (
@@ -947,6 +955,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "nation_volume_q7",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 slot): promoted per rotation policy — no driver row in r01/r02
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -1011,6 +1020,7 @@ def q_nation_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mixture_weighted_sample",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 slot): promoted per rotation policy — no driver row in r01/r02
     oracle=f"""
     WITH rated AS (

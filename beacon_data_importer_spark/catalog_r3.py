@@ -66,6 +66,7 @@ _SERPENTINE_CTES = f"""
 
 @query(
     "pack_bins_balanced",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=_SERPENTINE_CTES + "SELECT id, shard, n_tokens, pack_id FROM packed",
 )
@@ -86,6 +87,7 @@ def q_pack_bins_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pack_utilization",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=_SERPENTINE_CTES
     + """,
@@ -119,6 +121,7 @@ def q_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pack_bins_bestfit",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH RECURSIVE base AS (
@@ -185,6 +188,7 @@ def q_pack_bins_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stratified_exact_sample",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH targets(lang, target_n) AS (
@@ -222,6 +226,7 @@ def q_stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mixture_config_sample",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH rates(source, rate_bp) AS (
@@ -274,6 +279,7 @@ def q_mixture_config_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "local_supplier_volume_q5",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT n_name AS nation,
@@ -334,6 +340,7 @@ def q_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "forecast_revenue_q6",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT CAST(sum(round(l_extendedprice * l_discount * 100)) AS BIGINT)
@@ -371,6 +378,7 @@ def q_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "market_share_q8",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH vol AS (
@@ -452,6 +460,7 @@ def q_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "product_profit_q9",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
@@ -507,6 +516,7 @@ def q_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "returned_items_q10",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
@@ -557,6 +567,7 @@ def q_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "late_lines_priority_q12",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT l.l_linestatus,
@@ -604,6 +615,7 @@ def q_late_lines_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "promo_revenue_q14",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT
@@ -654,6 +666,7 @@ def q_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "large_volume_customers_q18",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH big AS (
@@ -701,6 +714,7 @@ def q_large_volume_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "brand_bracket_revenue_q19",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100))
@@ -761,6 +775,7 @@ def q_brand_bracket_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "excess_share_suppliers_q20",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH ps AS (
@@ -830,6 +845,7 @@ _DUCK_TOKS_Q = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
 @query(
     "gopher_quality_signals",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH toks AS (
@@ -977,6 +993,7 @@ _DUCK_SQ_CTES = """
 
 @query(
     "sq8_search",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH {_DUCK_SQ_CTES}
@@ -1011,6 +1028,7 @@ def q_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sq8_search_rerank",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH {_DUCK_SQ_CTES},
@@ -1054,6 +1072,7 @@ def q_sq8_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "decontaminate_ngrams",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH toks AS (
@@ -1093,6 +1112,7 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pii_redaction",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH synth AS (

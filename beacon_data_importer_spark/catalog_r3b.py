@@ -102,6 +102,7 @@ def _doc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "near_dup_clusters",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH RECURSIVE {_DUCK_DOC_CC}
@@ -127,6 +128,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "near_dup_keep",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH RECURSIVE {_DUCK_DOC_CC},
@@ -230,6 +232,7 @@ def _duck_band_exprs_named(prefix: str) -> str:
 
 @query(
     "incremental_dedup",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH corpus AS (SELECT * FROM documents WHERE source = 'src0'),
@@ -317,6 +320,7 @@ _COMMON_DF = 5  # a shingle in >= this many docs is "corpus-common"
 
 @query(
     "boilerplate_shingle_fraction",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH per_doc AS (
@@ -516,6 +520,7 @@ _DUCK_CURATE_CTES = f"""
 
 @query(
     "corpus_curate",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=_DUCK_CURATE_CTES
     + "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens FROM curated",
@@ -705,6 +710,7 @@ def _duck_ivfpq_oracle() -> str:
 
 @query(
     "ivfpq_search",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=_duck_ivfpq_oracle(),
 )
@@ -776,6 +782,7 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "token_length_histogram",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH t AS (
@@ -816,6 +823,7 @@ def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "source_mix_report",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH g AS (
@@ -945,6 +953,7 @@ def _duck_ivfpq_residual_oracle() -> str:
 
 @query(
     "ivfpq_residual_search",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=_duck_ivfpq_residual_oracle(),
 )
@@ -1068,6 +1077,7 @@ def q_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_payload_extract",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH payloads AS (
@@ -1162,6 +1172,7 @@ def q_json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "flatmap_attempts_udtf",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH base AS (
@@ -1319,6 +1330,7 @@ def _duck_pq_kmeans_oracle() -> str:
 
 @query(
     "pq_kmeans_search_rerank",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=_duck_pq_kmeans_oracle(),
 )
@@ -1387,6 +1399,7 @@ def q_pq_kmeans_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "entity_components_star",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH RECURSIVE pairs AS (
@@ -1436,6 +1449,7 @@ def q_entity_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "weighted_sample_docs",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH keyed AS (
@@ -1476,6 +1490,7 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_to_shards",
+    registered=False,  # driver-proven green in CORRECTNESS_r03; slot rotated (see catalog.py docstring)
     # registered (round-3 late rotation): never driver-proven; promoted per rotation policy
     oracle=_DUCK_CURATE_CTES
     + """,
@@ -1545,7 +1560,7 @@ _CHUNK_STRIDE = 48  # 16-token overlap
 
 @query(
     "chunk_documents",
-    registered=False,  # round-3 late addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
@@ -1629,7 +1644,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "funnel_progression",
-    registered=False,  # round-3 late addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH u1 AS MATERIALIZED (
       SELECT user_id, min(ts) AS t1 FROM events

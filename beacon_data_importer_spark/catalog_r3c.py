@@ -70,7 +70,7 @@ Cross-engine determinism notes (module conventions, catalog.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import query
@@ -104,7 +104,7 @@ _DUCK_PASSAGES = f"""
 
 @query(
     "passage_dedup",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH {_DUCK_PASSAGES},
     mk AS MATERIALIZED (
@@ -164,7 +164,7 @@ _BM25_TOPK = 10
 
 @query(
     "bm25_search",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
@@ -268,7 +268,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cohort_retention",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH weeks AS MATERIALIZED (
       SELECT DISTINCT user_id,
@@ -324,7 +324,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "event_transitions",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH seq AS MATERIALIZED (
       SELECT user_id, event_type,
@@ -388,7 +388,7 @@ _TOPTERMS_K = 5
 
 @query(
     "source_top_terms",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
@@ -487,7 +487,7 @@ def _duck_pr_iter(prev: str, cur: str) -> str:
 
 @query(
     "pagerank_parts",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH raw AS MATERIALIZED (
       SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
@@ -597,7 +597,7 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "data_quality_report",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT 'custkey_complete' AS check_name,
            CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
@@ -701,7 +701,7 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "forward_fill_events",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT event_id, user_id,
            last_value(CASE WHEN event_type = 'purchase' THEN value END
@@ -752,7 +752,7 @@ _TEMP_BUDGET = 200
 
 @query(
     "temperature_mixture_sample",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH counts AS MATERIALIZED (
       SELECT source, count(*) AS c FROM documents GROUP BY source
@@ -825,7 +825,7 @@ def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "robust_outliers",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH base AS MATERIALIZED (
       SELECT c_nationkey AS nationkey, o_totalprice AS price
@@ -908,7 +908,7 @@ _COOC_TOPK = 20
 
 @query(
     "token_cooccurrence",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT doc_id,
@@ -994,7 +994,7 @@ def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "snapshot_diff",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH old AS MATERIALIZED (
       SELECT c_custkey AS k, c_name, c_acctbal FROM customer
@@ -1070,7 +1070,7 @@ _TRI_MIN_SHARED = 3
 
 @query(
     "triangle_count",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH cp AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
@@ -1159,7 +1159,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dataset_split_grouped",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH assigned AS (
       SELECT source, n_chars,
@@ -1206,7 +1206,7 @@ def q_dataset_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_eval",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle=None,  # assigned below — needs fragments from catalog_ext/r3b
 )
 def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1309,11 +1309,12 @@ def _install_dedup_eval_oracle() -> None:
     """The oracle composes shared fragments from catalog_ext/catalog_r3b
     (minhash signature chain + banded LSH pairs) — assembled after both
     modules are importable to keep the fragment single-sourced."""
-    from .catalog import EXTRA_ORACLES
+    from .catalog import EXTRA_ORACLES, ORACLES, QUERIES
     from .catalog_ext import _DUCK_SHINGLES, _duck_minhash_sig_cte
     from .catalog_r3b import _DUCK_LSH_PAIRS
 
-    EXTRA_ORACLES["dedup_eval"] = f"""
+    target = ORACLES if "dedup_eval" in QUERIES else EXTRA_ORACLES
+    target["dedup_eval"] = f"""
     WITH samp AS MATERIALIZED (
       SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
     ),
@@ -1379,7 +1380,7 @@ _install_dedup_eval_oracle()
 
 @query(
     "skew_salted_join",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH big AS (
       SELECT CASE WHEN l_suppkey % 3 = 0 THEN 0
@@ -1447,7 +1448,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "wow_growth",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH weekly AS MATERIALIZED (
       SELECT c.c_nationkey AS nationkey,
@@ -1522,7 +1523,7 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ship_latency_histogram",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH lat AS MATERIALIZED (
       SELECT date_diff('day', o.o_orderdate, l.l_shipdate) // 7 AS bucket_wk
@@ -1572,7 +1573,7 @@ def q_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "impute_group_mean",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH masked AS MATERIALIZED (
       SELECT event_id, event_type,
@@ -1631,7 +1632,7 @@ def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ab_test_ztest",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH assign AS MATERIALIZED (
       SELECT user_id,
@@ -1721,7 +1722,7 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rfm_segments",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
     rfm AS MATERIALIZED (
@@ -1792,7 +1793,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pareto_frontier",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH pts AS MATERIALIZED (
       SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
@@ -1853,7 +1854,7 @@ _PATHS_TOPK = 15
 
 @query(
     "event_paths",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH seq AS MATERIALIZED (
       SELECT user_id, event_type,
@@ -1902,7 +1903,7 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dim_date",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH bounds AS (
       SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
@@ -1961,7 +1962,7 @@ def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cohort_ltv",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH firsts AS MATERIALIZED (
       SELECT o_custkey AS ck,
@@ -2050,7 +2051,7 @@ _FHASH_BUCKETS = 16
 
 @query(
     "feature_hashing",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT doc_id, u.tok
@@ -2100,7 +2101,7 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quantile_normalize",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     SELECT o_orderkey,
            CAST(floor(
@@ -2145,7 +2146,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "winsorized_mean",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH base AS MATERIALIZED (
       SELECT c_nationkey AS nationkey, o_totalprice AS price
@@ -2226,7 +2227,7 @@ _DEBOUNCE_S = 300
 
 @query(
     "event_debounce",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH gaps AS MATERIALIZED (
       SELECT event_id, user_id, event_type, ts,
@@ -2303,7 +2304,7 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "region_share",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH rev AS MATERIALIZED (
       SELECT r.r_name AS region, n.n_name AS nation,
@@ -2380,7 +2381,7 @@ def q_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "conversion_hazard",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH v AS MATERIALIZED (
       SELECT user_id, min(ts) AS t0 FROM events
@@ -2495,7 +2496,7 @@ def q_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "skew_report",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH ck AS (
       SELECT 'orders.o_custkey' AS keyname, o_custkey AS k FROM orders
@@ -2569,7 +2570,7 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "resample_interpolate",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH obs AS MATERIALIZED (
       SELECT user_id, ts, value, event_id FROM events
@@ -2721,7 +2722,7 @@ def _duck_bfs_iter(prev: str, cur: str) -> str:
 
 @query(
     "bfs_hops",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH cp AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
@@ -2788,7 +2789,7 @@ _RULES_TOPK = 20
 
 @query(
     "basket_rules",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle=f"""
     WITH items AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem
@@ -2874,7 +2875,7 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cascade_delete_report",
-    registered=False,  # round-3 session-C addition; will rotate into a round-4 slot
+    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
     oracle="""
     WITH victims AS MATERIALIZED (
       SELECT c_custkey AS ck FROM customer WHERE c_custkey % 53 = 0
@@ -2892,10 +2893,58 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'lineitem',
            CAST((SELECT count(*) FROM lineitem
-                 JOIN del_orders USING (l_orderkey... ) ) AS BIGINT),
+                 JOIN del_orders ON del_orders.o_orderkey = lineitem.l_orderkey
+                ) AS BIGINT),
            CAST((SELECT count(*) FROM lineitem) AS BIGINT)
     """,
 )
 def q_cascade_delete_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """placeholder"""
-    raise NotImplementedError
+    """Right-to-be-forgotten impact report: given a victim set of
+    customers, count how many rows each table in the FK chain
+    customer -> orders -> lineitem would lose, next to its total.
+
+    Mirrors the reference's staged-cascade deletes
+    (``sql/import_original_triage_needs_and_notes.sql:23-28`` deletes
+    child rows through the FK chain before re-import); here the
+    cascade is *measured*, not applied, which is the audit a GDPR
+    erasure request needs before touching 100 TB.
+
+    Scale notes: membership flags come from FK joins (not from
+    re-evaluating the victim predicate downstream, which would be
+    wrong for an arbitrary victim list).  Both joins are plain equi
+    joins AQE can broadcast when the victim side is small; each
+    per-table report row is a full-scan aggregate with map-side
+    partial counts, so the whole plan is three scans + two joins and
+    no driver-side action.
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+
+    victims = (
+        customer.where((F.col("c_custkey") % 53) == 0)
+        .select(F.col("c_custkey").alias("ck"))
+    )
+    # orders flagged via FK join (o_custkey is not unique; ck is, so
+    # the left join cannot multiply order rows).
+    orders_flagged = orders.join(
+        victims, F.col("o_custkey") == F.col("ck"), "left"
+    ).select("o_orderkey", F.col("ck").isNotNull().alias("is_del"))
+    del_orders = orders_flagged.where("is_del").select(
+        F.col("o_orderkey").alias("dk")
+    )
+    line_flagged = lineitem.join(
+        del_orders, F.col("l_orderkey") == F.col("dk"), "left"
+    ).select(F.col("dk").isNotNull().alias("is_del"))
+
+    def _report(df: DataFrame, name: str, is_del: Column) -> DataFrame:
+        return df.agg(
+            F.count(F.when(is_del, F.lit(1))).alias("rows_deleted"),
+            F.count(F.lit(1)).alias("rows_total"),
+        ).select(F.lit(name).alias("tbl"), "rows_deleted", "rows_total")
+
+    return (
+        _report(customer, "customer", (F.col("c_custkey") % 53) == 0)
+        .unionByName(_report(orders_flagged, "orders", F.col("is_del")))
+        .unionByName(_report(line_flagged, "lineitem", F.col("is_del")))
+    )
