@@ -18,6 +18,7 @@ insensitive value-hash comparison deterministic):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -68,6 +69,7 @@ ROWS_ONLY: set[str] = set()
 
 def query(name: str, oracle: str | None = None, registered: bool = True):
     def deco(fn: QueryFn) -> QueryFn:
+        @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             configure_session(spark)
             return fn(spark, sf_dir)

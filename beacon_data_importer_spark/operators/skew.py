@@ -87,11 +87,19 @@ def salted_join(
     right rows replicated under that salt — which is what the oracle
     checks; the salt only reshapes the exchange.
     """
+    if salts < 1:
+        raise ValueError(f"salts must be >= 1, got {salts}")
+    # Pick a temp column name that cannot collide with either input —
+    # a silent collision would corrupt the join condition.
+    salt = "__salt"
+    taken = set(left.columns) | set(right.columns)
+    while salt in taken:
+        salt += "_"
     l = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salts))
+        salt, F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salts))
     )
     r = right.withColumn(
-        "__salt",
+        salt,
         F.explode(F.sequence(F.lit(0), F.lit(salts - 1))),
     )
-    return l.join(r, [key, "__salt"], how).drop("__salt")
+    return l.join(r, [key, salt], how).drop(salt)

@@ -69,6 +69,11 @@ def snapshot_diff(
     from functools import reduce
     from operator import or_
 
+    if not cols:
+        raise ValueError(
+            "cols must be non-empty; for a key-presence-only diff pass "
+            "a constant column or pre-hash the payload"
+        )
     o = old.select(
         F.col(key).alias("__k"),
         *[F.col(c).alias(f"__o_{c}") for c in cols],
