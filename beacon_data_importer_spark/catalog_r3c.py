@@ -1115,31 +1115,30 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers sharing ≥ {m} distinct parts — the supplier projections
     are near-complete cliques on this data, so customers give the
     sparse graph triangle counting is for): the standard graph-cohesion metric,
-    via the canonical edge-iterator — edges oriented a < b, wedges
-    (a,b)+(b,c), closed by probing (a,c).  Each triangle counts exactly
-    once because its vertices appear in sorted order.
+    counted under DEGREE orientation (operators/graph.py
+    ``degree_oriented_triangles`` — the Suri-Vassilvitskii WWW'11
+    formulation): each edge points from its lower-(degree, id) endpoint
+    to the higher one and wedges expand only at the low endpoint, so
+    per-vertex fan-out is bounded by ~sqrt(m) instead of max degree —
+    the "last reducer" hot key the plain id-oriented edge iterator
+    hits at 100 TB never forms.  Each triangle counts exactly once
+    because its vertices are totally ordered by (degree, id).
 
     Plan: the per-part pair expansion is quadratic only in customers-
     per-part (bounded, like token_cooccurrence's per-doc expansion);
-    the wedge join shuffles the edge list twice on vertex keys.  At
-    100 TB the production refinement is DEGREE orientation (point each
-    edge low→high degree, bounding wedge fan-out by sqrt-degree — the
-    Suri-Vassilvitskii MapReduce formulation); id orientation keeps the
-    oracle simple here and the join shape is identical."""
+    the degree aggregation adds one vertex-keyed shuffle, then the
+    wedge join + closing probe shuffle the oriented edge list on
+    vertex keys exactly as the textbook iterator does.  The oracle
+    keeps the simple id-oriented CTE — the count is algorithm-
+    independent, which is itself part of what the gate checks."""
+    from .operators.graph import degree_oriented_triangles
     from .plans.co_purchase import co_purchase_edges
 
     # shared staged edge list (plans/co_purchase.py) — the per-part
     # pair expansion is the dominant cost and bfs_hops needs the same
     # graph; each consumer pays only its algorithm's marginal cost
     edges = co_purchase_edges(spark, sf_dir)
-    e1 = edges.select(F.col("a").alias("a1"), F.col("b").alias("b1"))
-    e2 = edges.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
-    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
-    tri = (
-        e1.join(e2, F.col("a2") == F.col("b1"))
-        .join(e3, (F.col("a3") == F.col("a1")) & (F.col("b3") == F.col("b2")))
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    tri = degree_oriented_triangles(edges)
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     verts = (
         edges.select(F.col("a").alias("v"))

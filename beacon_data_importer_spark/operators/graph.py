@@ -292,3 +292,61 @@ def star_connected_components(
     return verts.join(nmin, "v", "left").select(
         "v", F.least(F.coalesce("n", "v"), F.col("v")).alias("lbl")
     )
+
+
+def degree_oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Triangle count via degree orientation (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11).
+
+    Input: undirected edge list with columns ``a < b``, no duplicates.
+    Output: a 1-row frame ``(n_triangles bigint)``.
+
+    Each edge is pointed from its lower-(degree, id) endpoint to the
+    higher one; wedges are expanded only at each edge's LOW endpoint, so
+    a vertex's fan-out is bounded by its out-degree — O(sqrt(m)) for any
+    graph (arboricity bound) instead of max-degree.  A star vertex with
+    degree d contributes d wedges under id orientation but only
+    ~sqrt(m) under degree orientation: the "last reducer" hot key the
+    id-oriented variant suffers at 100 TB never forms.  Every triangle
+    is counted exactly once because its three vertices are totally
+    ordered by (degree, id).
+
+    Cost: one extra degree aggregation + two small joins to attach
+    degrees, then the same wedge-join + closing-probe shape as the
+    textbook edge iterator.  All shuffles are on vertex keys; the
+    degree frame is one row per vertex.
+    """
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    e = edges.join(da, "a").join(db, "b")
+    # orient low-(degree, id) -> high-(degree, id); a < b already, so
+    # equal degrees keep the id direction
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    w1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    w2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    # wedge (v1, v2) at the common low vertex u, ordered by (degree, id)
+    # so the closing oriented edge can only be v1 -> v2
+    wedges = w1.join(w2, "u").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    return (
+        wedges.join(closing, ["v1", "v2"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

@@ -445,3 +445,32 @@ def test_pareto_frontier_is_mutually_nondominated(spark, sf_dir):
             if i != j:
                 dominates = pb <= pa and sb >= sa and (pb < pa or sb > sa)
                 assert not dominates, (pts[i], pts[j])
+
+
+def test_degree_oriented_triangles_match_id_oriented_on_skewed_graph(spark):
+    """The degree-oriented counter (operators/graph.py) must agree with
+    the textbook id-oriented edge iterator on a hub graph — the shape
+    where their shuffle profiles diverge most (hub fan-out ~n vs ~1)."""
+    from beacon_data_importer_spark.operators.graph import (
+        degree_oriented_triangles,
+    )
+
+    n = 500
+    hub = spark.range(1, n).select(F.lit(0).alias("a"), F.col("id").alias("b"))
+    ring = spark.range(1, n - 2).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    edges = hub.unionAll(ring)
+
+    got = degree_oriented_triangles(edges).collect()[0]["n_triangles"]
+
+    e1 = edges.select(F.col("a").alias("a1"), F.col("b").alias("b1"))
+    e2 = edges.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+    want = (
+        e1.join(e2, F.col("a2") == F.col("b1"))
+        .join(e3, (F.col("a3") == F.col("a1")) & (F.col("b3") == F.col("b2")))
+        .count()
+    )
+    # hub-ring closure: triangles (0, i, i+1) for i in 1..n-2
+    assert got == want == n - 3

@@ -279,6 +279,59 @@ def main() -> None:
         }
         spark.catalog.clearCache()
 
+        # Triangle counting under skew: a star graph whose hub sits at
+        # the MEDIAN id (adjacent to every other vertex) plus a ring of
+        # local edges.  Under id orientation the hub is the middle
+        # vertex of (in-deg × out-deg) ≈ (n/2)² wedges — the quadratic
+        # "last reducer" hot key; degree orientation points every hub
+        # edge AT the hub (max degree), so the hub expands ZERO wedges
+        # and the whole count is linear in the ring.  The id-oriented
+        # variant is timed alongside as the control; counts must agree
+        # (asserted by tests/test_r3c_search_dedup.py).
+        from beacon_data_importer_spark.operators.graph import (
+            degree_oriented_triangles,
+        )
+
+        n_tv = 3_000 * factor
+        h = n_tv // 2
+        hub = spark.range(n_tv).filter(F.col("id") != h).select(
+            F.least(F.col("id"), F.lit(h)).alias("a"),
+            F.greatest(F.col("id"), F.lit(h)).alias("b"),
+        )
+        ring = (
+            spark.range(n_tv - 1)
+            .filter((F.col("id") != h) & (F.col("id") + 1 != h))
+            .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+        )
+        tedges = hub.unionAll(ring).persist()
+        n_te = tedges.count()
+
+        dt = timed(degree_oriented_triangles(tedges))
+        results.setdefault("triangles_degree_oriented", {})[f"x{factor}"] = {
+            "rows": n_te,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n_te / dt),
+        }
+        e1 = tedges.select(F.col("a").alias("a1"), F.col("b").alias("b1"))
+        e2 = tedges.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+        e3 = tedges.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+        tri_id = (
+            e1.join(e2, F.col("a2") == F.col("b1"))
+            .join(
+                e3,
+                (F.col("a3") == F.col("a1")) & (F.col("b3") == F.col("b2")),
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        dt = timed(tri_id)
+        results.setdefault("triangles_id_oriented", {})[f"x{factor}"] = {
+            "rows": n_te,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n_te / dt),
+        }
+        tedges.unpersist()
+        spark.catalog.clearCache()
+
     print(json.dumps({"metric": "scale_probe", "shapes": results}))
 
 
