@@ -1,0 +1,487 @@
+"""Round-4 catalog tier: data-layout operators (bucketed co-located
+joins, partition pruning, Z-order clustering), sketch audits, regression
+aggregates, sliding distinct counts, semantic dedup, split-leakage
+audits, k-fold assignment, and the JSONL/ORC source round-trips.
+
+Same cross-engine parity discipline as catalog.py (cents trick, floor
+micro-units, md5 hashing, id tie-breakers).  Layout queries write to a
+per-session temp dir under /tmp (never the testdata) and read back —
+the round-trip IS the operator under test; the oracle checks the final
+relational result against the un-laid-out table, which only matches if
+the layout step was lossless.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import cents, query
+from .catalog_r2 import _duck_hash64
+from .sources.parquet import read_table
+
+# ---------------------------------------------------------------------------
+# grouped_linreg — per-nation OLS of order value vs time
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouped_linreg",
+    # registered (round-4): new query, no driver row yet
+    oracle="""
+    WITH pts AS (
+      SELECT c_nationkey AS nationkey,
+             CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                  AS BIGINT) AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    s AS (
+      SELECT nationkey,
+             CAST(count(*) AS DECIMAL(38,0)) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+      FROM pts GROUP BY nationkey
+    )
+    SELECT nationkey,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6)
+                AS BIGINT) AS slope_cents_per_day_e6,
+           CAST(floor((CAST(sy AS DOUBLE)
+                       - CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) * 1e2)
+                AS BIGINT) AS intercept_cents_e2
+    FROM s
+    """,
+)
+def q_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (order value in cents vs days
+    since epoch), computed from SUFFICIENT STATISTICS — n, Σx, Σy, Σxy,
+    Σx² — in one map-side-combinable aggregation.  This is the
+    distributed-regression shape: no per-group data collection, one
+    shuffle of 5 numbers per group, merge-associative everywhere
+    (the same stats stream into `applyInPandasWithState` unchanged for
+    the online variant).
+
+    Parity: the sums are exact DECIMAL(38,0) (bigint products would
+    overflow past sf≈0.3; decimal keeps the aggregation
+    order-independent), the final slope/intercept are single IEEE
+    divisions of identical exact numerators → floor micro-units are
+    drift-free cross-engine."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    x = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("bigint")
+    y = cents(F.col("o_totalprice"))
+    pts = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("nationkey"),
+        x.alias("x"),
+        y.alias("y"),
+    )
+    s = pts.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "nationkey",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.floor(slope * 1e6).alias("slope_cents_per_day_e6"),
+        F.floor(intercept * 1e2).alias("intercept_cents_e2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling_distinct_customers — sliding-window COUNT DISTINCT
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_distinct_customers",
+    # registered (round-4): new query, no driver row yet
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+             AS day_no,
+           CAST(count(DISTINCT o_custkey) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                           AS BIGINT)
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_customers_90d
+    FROM orders
+    """,
+)
+def q_rolling_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT count: per order priority, the number of
+    distinct customers ordering in the trailing 90 days.  Spark has no
+    ``count(DISTINCT) OVER``; the native composition is
+    ``size(array_distinct(collect_list(...)))`` over a RANGE frame —
+    exact, JVM-side, and bounded by the frame's distinct cardinality
+    (the window state holds one trailing frame per partition, not the
+    whole corpus).  At true 100 TB cardinalities the drop-in
+    replacement is an HLL sketch per frame (see hll_distinct_audit for
+    the measured-error discipline); the exact form here doubles as its
+    ground truth."""
+    o = read_table(spark, sf_dir, "orders")
+    day_no = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(day_no)
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_orderpriority").alias("priority"),
+        day_no.alias("day_no"),
+        F.size(F.array_distinct(F.collect_list("o_custkey").over(w)))
+        .cast("bigint")
+        .alias("distinct_customers_90d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct_audit — sketch estimate vs exact, with an error bound
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hll_distinct_audit",
+    # registered (round-4): new query, no driver row yet
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+           true AS approx_within_15pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch audit: HyperLogLog++ approximate distinct (rsd=0.05) next
+    to the exact distinct, surfaced as a BOOLEAN bound check (|approx −
+    exact| ≤ 15% — 3× the configured rsd, so the flag is stable by a
+    wide margin) rather than the raw estimate, which no other engine
+    could reproduce bit-for-bit.  This is the production discipline for
+    sketches at 100 TB: the exact pass is affordable at audit scale
+    (here), the sketch runs at full scale, and the audit row proves the
+    error budget holds on THIS data distribution.
+
+    Exact distinct shuffles (key, orderkey) once; the HLL aggregate is
+    a fixed ~1.5 KB register set per group, merge-associative —
+    map-side partials, no second shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count_distinct(F.col("l_orderkey")).alias("exact_distinct"),
+        F.approx_count_distinct("l_orderkey", 0.05).alias("approx"),
+    )
+    rel_err = F.abs(F.col("approx") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    )
+    return agg.select(
+        "returnflag",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        (rel_err <= 0.15).alias("approx_within_15pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kfold_assignment — deterministic k-fold cross-validation folds
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+@query(
+    "kfold_assignment",
+    # registered (round-4): new query, no driver row yet
+    oracle=f"""
+    SELECT
+      CAST({_duck_hash64("CAST(doc_id AS VARCHAR)", seed=7)} % {_KFOLD_K}
+           AS INT) AS fold,
+      source,
+      count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k=5) by id
+    hash — the CV counterpart of dataset_split: any engine or run
+    recomputes identical folds, and per-(fold, source) counts expose
+    fold balance (a skewed fold invalidates the CV estimate).  One
+    map-side-combinable aggregation; the hash is the engine's portable
+    md5-based hash64 so the oracle replays it exactly."""
+    from .functions.expressions import portable_hash64
+
+    d = read_table(spark, sf_dir, "documents")
+    fold = (
+        portable_hash64(F.col("doc_id").cast("string"), seed=7) % _KFOLD_K
+    ).cast("int")
+    return (
+        d.select(fold.alias("fold"), "source", "n_chars")
+        .groupBy("fold", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+# ===========================================================================
+# Data-layout tier: the physical-design operators a 100 TB warehouse
+# lives and dies by.  Each query stages a layout into a session temp
+# dir / warehouse table ONCE per (sf_dir, process), then answers a
+# relational question THROUGH the layout; the oracle answers the same
+# question from the raw table, so a green row proves the layout step
+# lossless AND the layout-side plan correct.
+# ===========================================================================
+
+_STAGED: dict[tuple, str] = {}
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+
+@query(
+    "bucketed_join",
+    # registered (round-4): new query, no driver row yet
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via BUCKETED table layout: orders
+    and customer are written ``bucketBy(8, custkey)`` + sorted, so the
+    fact⋈dim join needs NO Exchange on either side — the bucket layout
+    IS the shuffle, paid once at write time and amortized over every
+    subsequent join on that key.  This is the single highest-leverage
+    physical design at 100 TB: a daily-joined fact table re-shuffles
+    terabytes per query unbucketed, zero bucketed.
+
+    tests/test_r4_layout.py asserts the physical plan contains no
+    Exchange between the scans and the SortMergeJoin.  The oracle
+    answers from the raw tables — green means the bucketed write was
+    lossless and the bucket-pruned join correct."""
+    tag = _sf_tag(sf_dir)
+    key = ("bucketed", sf_dir)
+    ot, ct = f"r4_orders_b_{tag}", f"r4_customer_b_{tag}"
+    if key not in _STAGED:
+        # A fresh process gets a fresh metastore, but the warehouse
+        # DIRECTORY persists — drop both the entry and the location or
+        # saveAsTable refuses with LOCATION_ALREADY_EXISTS.
+        import shutil
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in (ot, ct):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        o = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        c = read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        (
+            o.write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable(ot)
+        )
+        (
+            c.write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable(ct)
+        )
+        _STAGED[key] = ot
+    ob, cb = spark.table(ot), spark.table(ct)
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "partitioned_scan_prune",
+    # registered (round-4): new query, no driver row yet
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE source IN ('src1', 'src7', 'src12')
+    GROUP BY source
+    """,
+)
+def q_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style PARTITION PRUNING: documents are laid out
+    ``partitionBy(source)``, so a source predicate is resolved against
+    directory names at PLANNING time — non-matching partitions are
+    never listed, opened, or read.  At 100 TB with daily × source
+    partitions this is the difference between scanning 300 GB and
+    300 TB for the same query; the predicate must appear under
+    PartitionFilters (asserted by tests/test_r4_layout.py), not as a
+    post-scan filter.
+
+    The partition column round-trips through directory names (string
+    here; typed values re-parse under partition-column inference) —
+    the oracle answering from the raw table proves the round-trip
+    lossless."""
+    key = ("part_docs", sf_dir)
+    if key not in _STAGED:
+        out = tempfile.mkdtemp(prefix="r4_part_docs_")
+        (
+            read_table(spark, sf_dir, "documents")
+            .write.partitionBy("source")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        _STAGED[key] = out
+    d = spark.read.parquet(_STAGED[key])
+    return (
+        d.filter(F.col("source").isin("src1", "src7", "src12"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+_Z_BITS = 16
+_Z_FILES = 64
+# box query the pruning stat is computed for: a customer-id stripe
+# crossed with a date stripe
+_Z_BOX = (64, 127, 1024, 1535)  # x_lo, x_hi, y_lo, y_hi — in-domain at every test SF
+
+
+def _zval_sql(x: str, y: str, bits: int = _Z_BITS) -> str:
+    """Morton/Z-order interleave of two masked {bits}-bit ints — one
+    shared SQL string evaluated by BOTH engines (only >>, &, <<, +)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "zorder_layout",
+    # registered (round-4): new query, no driver row yet
+    oracle=f"""
+    WITH pts AS (
+      SELECT (o_custkey & {2**_Z_BITS - 1}) AS x,
+             (CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                   AS BIGINT) & {2**_Z_BITS - 1}) AS y,
+             o_orderkey
+      FROM orders
+    ),
+    z AS (
+      SELECT x, y, {_zval_sql("x", "y")} AS zval, o_orderkey FROM pts
+    ),
+    filed AS (
+      SELECT x, y,
+             ntile({_Z_FILES}) OVER (ORDER BY zval, o_orderkey) AS file_id
+      FROM z
+    )
+    SELECT CAST(file_id AS INT) AS file_id,
+           count(*) AS n_rows,
+           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
+           (min(x) <= {_Z_BOX[1]} AND max(x) >= {_Z_BOX[0]}
+            AND min(y) <= {_Z_BOX[3]} AND max(y) >= {_Z_BOX[2]})
+             AS scanned_for_box
+    FROM filed GROUP BY file_id
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering: interleave the bits of (custkey, day) into a
+    Morton code, sort into {files} equal files, and report each file's
+    min/max envelope per dimension plus whether a representative box
+    query (custkey stripe × date stripe) would have to scan it.  A
+    linear sort on either single key leaves the OTHER dimension's
+    min/max spanning the whole domain (every file scanned for a
+    predicate on it); the Z-curve keeps files spatially local so BOTH
+    dimensions prune — this is exactly the Delta/Iceberg OPTIMIZE
+    ZORDER primitive, reduced to its relational core.
+
+    The interleave is one shared arithmetic SQL string (>> & << only)
+    evaluated identically by both engines; file assignment is ntile
+    over (zval, orderkey) — fully tie-broken, so file envelopes are
+    deterministic.  The global sort is one rangepartitioning exchange —
+    the same cost a real OPTIMIZE ZORDER write pays."""
+    o = read_table(spark, sf_dir, "orders")
+    day_no = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("bigint")
+    mask = 2**_Z_BITS - 1
+    pts = o.select(
+        F.col("o_custkey").bitwiseAND(mask).alias("x"),
+        day_no.bitwiseAND(mask).alias("y"),
+        "o_orderkey",
+    )
+    z = pts.withColumn("zval", F.expr(_zval_sql("x", "y")))
+    w = Window.orderBy("zval", "o_orderkey")
+    filed = z.select(
+        "x", "y", F.ntile(_Z_FILES).over(w).alias("file_id")
+    )
+    x_lo, x_hi, y_lo, y_hi = _Z_BOX
+    g = filed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+    return g.select(
+        "file_id",
+        "n_rows",
+        "min_x",
+        "max_x",
+        "min_y",
+        "max_y",
+        (
+            (F.col("min_x") <= x_hi)
+            & (F.col("max_x") >= x_lo)
+            & (F.col("min_y") <= y_hi)
+            & (F.col("max_y") >= y_lo)
+        ).alias("scanned_for_box"),
+    )
+
+
+q_zorder_layout.__doc__ = (q_zorder_layout.__doc__ or "").replace(
+    "{files}", str(_Z_FILES)
+)
