@@ -485,3 +485,333 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_zorder_layout.__doc__ = (q_zorder_layout.__doc__ or "").replace(
     "{files}", str(_Z_FILES)
 )
+
+
+# ---------------------------------------------------------------------------
+# asof_join_nearest — nearest-in-time variant of the as-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_nearest",
+    # registered (round-4): new query, no driver row yet
+    oracle="""
+    SELECT purchase_id, user_id, nearest_click, gap_us FROM (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             c.event_id AS nearest_click,
+             abs(epoch_us(p.ts) - epoch_us(c.ts)) AS gap_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)), c.event_id
+             ) AS rn
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+      WHERE p.event_type = 'purchase'
+    ) t WHERE rn = 1
+    """,
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (asof_join is backward-only): each
+    purchase matches the click of the same user closest in time, either
+    direction — pandas ``merge_asof(direction='nearest')`` semantics,
+    composed Spark-natively as equality-keyed join + per-key top-1
+    window, ranked by absolute µs gap with an event-id tie-breaker.
+
+    Scale: identical shape to asof_join — the user-id equality keys the
+    shuffle, fan-out is per-user clicks × purchases (bounded by
+    activity, not corpus), and the window dedups per purchase.  A
+    backward-only engine needs two passes + a merge for 'nearest';
+    the rank formulation does it in one."""
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    # ts is TIMESTAMP_NTZ; the session zone is pinned UTC, so the cast to
+    # instant is zero-shift and unix_micros matches DuckDB epoch_us
+    gap = F.abs(
+        F.unix_micros(F.col("p_ts").cast("timestamp"))
+        - F.unix_micros(F.col("c_ts").cast("timestamp"))
+    )
+    j = p.join(c, p.user_id == c.c_user).select(
+        "purchase_id", "user_id", "click_id", gap.alias("gap_us")
+    )
+    w = Window.partitionBy("purchase_id").orderBy("gap_us", "click_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("click_id").alias("nearest_click"),
+            "gap_us",
+        )
+    )
+
+
+# ===========================================================================
+# Source round-trips: JSONL and ORC.  The engine's source surface grows
+# beyond CSV/parquet/JDBC; the oracle answers from the raw parquet, so a
+# green row proves the sink+source pair byte-lossless for these types.
+# ===========================================================================
+
+_CKSUM_MOD = 1_000_000_000
+
+
+def _cksum(c: Column) -> Column:
+    """Order-independent content checksum: sum of bounded per-row
+    hashes (mod 1e9 keeps the bigint sum overflow-free to ~1e9 rows)."""
+    from .functions.expressions import portable_hash64
+
+    return F.sum(F.pmod(portable_hash64(c), F.lit(_CKSUM_MOD)))
+
+
+@query(
+    "jsonl_roundtrip",
+    # registered (round-4): new query, no driver row yet
+    oracle=f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({_duck_hash64("text")} % {_CKSUM_MOD}) AS BIGINT)
+             AS text_cksum
+    FROM documents GROUP BY lang
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines sink + source: documents are written as JSONL (one
+    object per line — the lingua franca of LLM corpus interchange) and
+    read back with an EXPLICIT schema (schema inference is a full extra
+    pass at 100 TB and types drift by file; production readers pin the
+    schema).  Per-lang counts plus an order-independent md5 content
+    checksum prove the text column — including whatever needed JSON
+    escaping — round-tripped byte-exactly; the oracle never sees the
+    JSONL, only the raw table."""
+    key = ("jsonl_docs", sf_dir)
+    if key not in _STAGED:
+        out = tempfile.mkdtemp(prefix="r4_jsonl_docs_")
+        read_table(spark, sf_dir, "documents").write.mode("overwrite").json(
+            out
+        )
+        _STAGED[key] = out
+    d = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(_STAGED[key])
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        _cksum(F.col("text")).alias("text_cksum"),
+    )
+
+
+@query(
+    "orc_roundtrip",
+    # registered (round-4): new query, no driver row yet
+    oracle=f"""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           CAST(max(l_shipdate) AS DATE) AS max_shipdate,
+           CAST(sum({_duck_hash64(
+               "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+           )} % {_CKSUM_MOD}) AS BIGINT) AS key_cksum
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (the second columnar format a warehouse must
+    speak): lineitem round-trips through ORC and the pricing-summary
+    shape re-aggregates from the ORC copy — exact cents, a DATE
+    max, and an md5 checksum over the composite row key.  Green against the parquet-side oracle proves doubles,
+    dates and strings survive the format hop bit-exactly (ORC and
+    parquet have different logical-type encodings for all three)."""
+    key = ("orc_lineitem", sf_dir)
+    if key not in _STAGED:
+        out = tempfile.mkdtemp(prefix="r4_orc_li_")
+        read_table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(out)
+        _STAGED[key] = out
+    li = spark.read.orc(_STAGED[key])
+    return li.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("price_cents"),
+        F.max(F.col("l_shipdate").cast("date")).alias("max_shipdate"),
+        _cksum(
+            F.concat_ws("|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("key_cksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup-style cluster-scoped embedding dedup
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35
+
+
+def _semantic_dedup_oracle() -> str:
+    from .catalog_more import _duck_kmeans_ctes
+
+    cos = (
+        "list_dot_product(l.ev, r.ev) / "
+        "(sqrt(list_dot_product(l.ev, l.ev)) * "
+        "sqrt(list_dot_product(r.ev, r.ev)))"
+    )
+    return f"""
+    WITH {_duck_kmeans_ctes()},
+    asg AS MATERIALIZED (SELECT vec_id, ev, cluster FROM fin WHERE rn = 1),
+    dup AS MATERIALIZED (
+      SELECT DISTINCT r.vec_id
+      FROM asg l JOIN asg r
+        ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+      WHERE {cos} >= {_SEMDEDUP_TAU}
+    )
+    SELECT a.vec_id, a.cluster,
+           a.vec_id NOT IN (SELECT vec_id FROM dup) AS keep
+    FROM asg a
+    """
+
+
+@query(
+    "semantic_dedup",
+    # registered (round-4): new query, no driver row yet
+    oracle=None,  # assigned below — composes the kmeans CTE chain
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): k-means
+    partitions the embedding space, exact cosine runs only WITHIN each
+    cluster, and every vector with a higher-id cosine-≥τ neighbor in
+    its cluster is dropped (lowest id survives — same first-wins rule
+    as the MinHash tier).  This is the third dedup modality next to
+    lexical (MinHash/SimHash) and LSH-bucketed embedding pairs: the
+    cluster scope finds paraphrase-level duplicates hyperplane buckets
+    can miss, at pair cost n·(n/k) instead of n².
+
+    100 TB: k scales with the corpus so cluster population (n/k) stays
+    constant — the within-cluster expansion is then linear in n; the
+    centroid fit is the bounded-driver-state kmeans of
+    operators/kmeans.py, and assignment is a broadcast narrow pass.
+    Everything after assignment is one cluster-keyed shuffle."""
+    from .catalog_more import _kmeans_fit_cached
+    from .operators import similarity as SIM
+    from .operators.kmeans import assign_clusters
+
+    e = read_table(spark, sf_dir, "embeddings")
+    centroids = _kmeans_fit_cached(spark, sf_dir)
+    asg = assign_clusters(e, centroids, "vec_id", "embedding").select(
+        F.col("id").alias("vec_id"), "vec", "cluster"
+    )
+    l = asg.select(
+        "cluster", F.col("vec_id").alias("a"), F.col("vec").alias("ea")
+    )
+    r = asg.select(
+        "cluster", F.col("vec_id").alias("b"), F.col("vec").alias("eb")
+    )
+    dup = (
+        l.join(r, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .filter(SIM.cosine("ea", "eb") >= _SEMDEDUP_TAU)
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+    )
+    return asg.join(dup.withColumn("__dup", F.lit(True)), "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+    )
+
+
+def _install_semantic_dedup_oracle() -> None:
+    from .catalog import EXTRA_ORACLES, ORACLES, QUERIES
+
+    target = ORACLES if "semantic_dedup" in QUERIES else EXTRA_ORACLES
+    target["semantic_dedup"] = _semantic_dedup_oracle()
+
+
+_install_semantic_dedup_oracle()
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_report — cross-split near-dup contamination audit
+# ---------------------------------------------------------------------------
+
+
+def _split_leakage_oracle() -> str:
+    from .catalog_ext import _duck_minhash_sig_cte
+    from .catalog_r3b import _DUCK_LSH_PAIRS
+
+    def split_case(idexpr: str) -> str:
+        h = _duck_hash64(f"CAST({idexpr} AS VARCHAR)")
+        return (
+            f"CASE WHEN {h} % 100 < 90 THEN 'train' "
+            f"WHEN {h} % 100 < 95 THEN 'val' ELSE 'test' END"
+        )
+
+    return f"""
+    WITH {_duck_minhash_sig_cte()},
+    {_DUCK_LSH_PAIRS},
+    labeled AS MATERIALIZED (
+      SELECT least({split_case("a")}, {split_case("b")}) AS split_lo,
+             greatest({split_case("a")}, {split_case("b")}) AS split_hi
+      FROM pairs
+    )
+    SELECT split_lo, split_hi,
+           count(*) AS n_pairs,
+           (split_lo != split_hi) AS leaked
+    FROM labeled GROUP BY split_lo, split_hi
+    """
+
+
+@query(
+    "split_leakage_report",
+    # registered (round-4): new query, no driver row yet
+    oracle=None,  # assigned below — composes the corpus-LSH fragments
+)
+def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split LEAKAGE audit: the production near-dup detector's
+    candidate pairs (shared corpus-LSH staging, plans/corpus_lsh.py)
+    crossed with the deterministic train/val/test assignment
+    (dataset_split's hash rule) — every pair straddling a split
+    boundary is an eval-contamination path.  This is the audit that
+    must gate any split shipped from a deduplicated corpus: a grouped
+    split (dataset_split_grouped) exists precisely to drive the
+    leaked rows to zero, and THIS query is the measurement.
+
+    Scale: pairs are same-LSH-bucket only (capped fan-out), the split
+    label is a per-row hash — no join against the corpus needed — and
+    the report is a 6-row aggregate."""
+    from .operators.sampling import split_assign
+    from .plans.corpus_lsh import corpus_candidate_pairs
+
+    pairs = corpus_candidate_pairs(spark, sf_dir)
+    sa = split_assign("id_a", 90, 5)
+    sb = split_assign("id_b", 90, 5)
+    labeled = pairs.select(
+        F.least(sa, sb).alias("split_lo"),
+        F.greatest(sa, sb).alias("split_hi"),
+    )
+    return labeled.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.col("split_lo") != F.col("split_hi")).alias("leaked"),
+    )
+
+
+def _install_split_leakage_oracle() -> None:
+    from .catalog import EXTRA_ORACLES, ORACLES, QUERIES
+
+    target = ORACLES if "split_leakage_report" in QUERIES else EXTRA_ORACLES
+    target["split_leakage_report"] = _split_leakage_oracle()
+
+
+_install_split_leakage_oracle()
