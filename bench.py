@@ -142,6 +142,27 @@ HEADLINE += [
     "basket_rules",
 ]
 
+# Round-4's full headline set, frozen for round-5+ per-query deltas.
+R4_BASE_SET = list(HEADLINE)
+
+HEADLINE += [
+    # round 4: data-layout tier + regression/sketch/CV + nearest as-of +
+    # JSONL/ORC round-trips + semantic dedup + the leakage audit
+    "grouped_linreg",
+    "rolling_distinct_customers",
+    "hll_distinct_audit",
+    "kfold_assignment",
+    "bucketed_join",
+    "partitioned_scan_prune",
+    "zorder_layout",
+    "asof_join_nearest",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "semantic_dedup",
+    "split_leakage_report",
+    "cascade_delete_report",
+]
+
 
 def _stage_stats(base: str, app_id: str) -> dict[int, dict]:
     """Completed-stage metrics from the Spark UI REST API, by stageId."""
@@ -387,6 +408,9 @@ def main() -> None:
                 ),
                 "warm_total_r3_set": round(
                     sum(warm[n] for n in R3_SET if n in warm), 3
+                ),
+                "warm_total_r4_base_set": round(
+                    sum(warm[n] for n in R4_BASE_SET if n in warm), 3
                 ),
                 "warm_total": round(sum(warm.values()), 3),
                 "n_queries": len(warm),
