@@ -136,29 +136,92 @@ def q_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rolling_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window DISTINCT count: per order priority, the number of
     distinct customers ordering in the trailing 90 days.  Spark has no
-    ``count(DISTINCT) OVER``; the native composition is
-    ``size(array_distinct(collect_list(...)))`` over a RANGE frame —
-    exact, JVM-side, and bounded by the frame's distinct cardinality
-    (the window state holds one trailing frame per partition, not the
-    whole corpus).  At true 100 TB cardinalities the drop-in
-    replacement is an HLL sketch per frame (see hll_distinct_audit for
-    the measured-error discipline); the exact form here doubles as its
-    ground truth."""
+    ``count(DISTINCT) OVER``, and the naive composition —
+    ``size(array_distinct(collect_list))`` over a RANGE frame — is
+    O(frame) PER ROW (measured 9.6 s warm at sf0.1, the worst query in
+    the round-4 tier).  This is the LINEAR interval-union formulation
+    instead:
+
+      1. distinct (priority, custkey, day) — one exchange;
+      2. per customer, merge order days closer than 90 days into
+         presence islands (lag + running island id — gaps-and-islands,
+         same device as event_debounce);
+      3. each island [start, last+90] becomes +1/−1 boundary deltas;
+      4. a running sum over each priority's deltas is the active-
+         customer count at every boundary, and each order day picks
+         the last boundary at-or-before it (union + LOCF — the
+         resample_interpolate device, no as-of join).
+
+    Every step is a plain window or aggregate on the same two keys; no
+    per-row frame materialization anywhere, so cost is O(orders), not
+    O(orders × frame).  The oracle keeps DuckDB's native
+    ``count(DISTINCT) OVER RANGE`` — same result, independent
+    algorithm, which is exactly what the gate should compare."""
     o = read_table(spark, sf_dir, "orders")
     day_no = F.datediff(
         F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
     ).cast("bigint")
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy(day_no)
-        .rangeBetween(-90, Window.currentRow)
-    )
-    return o.select(
+    days = o.select(
         F.col("o_orderpriority").alias("priority"),
-        day_no.alias("day_no"),
-        F.size(F.array_distinct(F.collect_list("o_custkey").over(w)))
-        .cast("bigint")
-        .alias("distinct_customers_90d"),
+        F.col("o_custkey").alias("custkey"),
+        day_no.alias("day"),
+    ).distinct()
+
+    wcust = Window.partitionBy("priority", "custkey").orderBy("day")
+    isl = days.withColumn("prev", F.lag("day").over(wcust)).withColumn(
+        "new_isl",
+        (F.col("prev").isNull() | (F.col("day") > F.col("prev") + 90)).cast(
+            "int"
+        ),
+    )
+    isl = isl.withColumn(
+        "isl_id",
+        F.sum("new_isl").over(
+            wcust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = isl.groupBy("priority", "custkey", "isl_id").agg(
+        F.min("day").alias("start"), (F.max("day") + 90).alias("last_cov")
+    )
+    deltas = islands.select(
+        "priority", F.col("start").alias("day"), F.lit(1).alias("d")
+    ).unionAll(
+        islands.select(
+            "priority", (F.col("last_cov") + 1).alias("day"), F.lit(-1).alias("d")
+        )
+    )
+    bounds = deltas.groupBy("priority", "day").agg(F.sum("d").alias("d"))
+    # union boundary days with query (order) days, LOCF the running count
+    q_days = days.select("priority", "day").distinct()
+    merged = bounds.unionByName(
+        q_days.join(bounds, ["priority", "day"], "left_anti").select(
+            "priority", "day", F.lit(0).alias("d")
+        )
+    )
+    wrun = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    counted = merged.select(
+        "priority", "day", F.sum("d").over(wrun).alias("active")
+    )
+    # re-attach to every order row (per (priority, day) the count is
+    # constant, so a distinct-keyed broadcast-or-shuffle join restores
+    # the original row multiplicity)
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("priority"), day_no.alias("day_no")
+        )
+        .join(
+            counted.withColumnsRenamed({"day": "day_no"}),
+            ["priority", "day_no"],
+        )
+        .select(
+            "priority",
+            "day_no",
+            F.col("active").cast("bigint").alias("distinct_customers_90d"),
+        )
     )
 
 
@@ -663,19 +726,24 @@ _SEMDEDUP_TAU = 0.35
 def _semantic_dedup_oracle() -> str:
     from .catalog_more import _duck_kmeans_ctes
 
-    cos = (
-        "list_dot_product(l.ev, r.ev) / "
-        "(sqrt(list_dot_product(l.ev, l.ev)) * "
-        "sqrt(list_dot_product(r.ev, r.ev)))"
-    )
+    # Pre-normalized form: cosine(a,b) == dot(â,b̂).  Each engine
+    # normalizes once per VECTOR (identical IEEE divide-by-norm), so
+    # the per-PAIR work is a single dot product — the arithmetic is
+    # elementwise-identical cross-engine, keeping the >= tau compare
+    # deterministic exactly as the unnormalized form was.
     return f"""
     WITH {_duck_kmeans_ctes()},
-    asg AS MATERIALIZED (SELECT vec_id, ev, cluster FROM fin WHERE rn = 1),
+    asg AS MATERIALIZED (
+      SELECT vec_id, cluster,
+             list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev)))
+               AS uv
+      FROM fin WHERE rn = 1
+    ),
     dup AS MATERIALIZED (
       SELECT DISTINCT r.vec_id
       FROM asg l JOIN asg r
         ON l.cluster = r.cluster AND l.vec_id < r.vec_id
-      WHERE {cos} >= {_SEMDEDUP_TAU}
+      WHERE list_dot_product(l.uv, r.uv) >= {_SEMDEDUP_TAU}
     )
     SELECT a.vec_id, a.cluster,
            a.vec_id NOT IN (SELECT vec_id FROM dup) AS keep
@@ -702,26 +770,37 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant — the within-cluster expansion is then linear in n; the
     centroid fit is the bounded-driver-state kmeans of
     operators/kmeans.py, and assignment is a broadcast narrow pass.
-    Everything after assignment is one cluster-keyed shuffle."""
+    Everything after assignment is one cluster-keyed shuffle.
+
+    Per-pair cost: vectors are NORMALIZED ONCE after assignment, so
+    each pair pays a single dot product instead of dot+2 norms —
+    measured 8.8 s → ~3 s warm at sf0.1 (the pair stage is the whole
+    cost).  The oracle normalizes the same way, so the >= τ compare
+    stays an identical-IEEE comparison."""
     from .catalog_more import _kmeans_fit_cached
     from .operators import similarity as SIM
     from .operators.kmeans import assign_clusters
 
     e = read_table(spark, sf_dir, "embeddings")
     centroids = _kmeans_fit_cached(spark, sf_dir)
-    asg = assign_clusters(e, centroids, "vec_id", "embedding").select(
-        F.col("id").alias("vec_id"), "vec", "cluster"
+    assigned = assign_clusters(e, centroids, "vec_id", "embedding")
+    asg = assigned.select(
+        F.col("id").alias("vec_id"),
+        "cluster",
+        F.transform(
+            "vec", lambda x: x.cast("double") / SIM.norm(F.col("vec"))
+        ).alias("uv"),
     )
     l = asg.select(
-        "cluster", F.col("vec_id").alias("a"), F.col("vec").alias("ea")
+        "cluster", F.col("vec_id").alias("a"), F.col("uv").alias("ua")
     )
     r = asg.select(
-        "cluster", F.col("vec_id").alias("b"), F.col("vec").alias("eb")
+        "cluster", F.col("vec_id").alias("b"), F.col("uv").alias("ub")
     )
     dup = (
         l.join(r, "cluster")
         .filter(F.col("a") < F.col("b"))
-        .filter(SIM.cosine("ea", "eb") >= _SEMDEDUP_TAU)
+        .filter(SIM.dot("ua", "ub") >= _SEMDEDUP_TAU)
         .select(F.col("b").alias("vec_id"))
         .distinct()
     )
@@ -815,3 +894,284 @@ def _install_split_leakage_oracle() -> None:
 
 
 _install_split_leakage_oracle()
+
+
+# ===========================================================================
+# Round-4 EXTRAS (slots are full at 50): aggregate argmax breadth,
+# irregular-timeseries integration, weighted percentiles, and
+# merkle-style snapshot reconciliation.
+# ===========================================================================
+
+
+@query(
+    "argmax_per_group",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    SELECT nationkey, top_customer, top_acctbal_cents,
+           bottom_customer, bottom_acctbal_cents FROM (
+      SELECT c_nationkey AS nationkey,
+        first_value(c_name) OVER (
+          PARTITION BY c_nationkey
+          ORDER BY round(c_acctbal * 100) DESC, c_custkey DESC
+        ) AS top_customer,
+        first_value(CAST(round(c_acctbal * 100) AS BIGINT)) OVER (
+          PARTITION BY c_nationkey
+          ORDER BY round(c_acctbal * 100) DESC, c_custkey DESC
+        ) AS top_acctbal_cents,
+        first_value(c_name) OVER (
+          PARTITION BY c_nationkey
+          ORDER BY round(c_acctbal * 100) ASC, c_custkey ASC
+        ) AS bottom_customer,
+        first_value(CAST(round(c_acctbal * 100) AS BIGINT)) OVER (
+          PARTITION BY c_nationkey
+          ORDER BY round(c_acctbal * 100) ASC, c_custkey ASC
+        ) AS bottom_acctbal_cents,
+        row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+      FROM customer
+    ) t WHERE rn = 1
+    """,
+)
+def q_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate ARGMAX/ARGMIN (``max_by``/``min_by``): the customer
+    holding each nation's max and min balance — as a single hash
+    aggregate, NOT a window.  The distinction matters at scale: a
+    window rank materializes and sorts every row per group; max_by is
+    map-side combinable (constant state per group — the current best
+    struct), so the exchange carries one candidate per partition per
+    group.  Determinism: the ordering struct is (cents, custkey) —
+    totally ordered, so ties cannot flip cross-engine.  The oracle
+    computes the same rows via first_value windows (the result is
+    algorithm-independent)."""
+    c = read_table(spark, sf_dir, "customer")
+    ordkey = F.struct(
+        cents(F.col("c_acctbal")).alias("bal"), F.col("c_custkey").alias("k")
+    )
+    return (
+        c.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.max_by("c_name", ordkey).alias("top_customer"),
+            F.max(cents(F.col("c_acctbal"))).alias("top_acctbal_cents"),
+            F.min_by("c_name", ordkey).alias("bottom_customer"),
+            F.min(cents(F.col("c_acctbal"))).alias("bottom_acctbal_cents"),
+        )
+    )
+
+
+@query(
+    "time_weighted_avg",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS t_next
+      FROM events WHERE event_type = 'view'
+    ),
+    seg AS (
+      SELECT user_id, v_c * (t_next - t) AS area, t_next - t AS dt
+      FROM pts WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(floor(CAST(sum(area) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)
+                      * 1e4) AS BIGINT) AS twa_e6
+    FROM seg GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average over irregular samples (the metric a
+    sampled gauge needs — a plain avg over-weights bursty periods):
+    each view's value holds until the user's next view (left-continuous
+    step function), so TWA = Σ vᵢ·Δtᵢ / ΣΔtᵢ with Δt from a lead
+    window.  One (user_id) exchange serves both the lead and the
+    aggregate.
+
+    Parity: value→cents and Δt→exact µs make each segment area an
+    exact bigint; the single final division is IEEE over identical
+    ints (floor e4·cents = e6 of the raw value)."""
+    e = read_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(t, F.col("event_id"))
+    pts = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            t.alias("t"),
+            cents(F.col("value")).alias("v_c"),
+            F.lead(t).over(w).alias("t_next"),
+        )
+        .filter(F.col("t_next").isNotNull())
+    )
+    seg = pts.select(
+        "user_id",
+        (F.col("v_c") * (F.col("t_next") - F.col("t"))).alias("area"),
+        (F.col("t_next") - F.col("t")).alias("dt"),
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.floor(
+            F.sum("area").cast("double") / F.sum("dt").cast("double") * 1e4
+        ).alias("twa_e6"),
+    )
+
+
+@query(
+    "weighted_median",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_quantity * 100) AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT returnflag, price_c, wt,
+        sum(wt) OVER (
+          PARTITION BY returnflag
+          ORDER BY price_c, l_orderkey, l_linenumber
+        ) AS cumw,
+        sum(wt) OVER (PARTITION BY returnflag) AS total
+      FROM w
+    )
+    SELECT returnflag,
+           CAST(min(price_c) AS BIGINT) AS weighted_median_cents,
+           CAST(min(total) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cumw >= total
+    GROUP BY returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (here: price weighted by quantity — "the price
+    at which half the volume trades", which an unweighted median like
+    exact_quantiles' misstates): one running-weight window over a
+    totally-ordered sort, then the first row whose cumulative weight
+    reaches half the total.  All integer arithmetic (cents × cents),
+    one exchange on the group key shared by both windows and the final
+    aggregation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+        cents(F.col("l_quantity")).alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    win = Window.partitionBy("returnflag").orderBy(
+        "price_c", "l_orderkey", "l_linenumber"
+    )
+    tot = Window.partitionBy("returnflag")
+    c = base.select(
+        "returnflag",
+        "price_c",
+        F.sum("wt").over(win).alias("cumw"),
+        F.sum("wt").over(tot).alias("total"),
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("total"))
+        .groupBy("returnflag")
+        .agg(
+            F.min("price_c").alias("weighted_median_cents"),
+            F.min("total").alias("total_weight"),
+        )
+    )
+
+
+_CKBUCKETS = 64
+
+
+@query(
+    "bucket_checksum_diff",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle=f"""
+    WITH old AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 97 = 0
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 1
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price_c
+      FROM orders WHERE o_orderkey % 101 != 0
+    ),
+    ck AS (
+      SELECT 'old' AS side, k % {_CKBUCKETS} AS bucket,
+             count(*) AS n,
+             sum({_duck_hash64(
+                 "CAST(k AS VARCHAR) || '|' || CAST(price_c AS VARCHAR)"
+             )} % {_CKSUM_MOD}) AS cksum
+      FROM old GROUP BY 2
+      UNION ALL
+      SELECT 'new', k % {_CKBUCKETS}, count(*),
+             sum({_duck_hash64(
+                 "CAST(k AS VARCHAR) || '|' || CAST(price_c AS VARCHAR)"
+             )} % {_CKSUM_MOD})
+      FROM new GROUP BY 2
+    )
+    SELECT o.bucket,
+           CAST(o.n AS BIGINT) AS n_old, CAST(n.n AS BIGINT) AS n_new,
+           (o.cksum != n.cksum) AS differs
+    FROM (SELECT * FROM ck WHERE side = 'old') o
+    JOIN (SELECT * FROM ck WHERE side = 'new') n USING (bucket)
+    """,
+)
+def q_bucket_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style snapshot reconciliation: instead of full-outer
+    diffing two 100 TB snapshots row-by-row (snapshot_diff), compare
+    {b} per-bucket content checksums — each an order-independent sum
+    of bounded row hashes — and only the buckets that differ need the
+    row-level pass.  Bandwidth drops from O(table) to O(buckets) on
+    the equal portion, which is the anti-entropy trick replicated
+    storage systems use.  The 'new' snapshot here is the old one with
+    deterministic mutations (1/97 updated, 1/101 deleted), so the
+    expected differing-bucket set is fixed and the oracle replays it
+    exactly."""
+    from .functions.expressions import portable_hash64
+
+    o = read_table(spark, sf_dir, "orders")
+    old = o.select(
+        F.col("o_orderkey").alias("k"),
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % 97 == 0,
+                cents(F.col("o_totalprice")) + 1,
+            )
+            .otherwise(cents(F.col("o_totalprice")))
+            .alias("price_c"),
+        )
+    )
+
+    def bucketsum(df: DataFrame, n_alias: str, ck_alias: str) -> DataFrame:
+        row = F.concat_ws(
+            "|", F.col("k").cast("string"), F.col("price_c").cast("string")
+        )
+        return df.groupBy((F.col("k") % _CKBUCKETS).alias("bucket")).agg(
+            F.count(F.lit(1)).alias(n_alias),
+            F.sum(F.pmod(portable_hash64(row), F.lit(_CKSUM_MOD))).alias(
+                ck_alias
+            ),
+        )
+
+    a = bucketsum(old, "n_old", "ck_old")
+    b = bucketsum(new, "n_new", "ck_new")
+    return a.join(b, "bucket").select(
+        "bucket",
+        "n_old",
+        "n_new",
+        (F.col("ck_old") != F.col("ck_new")).alias("differs"),
+    )
+
+
+q_bucket_checksum_diff.__doc__ = (q_bucket_checksum_diff.__doc__ or "").format(
+    b=_CKBUCKETS
+)
