@@ -1175,3 +1175,199 @@ def q_bucket_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_bucket_checksum_diff.__doc__ = (q_bucket_checksum_diff.__doc__ or "").format(
     b=_CKBUCKETS
 )
+
+
+@query(
+    "quantile_sketch_audit",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT returnflag, price_c,
+             row_number() OVER (PARTITION BY returnflag ORDER BY price_c)
+               AS rk,
+             count(*) OVER (PARTITION BY returnflag) AS n
+      FROM r
+    )
+    SELECT returnflag,
+           CAST(max(CASE WHEN 2 * rk <= n + 1 THEN price_c END) AS BIGINT)
+             AS exact_p50_cents,
+           true AS approx_within_5pct_rank
+    FROM ranked GROUP BY returnflag
+    """,
+)
+def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch audit, same discipline as hll_distinct_audit:
+    ``approx_percentile`` (the KLL/GK-style mergeable sketch Spark uses
+    — constant memory per group, one pass) is audited against the
+    EXACT median, surfaced as a rank-error bound flag: the sketch's
+    answer must sit within ±5% of the true rank.  accuracy=10000
+    guarantees ±0.01% rank error, so the flag holds with 500× margin —
+    stable, unlike the raw estimate, which no second engine
+    reproduces.  At 100 TB the exact window pass is the audit-scale
+    luxury; the sketch is the production path."""
+    li = read_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+    w = Window.partitionBy("returnflag").orderBy("price_c")
+    wn = Window.partitionBy("returnflag")
+    exact = (
+        base.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(2 * F.col("rk") <= F.col("n") + 1)
+        .groupBy("returnflag")
+        .agg(F.max("price_c").alias("exact_p50_cents"))
+    )
+    approx = base.groupBy("returnflag").agg(
+        F.percentile_approx("price_c", 0.5, 10000).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # rank of the approx answer must lie within ±5% of n/2
+    joined = exact.join(approx, "returnflag")
+    rank_of_approx = (
+        base.alias("b")
+        .join(joined.select("returnflag", "approx_p50"), "returnflag")
+        .filter(F.col("price_c") <= F.col("approx_p50"))
+        .groupBy("returnflag")
+        .agg(F.count(F.lit(1)).alias("rank_approx"))
+    )
+    return (
+        joined.join(rank_of_approx, "returnflag")
+        .select(
+            "returnflag",
+            "exact_p50_cents",
+            (
+                F.abs(F.col("rank_approx") - F.col("n") / 2)
+                <= F.col("n") * 0.05
+            ).alias("approx_within_5pct_rank"),
+        )
+    )
+
+
+@query(
+    "chi_square_independence",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH obs AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT seg, pri, o,
+             sum(o) OVER (PARTITION BY seg) AS row_t,
+             sum(o) OVER (PARTITION BY pri) AS col_t,
+             sum(o) OVER () AS n
+      FROM obs
+    )
+    SELECT seg, pri, o,
+           CAST(floor(CAST(row_t * col_t AS DOUBLE) / CAST(n AS DOUBLE)
+                      * 1e2) AS BIGINT) AS expected_e2,
+           CAST(floor(
+             (CAST(o AS DOUBLE)
+              - CAST(row_t * col_t AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE)
+                - CAST(row_t * col_t AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(row_t * col_t AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1e6) AS BIGINT) AS chi2_term_e6
+    FROM margins
+    """,
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency analysis (segment × order priority):
+    observed vs expected-under-independence counts and each cell's χ²
+    contribution — the categorical counterpart of ab_test_ztest.  One
+    groupBy builds the table; the margins are windows over the
+    (|seg|×|pri|)-row contingency frame, so the heavy exchange is the
+    initial count only.  Expected counts and χ² terms are single-IEEE-
+    expression floors over exact integer margins — bit-stable
+    cross-engine."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    obs = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    m = obs.select(
+        "seg",
+        "pri",
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).alias("row_t"),
+        F.sum("o").over(Window.partitionBy("pri")).alias("col_t"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    expected = (F.col("row_t") * F.col("col_t")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    dev = F.col("o").cast("double") - expected
+    return m.select(
+        "seg",
+        "pri",
+        "o",
+        F.floor(expected * 1e2).alias("expected_e2"),
+        F.floor(dev * dev / expected * 1e6).alias("chi2_term_e6"),
+    )
+
+
+@query(
+    "benford_digit_audit",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit,
+           count(*) AS n,
+           CAST(count(*) * 1000000 // (SELECT count(*) FROM d) AS BIGINT)
+             AS observed_ppm,
+           CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1e6) AS BIGINT)
+             AS benford_ppm
+    FROM d GROUP BY digit
+    """,
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the forensic data-quality screen for
+    fabricated or truncated numeric columns: observed leading-digit
+    shares (exact integer ppm) next to the Benford expectation
+    log10(1+1/d).  One scan + a 9-row aggregate; the total rides along
+    as a broadcast scalar.  Deviations don't prove fraud, but a
+    uniform first-digit histogram on a spend column is the classic
+    symptom of synthetic data — worth one cheap scan at intake."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(cents(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    total = d.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("CAST(n * 1000000 DIV t AS BIGINT)").alias("observed_ppm"),
+            F.floor(
+                F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+                / F.log(F.lit(10.0))
+                * 1e6
+            ).alias("benford_ppm"),
+        )
+    )
