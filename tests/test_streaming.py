@@ -423,3 +423,41 @@ def test_streaming_near_dup_flags_match_batch_lsh(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0, "the planted near-dup groups must collide"
+
+
+def test_streaming_windowed_distinct_users_match_batch(spark, sf_dir):
+    """Exact streaming distinct per window == batch count_distinct; the
+    HLL variant must land within its 3*rsd error bound per window."""
+    stream = SE.stream_events(spark, sf_dir)
+    SE.run_available_now(
+        SE.windowed_distinct_users(stream), "stream_distinct"
+    )
+    got = {
+        (r.window_start, r.event_type): r.distinct_users
+        for r in spark.table("stream_distinct").collect()
+    }
+
+    batch = read_table(spark, sf_dir, "events")
+    want = {
+        (r.window_start, r.event_type): r.distinct_users
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("distinct_users"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+    stream2 = SE.stream_events(spark, sf_dir)
+    SE.run_available_now(
+        SE.windowed_distinct_users(stream2, exact=False),
+        "stream_distinct_hll",
+    )
+    approx = {
+        (r.window_start, r.event_type): r.distinct_users
+        for r in spark.table("stream_distinct_hll").collect()
+    }
+    assert set(approx) == set(want)
+    for k, est in approx.items():
+        assert abs(est - want[k]) <= max(2, 0.15 * want[k]), (k, est, want[k])
