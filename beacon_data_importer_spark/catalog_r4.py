@@ -1371,3 +1371,108 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("benford_ppm"),
         )
     )
+
+
+_QLR_BUCKETS = 16
+
+
+@query(
+    "quality_lr_score",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, u.tok
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+            FROM documents WHERE trim(text) <> '') t,
+           unnest(t.tk) AS u(tok)
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id,
+             CAST('0x' || substring(md5('0|' || tok), 1, 15) AS BIGINT)
+               % {_QLR_BUCKETS} AS bucket,
+             count(*) AS tf,
+             sum(count(*)) OVER (PARTITION BY doc_id) AS n
+      FROM toks GROUP BY doc_id, bucket
+    ),
+    wts AS (
+      SELECT CAST(r.range AS BIGINT) AS bucket,
+             CAST('0x' || substring(
+                md5('w|' || CAST(r.range AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2001 - 1000 AS wint
+      FROM range({_QLR_BUCKETS}) r
+    )
+    SELECT f.doc_id,
+           CAST(floor(CAST(sum(wint * tf) AS DOUBLE)
+                      / CAST(1000 * min(n) AS DOUBLE)
+                      * 1e6) AS BIGINT) AS lr_score_e6
+    FROM feats f JOIN wts USING (bucket)
+    GROUP BY f.doc_id
+    """,
+)
+def q_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (the FineWeb-Edu / DCLM filter
+    shape): score = w · x over hashed-token term frequencies — LINEAR
+    MODEL INFERENCE as one JVM-side plan.  The weight vector is a
+    {b}-row broadcast table (here derived deterministically from md5 so
+    the oracle can replay it; in production it is the trained
+    classifier's coefficients loaded from a file): batch scoring a
+    100 TB corpus is then tokenize → hash → tf → broadcast-join → one
+    partial-summed dot product per doc — no vocabulary state, no
+    Python, no model server.
+
+    The raw linear score is emitted (monotone to the sigmoid, so any
+    threshold decision is identical) because exp() is not a
+    correctly-rounded operation — engines' libm may differ by an ulp,
+    which the parity discipline forbids.  The dot product itself is
+    EXACT integer arithmetic (milli-unit integer weights × integer
+    term frequencies — float summation order flipped floors in the
+    first cut), with one IEEE division by 1000·n at the end."""
+    from .catalog_ext import _docs_parallel
+    from .functions.expressions import portable_hash64
+    from .operators.text import _tokens
+
+    d = _docs_parallel(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    toks = d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+    feats = toks.groupBy(
+        "doc_id",
+        F.pmod(portable_hash64(F.col("tok")), F.lit(_QLR_BUCKETS))
+        .cast("bigint")
+        .alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    feats = feats.withColumn(
+        "n", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
+    w_expr = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w|"), F.col("id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2001
+        - 1000
+    )
+    wts = spark.range(_QLR_BUCKETS).select(
+        F.col("id").cast("bigint").alias("bucket"), w_expr.alias("wint")
+    )
+    # exact integer dot product (weights in milli-units x integer tf),
+    # ONE IEEE division at the end — summation order cannot matter
+    scored = (
+        feats.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.sum(F.col("wint") * F.col("tf")).cast("double")
+                / (1000 * F.min("n")).cast("double")
+                * 1e6
+            ).alias("lr_score_e6")
+        )
+    )
+    return scored
+
+
+q_quality_lr_score.__doc__ = (q_quality_lr_score.__doc__ or "").format(
+    b=_QLR_BUCKETS
+)
