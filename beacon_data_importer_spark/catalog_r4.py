@@ -328,6 +328,14 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
 
 
+def _stage_path(tag: str, sf_dir: str) -> str:
+    """Deterministic staging dir (overwritten by mode('overwrite')) —
+    bounded /tmp usage across processes, unlike mkdtemp-per-run."""
+    return os.path.join(
+        tempfile.gettempdir(), f"r4_{tag}_{_sf_tag(sf_dir)}"
+    )
+
+
 @query(
     "bucketed_join",
     # registered (round-4): new query, no driver row yet
@@ -425,7 +433,7 @@ def q_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless."""
     key = ("part_docs", sf_dir)
     if key not in _STAGED:
-        out = tempfile.mkdtemp(prefix="r4_part_docs_")
+        out = _stage_path("part_docs", sf_dir)
         (
             read_table(spark, sf_dir, "documents")
             .write.partitionBy("source")
@@ -657,7 +665,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSONL, only the raw table."""
     key = ("jsonl_docs", sf_dir)
     if key not in _STAGED:
-        out = tempfile.mkdtemp(prefix="r4_jsonl_docs_")
+        out = _stage_path("jsonl_docs", sf_dir)
         read_table(spark, sf_dir, "documents").write.mode("overwrite").json(
             out
         )
@@ -696,7 +704,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet have different logical-type encodings for all three)."""
     key = ("orc_lineitem", sf_dir)
     if key not in _STAGED:
-        out = tempfile.mkdtemp(prefix="r4_orc_li_")
+        out = _stage_path("orc_li", sf_dir)
         read_table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(out)
         _STAGED[key] = out
     li = spark.read.orc(_STAGED[key])
