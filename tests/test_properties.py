@@ -163,3 +163,75 @@ def test_passage_dedup_properties(spark, docs):
             if len(toks) - st_ >= W:
                 assert p not in seen_full, "duplicate full passage survived"
                 seen_full.add(p)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 6), st.text(max_size=6)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(1, 8),
+)
+def test_salted_join_is_salt_invariant(spark, left_rows, right_rows, salts):
+    """salted_join == plain join for ANY salt count ≥ 1 (the salt must
+    only reshape the exchange, never the result), including inputs that
+    already carry a __salt column (collision-safe temp naming)."""
+    from beacon_data_importer_spark.operators.skew import salted_join
+
+    l = spark.createDataFrame(
+        [Row(k=k, rid=i, __salt=i) for i, (k, _) in enumerate(left_rows)]
+    )
+    r = spark.createDataFrame(
+        [Row(k=k, payload=p) for k, p in {k: p for k, p in right_rows}.items()]
+    )
+    got = sorted(
+        (row.k, row.rid, row.payload)
+        for row in salted_join(l, r, "k", "rid", salts=salts).collect()
+    )
+    want = sorted(
+        (row.k, row.rid, row.payload) for row in l.join(r, "k").collect()
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_snapshot_diff_partitions_changes(spark, old_rows, new_rows):
+    """snapshot_diff classifies exactly: inserts = new∖old keys,
+    deletes = old∖new keys, updates = common keys with changed payload;
+    unchanged rows never appear."""
+    from beacon_data_importer_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame([Row(k=k, v=v) for k, v in old_rows])
+    new = spark.createDataFrame([Row(k=k, v=v) for k, v in new_rows])
+    got = {
+        (r.k, r.change_type)
+        for r in snapshot_diff(old, new, "k", ["v"]).collect()
+    }
+    do, dn = dict(old_rows), dict(new_rows)
+    want = (
+        {(k, "insert") for k in dn.keys() - do.keys()}
+        | {(k, "delete") for k in do.keys() - dn.keys()}
+        | {(k, "update") for k in do.keys() & dn.keys() if do[k] != dn[k]}
+    )
+    assert got == want
