@@ -1484,3 +1484,90 @@ def q_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_quality_lr_score.__doc__ = (q_quality_lr_score.__doc__ or "").format(
     b=_QLR_BUCKETS
 )
+
+
+@query(
+    "multimodal_frame_sample",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio'
+             ELSE 'video' END AS media_type,
+        text
+      FROM documents
+    ),
+    dec AS (
+      SELECT media_id,
+        CAST(CASE WHEN media_type = 'image' THEN 1
+                  ELSE 1 + (CAST('0x' || substring(md5(text), 5, 2) AS INT)
+                            % 64)
+             END AS INT) AS n_frames
+      FROM m
+    )
+    SELECT media_id,
+           CAST(u.i AS INT) AS frame_idx,
+           md5(CAST(media_id AS VARCHAR) || '|' || CAST(u.i AS VARCHAR))
+             AS frame_md5
+    FROM (SELECT media_id,
+                 list_filter(range(0, n_frames), x -> x % 8 = 0) AS idxs
+          FROM dec) t,
+         unnest(t.idxs) AS u(i)
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out as a first-class verified query: decode
+    metadata (Arrow mapInPandas, stub codec) → one row per 8th frame
+    per media item — the 1→N media UDTF shape an image/video pipeline
+    hangs feature extraction off.  Fan-out happens INSIDE the Arrow
+    batch iterator (no shuffle, no explode of a materialized array);
+    per-frame downstream work keys on (media_id, frame_idx).  The
+    oracle replays the deterministic stub (n_frames from the payload
+    md5, frame hash from id|idx), proving batch shape and fan-out
+    arithmetic end-to-end."""
+    from .catalog_ext import _docs_parallel
+    from .operators import multimodal as MM
+
+    d = _docs_parallel(spark, sf_dir, n=8)
+    media = MM.media_from_documents(d)
+    decoded = MM.decode_media(media)
+    return MM.sample_frames(decoded, every_k=8)
+
+
+@query(
+    "multimodal_resize_plan",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text FROM documents
+    ),
+    dec AS (
+      SELECT media_id,
+        CAST(16 + (CAST('0x' || substring(md5(text), 1, 2) AS INT) % 240)
+             AS INT) AS width,
+        CAST(16 + (CAST('0x' || substring(md5(text), 3, 2) AS INT) % 240)
+             AS INT) AS height
+      FROM m
+    )
+    SELECT media_id, width, height,
+      CAST(floor(width * least(64e0 / width, 64e0 / height)) AS INT)
+        AS target_width,
+      CAST(floor(height * least(64e0 / width, 64e0 / height)) AS INT)
+        AS target_height
+    FROM dec
+    """,
+)
+def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over decoded media metadata: aspect-preserving
+    target dims (longer side → 64) as PURE Column arithmetic — the
+    metadata half of a resize stage is engine work; only the pixel
+    resample belongs in the codec stub.  Composes decode_media →
+    resize_meta; the oracle replays the stub's md5-derived dims and the
+    same least/floor arithmetic."""
+    from .catalog_ext import _docs_parallel
+    from .operators import multimodal as MM
+
+    d = _docs_parallel(spark, sf_dir, n=8)
+    decoded = MM.decode_media(MM.media_from_documents(d))
+    return MM.resize_meta(decoded, max_side=64)

@@ -257,6 +257,8 @@ def test_all_catalog_plans_stay_jvm_side(spark, sf_dir):
     unconstrained joins sneaking into new queries.)"""
     PYTHON_SANCTIONED = {
         "multimodal_decode",        # Arrow mapInPandas by design (stub codecs)
+        "multimodal_frame_sample",  # same mapInPandas path + 1->N frame fan-out
+        "multimodal_resize_plan",   # decode_media feeds the Column-only resize math
         "multimodal_frame_stats",   # same surface
         "grouped_zscore_pandas",    # exists to MEASURE the escape hatch
         "pack_bins_bestfit",        # sequential placement loop (ROWS_ONLY)
