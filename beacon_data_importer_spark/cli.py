@@ -50,6 +50,21 @@ def main(argv: list[str] | None = None) -> int:
         help="prepared contacts.csv to (re)create the contacts table from",
     )
 
+    q = sub.add_parser(
+        "query",
+        help="Run any catalog query against a testdata scale-factor "
+        "directory and print the result as CSV to stdout "
+        "(use 'query --list' to enumerate)",
+    )
+    q.add_argument("name", nargs="?", default=None)
+    q.add_argument(
+        "-d", "--sf-dir", default="/root/testdata/sf0.01",
+        help="directory with the parquet tables (default sf0.01)",
+    )
+    q.add_argument("--list", action="store_true", help="list query names")
+    q.add_argument("--limit", type=int, default=0,
+                   help="cap printed rows (0 = all)")
+
     args = parser.parse_args(argv)
 
     import os
@@ -75,6 +90,22 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(1)
         if args.init_contacts:
             _require_file(args.init_contacts, "contacts CSV")
+
+    if args.command == "query":
+        from . import catalog as _cat
+        from . import (  # noqa: F401 (register queries)
+            catalog_ext, catalog_more, catalog_r2, catalog_r3,
+            catalog_r3b, catalog_r3c, catalog_r4,
+        )
+
+        registry = {**_cat.QUERIES, **_cat.EXTRA_QUERIES}
+        if args.list or not args.name:
+            for n in sorted(registry):
+                print(n)
+            return 0
+        if args.name not in registry:
+            print(f"error: unknown query: {args.name}", file=sys.stderr)
+            return 1
 
     from .session import get_spark
     from .sources.csv import csv_to_stdout, write_csv_file
@@ -106,6 +137,13 @@ def main(argv: list[str] | None = None) -> int:
         os.makedirs(args.output_dir, exist_ok=True)
         for name, df in outputs.items():
             write_csv_file(df, join(args.output_dir, f"{name}.csv"))
+        return 0
+
+    if args.command == "query":
+        df = registry[args.name](spark, args.sf_dir)
+        if args.limit:
+            df = df.limit(args.limit)
+        csv_to_stdout(df)
         return 0
 
     if args.command == "run-import":

@@ -123,3 +123,44 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
         {"id": 1, "a": "x", "b": None},
         {"id": 2, "a": "y", "b": 42},
     ]
+
+
+def test_csv_gzip_codec_transparency(spark, tmp_path):
+    """Spark's text-source codec handling must make .csv.gz files
+    indistinguishable from plain .csv for the petl-semantics reader
+    (compressed drop-zones are the norm at intake)."""
+    import gzip
+
+    from beacon_data_importer_spark.sources.csv import read_csv_stringly
+
+    p = tmp_path / "t.csv.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write("a,b\n1,x\n2,\n3,z\n")
+    df = read_csv_stringly(spark, str(p))
+    rows = sorted((r.a, r.b) for r in df.collect())
+    assert rows == [("1", "x"), ("2", ""), ("3", "z")]
+
+
+def test_cli_query_subcommand_lists_and_runs(capsys):
+    from beacon_data_importer_spark.cli import main
+
+    assert main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "pricing_summary" in names and len(names) >= 150
+
+    assert (
+        main(
+            [
+                "query",
+                "pricing_summary",
+                "-d",
+                "/root/testdata/sf0.001",
+                "--limit",
+                "2",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith("returnflag,")
+    assert len(out) == 3  # header + 2 rows
