@@ -1571,3 +1571,108 @@ def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_parallel(spark, sf_dir, n=8)
     decoded = MM.decode_media(MM.media_from_documents(d))
     return MM.resize_meta(decoded, max_side=64)
+
+
+_WALK_STEPS = 3
+
+
+def _walks_oracle() -> str:
+    # symmetric edges, then 3 chained hash-argmin steps
+    h = lambda cur, step, nb: (  # noqa: E731
+        f"CAST('0x' || substring(md5('0|walk|' || CAST({cur} AS VARCHAR) "
+        f"|| '|' || CAST({step} AS VARCHAR) || '|' "
+        f"|| CAST({nb} AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    steps = []
+    prev = "w0"
+    steps.append(
+        "w0 AS MATERIALIZED (SELECT DISTINCT src AS start, src AS cur "
+        "FROM sym)"
+    )
+    for i in range(1, _WALK_STEPS + 1):
+        steps.append(f"""w{i} AS MATERIALIZED (
+      SELECT start, nxt AS cur FROM (
+        SELECT p.start, e.dst AS nxt,
+               row_number() OVER (
+                 PARTITION BY p.start
+                 ORDER BY {h("p.cur", i, "e.dst")}, e.dst
+               ) AS rn
+        FROM {prev} p JOIN sym e ON e.src = p.cur
+      ) t WHERE rn = 1
+    )""")
+        prev = f"w{i}"
+    return ",\n    ".join(steps)
+
+
+@query(
+    "random_walks",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle=f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT l.a, l.b FROM (
+        SELECT x.c1 AS a, y.c1 AS b
+        FROM (SELECT DISTINCT l_partkey AS pk, o_custkey AS c1
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey) x
+        JOIN (SELECT DISTINCT l_partkey AS pk, o_custkey AS c1
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey) y
+          ON x.pk = y.pk AND x.c1 < y.c1
+        GROUP BY x.c1, y.c1
+        HAVING count(*) >= 3
+      ) l
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b, a FROM e0
+    ),
+    {_walks_oracle()}
+    SELECT start AS start_node, cur AS end_node FROM w{_WALK_STEPS}
+    """,
+)
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC random walks over the co-purchase graph — the
+    DeepWalk/node2vec sampling primitive, RNG-free: at each step the
+    walker at ``cur`` moves to the neighbor minimizing
+    ``hash(walk|cur|step|neighbor)``, so any engine, run, or partition
+    layout reproduces the identical {k}-step walk from every start
+    node (the property a training-data sampler needs — re-running the
+    corpus build cannot reshuffle walk corpora).
+
+    Plan: per step, one join of the walker frontier (|V| rows) against
+    the symmetric edge list + a per-walker top-1 window — the same
+    bounded-rounds device as bfs_hops/pagerank_parts; the hash-argmin
+    IS the alias-table sample of the uniform walk.  The oracle replays
+    each step as a chained CTE."""
+    from .functions.expressions import portable_hash64
+    from .plans.co_purchase import co_purchase_edges
+
+    edges = co_purchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    sym = sym.localCheckpoint()
+
+    walk = sym.select(F.col("src").alias("start")).distinct().select(
+        "start", F.col("start").alias("cur")
+    )
+    for step in range(1, _WALK_STEPS + 1):
+        hcol = portable_hash64(
+            F.concat(
+                F.lit("walk|"),
+                F.col("cur").cast("string"),
+                F.lit(f"|{step}|"),
+                F.col("dst").cast("string"),
+            )
+        )
+        w = Window.partitionBy("start").orderBy(hcol, F.col("dst"))
+        walk = (
+            walk.join(sym, walk.cur == sym.src)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("start", F.col("dst").alias("cur"))
+        )
+    return walk.select(
+        F.col("start").alias("start_node"), F.col("cur").alias("end_node")
+    )
+
+
+q_random_walks.__doc__ = (q_random_walks.__doc__ or "").format(k=_WALK_STEPS)
