@@ -461,3 +461,48 @@ def test_streaming_windowed_distinct_users_match_batch(spark, sf_dir):
     assert set(approx) == set(want)
     for k, est in approx.items():
         assert abs(est - want[k]) <= max(2, 0.15 * want[k]), (k, est, want[k])
+
+
+def test_streaming_checkpoint_recovery_is_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting a checkpointed stream must be exactly-once: a rerun
+    with no new files adds zero rows; appending a file adds exactly its
+    rows — the recovery contract a production pipeline stands on."""
+    import shutil
+
+    src_dir = tmp_path / "src"
+    out_dir = str(tmp_path / "out")
+    src_dir.mkdir()
+
+    # seed: first half of events (split by event_id parity for determinism)
+    full = read_table(spark, sf_dir, "events")
+    full.filter(F.col("event_id") % 2 == 0).write.parquet(
+        str(src_dir / "part_a.parquet")
+    )
+
+    schema = full.schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src_dir))
+        SE.run_foreach_batch_to_parquet(
+            stream.select("event_id"), out_dir
+        )
+
+    run_once()
+    n_even = full.filter(F.col("event_id") % 2 == 0).count()
+    assert spark.read.parquet(out_dir).count() == n_even
+
+    # restart with NO new data: checkpoint must suppress reprocessing
+    run_once()
+    assert spark.read.parquet(out_dir).count() == n_even
+
+    # append the second half and restart: exactly the delta arrives
+    full.filter(F.col("event_id") % 2 == 1).write.parquet(
+        str(src_dir / "part_b.parquet")
+    )
+    run_once()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == full.count()
+    # and no event was ever written twice
+    assert got.select("event_id").distinct().count() == full.count()
