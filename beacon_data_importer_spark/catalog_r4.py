@@ -1676,3 +1676,120 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_random_walks.__doc__ = (q_random_walks.__doc__ or "").format(k=_WALK_STEPS)
+
+
+_NEYMAN_TOTAL = 1000
+
+
+@query(
+    "neyman_allocation",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle=f"""
+    WITH s AS (
+      SELECT c_nationkey AS nationkey,
+             CAST(count(*) AS DECIMAL(38,0)) AS nh,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                  AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                           AS DECIMAL(38,0))
+                      * CAST(round(c_acctbal * 100) AS BIGINT))
+                  AS DECIMAL(38,0)) AS sxx
+      FROM customer GROUP BY c_nationkey
+    ),
+    wts AS (
+      SELECT nationkey, CAST(nh AS BIGINT) AS n_pop,
+             CAST(nh AS DOUBLE)
+               * sqrt(greatest(
+                   CAST(nh * sxx - sx * sx AS DOUBLE)
+                     / CAST(nh * nh AS DOUBLE),
+                   0e0)) AS w
+      FROM s
+    ),
+    base AS (
+      SELECT nationkey, n_pop, w,
+             sum(w) OVER () AS wtot
+      FROM wts
+    ),
+    fl AS (
+      SELECT nationkey, n_pop,
+             CAST(floor({_NEYMAN_TOTAL} * w / wtot) AS BIGINT) AS base_n,
+             {_NEYMAN_TOTAL} * w / wtot
+               - floor({_NEYMAN_TOTAL} * w / wtot) AS rem
+      FROM base
+    ),
+    ranked AS (
+      SELECT nationkey, n_pop, base_n,
+             row_number() OVER (ORDER BY rem DESC, nationkey) AS rk,
+             {_NEYMAN_TOTAL} - sum(base_n) OVER () AS short
+      FROM fl
+    )
+    SELECT nationkey, n_pop,
+           CAST(base_n + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+             AS allocated
+    FROM ranked
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN (optimal) allocation for stratified sampling: a fixed
+    budget of {t} samples split across strata ∝ N_h·σ_h — the
+    variance-minimizing allocation, vs the proportional-to-size rule
+    stratified_exact_sample uses.  Strata variances come from the
+    one-pass sufficient-stat aggregate (same device as
+    grouped_linreg: exact DECIMAL sums, single IEEE sqrt), and the
+    integer allocation uses largest-remainder rounding with a
+    nationkey tie-break — deterministic, sums exactly to the budget.
+
+    Plan: one scan + 25-row window math; the allocation table then
+    drives the per-stratum hash-ranked take (source_quota_sample's
+    device) at any scale."""
+    c = read_table(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    bal = cents(F.col("c_acctbal"))
+    s = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast(dec).alias("nh"),
+        F.sum(bal).cast(dec).alias("sx"),
+        F.sum(bal.cast(dec) * bal).cast(dec).alias("sxx"),
+    )
+    var = F.greatest(
+        (F.col("nh") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        / (F.col("nh") * F.col("nh")).cast("double"),
+        F.lit(0.0),
+    )
+    wts = s.select(
+        "nationkey",
+        F.col("nh").cast("bigint").alias("n_pop"),
+        (F.col("nh").cast("double") * F.sqrt(var)).alias("w"),
+    )
+    wall = Window.partitionBy()
+    base = wts.withColumn("wtot", F.sum("w").over(wall))
+    share = F.lit(float(_NEYMAN_TOTAL)) * F.col("w") / F.col("wtot")
+    fl = base.select(
+        "nationkey",
+        "n_pop",
+        F.floor(share).alias("base_n"),
+        (share - F.floor(share)).alias("rem"),
+    )
+    ranked = fl.select(
+        "nationkey",
+        "n_pop",
+        "base_n",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "nationkey"))
+        .alias("rk"),
+        (F.lit(_NEYMAN_TOTAL) - F.sum("base_n").over(wall)).alias("short"),
+    )
+    return ranked.select(
+        "nationkey",
+        "n_pop",
+        (
+            F.col("base_n")
+            + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("allocated"),
+    )
+
+
+q_neyman_allocation.__doc__ = (q_neyman_allocation.__doc__ or "").format(
+    t=_NEYMAN_TOTAL
+)
