@@ -510,10 +510,12 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZORDER primitive, reduced to its relational core.
 
     The interleave is one shared arithmetic SQL string (>> & << only)
-    evaluated identically by both engines; file assignment is ntile
-    over (zval, orderkey) — fully tie-broken, so file envelopes are
-    deterministic.  The global sort is one rangepartitioning exchange —
-    the same cost a real OPTIMIZE ZORDER write pays."""
+    evaluated identically by both engines; file assignment is an exact distributed
+    ntile over (zval, orderkey) — fully tie-broken, so file envelopes
+    are deterministic, and computed via range partition + per-partition
+    offsets (operators/order.py) so no single task ever sees the whole
+    table.  The range exchange is the same cost a real OPTIMIZE ZORDER
+    write pays."""
     o = read_table(spark, sf_dir, "orders")
     day_no = F.datediff(
         F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
@@ -525,9 +527,15 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     z = pts.withColumn("zval", F.expr(_zval_sql("x", "y")))
-    w = Window.orderBy("zval", "o_orderkey")
-    filed = z.select(
-        "x", "y", F.ntile(_Z_FILES).over(w).alias("file_id")
+    # file assignment = ntile over the GLOBAL z order — computed with
+    # the distributed range-partition + offset-table device
+    # (operators/order.py), NOT a bare Window.orderBy, which would
+    # funnel the whole table through one task.  Result is identical to
+    # SQL ntile (tested against the window form in test_r4_layout.py).
+    from .operators.order import global_ntile
+
+    filed = global_ntile(z, _Z_FILES, ["zval", "o_orderkey"]).select(
+        "x", "y", F.col("__ntile").alias("file_id")
     )
     x_lo, x_hi, y_lo, y_hi = _Z_BOX
     g = filed.groupBy("file_id").agg(

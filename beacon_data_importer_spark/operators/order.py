@@ -1,0 +1,82 @@
+"""Distributed global-order operators.
+
+A plain ``Window.orderBy(...)`` with no partition key collapses the
+whole input into ONE task — the classic silent scale-killer for global
+ranks/ntiles.  ``global_ntile`` computes the IDENTICAL result of
+``ntile(n) OVER (ORDER BY ...)`` with a range-partitioned sort plus a
+per-partition offset table (the same device ``plans/calls.py`` uses
+for CSV file order):
+
+  1. ``repartitionByRange`` on the order key — each partition holds a
+     disjoint key range (boundary placement does not affect the result,
+     only balance);
+  2. ``sortWithinPartitions`` — now the global order is (partition,
+     local position);
+  3. ``monotonically_increasing_id`` after the sort is a contiguous
+     per-partition counter in sorted order, so global rank =
+     per-partition offset + local counter;
+  4. the offsets are a prefix sum over the per-partition counts — a
+     partition-count-sized table, broadcast back;
+  5. ntile's uneven-bucket rule (first ``total % n`` buckets get one
+     extra row) is a closed-form expression over the 0-based rank.
+
+Everything is JVM expressions; the only full exchange is the range
+repartition a real global sort would pay anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def global_ntile(df: DataFrame, n: int, order_cols: list[str]) -> DataFrame:
+    """Append an ``__ntile`` column equal to SQL
+    ``ntile(n) OVER (ORDER BY order_cols)`` — distributed.
+
+    ``order_cols`` must be a TOTAL order (add a tie-breaker id);
+    otherwise ties may land in either neighboring tile depending on
+    partitioning, and determinism is lost.
+    """
+    spark = df.sparkSession
+    shuffle_n = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200") or "200"
+    )
+    ranged = df.repartitionByRange(
+        shuffle_n, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    with_ids = ranged.select(
+        "*",
+        F.spark_partition_id().alias("__pid"),
+        F.monotonically_increasing_id().alias("__mid"),
+    )
+    # Pin the partitioning: the offset table and the final join both
+    # consume this frame, and re-evaluating a range partitioning can
+    # re-sample different boundaries — mismatched pids would corrupt
+    # the ranks.  (A real OPTIMIZE ZORDER materializes here anyway.)
+    with_ids = with_ids.localCheckpoint()
+    counts = with_ids.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__mid0")
+    )
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        "__mid0",
+        F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off"),
+        F.sum("__n").over(Window.partitionBy()).alias("__total"),
+    )
+    # per-partition min(mid) instead of assuming the counter stride —
+    # robust to any monotonically_increasing_id layout
+    local = F.col("__mid") - F.col("__mid0")
+    rank0 = (F.col("__off") + local).cast("bigint")
+    q = (F.col("__total") / n).cast("bigint")  # floor: total // n
+    rem = F.col("__total") - q * n
+    # first `rem` tiles have q+1 rows, the rest q rows
+    big_span = rem * (q + 1)
+    tile = F.when(
+        rank0 < big_span, (rank0 / (q + 1)).cast("bigint")
+    ).otherwise(rem + ((rank0 - big_span) / F.greatest(q, F.lit(1))).cast("bigint"))
+    return (
+        with_ids.join(F.broadcast(offsets), "__pid")
+        .withColumn("__ntile", (tile + 1).cast("int"))
+        .drop("__pid", "__mid", "__mid0", "__off", "__total")
+    )

@@ -116,3 +116,33 @@ def test_zorder_prunes_where_linear_sort_cannot(spark, sf_dir):
         and r["max_y"] >= y_lo
     )
     assert z_scanned <= x_scanned, (z_scanned, x_scanned)
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """operators/order.py global_ntile must equal ntile() OVER for
+    divisible and non-divisible totals, under any input order."""
+    from beacon_data_importer_spark.operators.order import global_ntile
+    from pyspark.sql import Window
+
+    for total, n in ((1000, 8), (1003, 8), (37, 5), (5, 7)):
+        df = (
+            spark.range(total)
+            .select(
+                (F.col("id") * 2654435761 % 1000003).alias("key"),
+                F.col("id").alias("tie"),
+            )
+            .repartition(7)
+        )
+        got = {
+            (r.key, r.tie): r["__ntile"]
+            for r in global_ntile(df, n, ["key", "tie"]).collect()
+        }
+        want = {
+            (r.key, r.tie): r.nt
+            for r in df.select(
+                "key",
+                "tie",
+                F.ntile(n).over(Window.orderBy("key", "tie")).alias("nt"),
+            ).collect()
+        }
+        assert got == want, (total, n)
