@@ -1801,3 +1801,125 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_neyman_allocation.__doc__ = (q_neyman_allocation.__doc__ or "").format(
     t=_NEYMAN_TOTAL
 )
+
+
+_BOM_FANOUT = 8
+_BOM_LEVELS = 6  # 8^6 > any part key at the test SFs
+
+
+@query(
+    "bom_rollup",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle=f"""
+    WITH parts AS (
+      SELECT p_partkey AS p,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS v
+      FROM part
+    ),
+    anc AS (
+      SELECT p, v, u.node
+      FROM (
+        SELECT p, v,
+               list_distinct([
+                 {", ".join(f"p // {_BOM_FANOUT**i}" for i in range(_BOM_LEVELS + 1))}
+               ]) AS nodes
+        FROM parts
+      ) t, unnest(t.nodes) AS u(node)
+    )
+    SELECT node,
+           CAST(count(*) AS BIGINT) AS n_subtree_parts,
+           CAST(sum(v) AS BIGINT) AS subtree_value_cents
+    FROM anc GROUP BY node
+    HAVING count(*) > 1
+    """,
+)
+def q_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials / hierarchy rollup WITHOUT recursion: every
+    part sits in a synthetic {f}-ary assembly tree (parent = key div
+    {f}); each row explodes its own ancestor chain — a CLOSED-FORM
+    bounded array, {lv}+1 integer divides — and one aggregate then
+    yields every assembly node's subtree size and rolled-up value.
+
+    This is the scale-correct shape for hierarchical aggregation: a
+    recursive CTE iterates depth times over the full table with a
+    shuffle per round, while the ancestor-explode is ONE map-side
+    array expansion (rows × depth, generated in the scan stage) + ONE
+    aggregation — the same flattening trick hierarchical dimensions
+    (org charts, category trees, file systems) use in warehouse
+    practice.  Leaf-only nodes are filtered (HAVING count > 1) to keep
+    the report assembly-level."""
+    p = read_table(spark, sf_dir, "part")
+    parts = p.select(
+        F.col("p_partkey").alias("p"),
+        cents(F.col("p_retailprice")).alias("v"),
+    )
+    nodes = F.array_distinct(
+        F.array(
+            *[
+                (F.col("p") / (_BOM_FANOUT**i)).cast("bigint")
+                for i in range(_BOM_LEVELS + 1)
+            ]
+        )
+    )
+    anc = parts.select("v", F.explode(nodes).alias("node"))
+    return (
+        anc.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_subtree_parts"),
+            F.sum("v").alias("subtree_value_cents"),
+        )
+        .filter(F.col("n_subtree_parts") > 1)
+    )
+
+
+q_bom_rollup.__doc__ = (q_bom_rollup.__doc__ or "").format(
+    f=_BOM_FANOUT, lv=_BOM_LEVELS
+)
+
+
+@query(
+    "yoy_growth",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH m AS (
+      SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, rev_c,
+           CAST(lag(rev_c, 12) OVER (ORDER BY yr, mo) AS BIGINT)
+             AS rev_prev_year_c,
+           CAST(floor((CAST(rev_c AS DOUBLE)
+                       / CAST(lag(rev_c, 12) OVER (ORDER BY yr, mo)
+                              AS DOUBLE) - 1e0) * 1e6) AS BIGINT)
+             AS yoy_growth_e6
+    FROM m
+    """,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth with CALENDAR alignment: monthly revenue
+    compared to the same calendar month a year earlier via lag(12)
+    over the (year, month) series — the alignment a naive 365-day
+    shift gets wrong around leap years and month lengths.  Companion
+    to wow_growth (weekly lag-1).  The month frame is
+    statistics-sized (≤ ~84 rows over the TPC-H date range), so the
+    unpartitioned lag window is bounded by construction; the only real
+    exchange is the month aggregation with map-side partials."""
+    o = read_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_c"))
+    w = Window.orderBy("yr", "mo")
+    prev = F.lag("rev_c", 12).over(w)
+    return m.select(
+        "yr",
+        "mo",
+        "rev_c",
+        prev.alias("rev_prev_year_c"),
+        F.floor(
+            (F.col("rev_c").cast("double") / prev.cast("double") - 1.0) * 1e6
+        ).alias("yoy_growth_e6"),
+    )
