@@ -1923,3 +1923,58 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_c").cast("double") / prev.cast("double") - 1.0) * 1e6
         ).alias("yoy_growth_e6"),
     )
+
+
+@query(
+    "cumulative_distinct_customers",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS priority, o_custkey AS ck,
+             min(CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                      AS BIGINT)) AS first_day
+      FROM orders GROUP BY 1, 2
+    ),
+    per_day AS (
+      SELECT priority, first_day AS day_no,
+             CAST(count(*) AS BIGINT) AS new_customers
+      FROM d GROUP BY 1, 2
+    )
+    SELECT priority, day_no, new_customers,
+           CAST(sum(new_customers) OVER (
+             PARTITION BY priority ORDER BY day_no
+           ) AS BIGINT) AS distinct_customers_to_date
+    FROM per_day
+    """,
+)
+def q_cumulative_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPANDING-window distinct count (distinct customers to date per
+    priority) via the FIRST-SEEN device: a cumulative distinct equals
+    the running sum of first occurrences, so one (priority, customer)
+    min-day aggregate + a tiny per-day running sum replaces any
+    per-row distinct state.  Third member of the distinct-count
+    family: rolling_distinct_customers (sliding — interval union),
+    hll_distinct_audit (sketch), this (expanding — first-seen flag).
+    Both exchanges are map-side combinable; the running sum's window
+    partition is per (priority, day) — report-sized."""
+    o = read_table(spark, sf_dir, "orders")
+    day_no = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("bigint")
+    firsts = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .agg(F.min(day_no).alias("first_day"))
+    )
+    per_day = firsts.groupBy(
+        "priority", F.col("first_day").alias("day_no")
+    ).agg(F.count(F.lit(1)).alias("new_customers"))
+    w = Window.partitionBy("priority").orderBy("day_no")
+    return per_day.select(
+        "priority",
+        "day_no",
+        "new_customers",
+        F.sum("new_customers").over(w).alias("distinct_customers_to_date"),
+    )
