@@ -1978,3 +1978,56 @@ def q_cumulative_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFra
         "new_customers",
         F.sum("new_customers").over(w).alias("distinct_customers_to_date"),
     )
+
+
+_FW_COLS = (  # (name, width) — fixed-width layout for the nation table
+    ("nationkey", 4),
+    ("name", 26),
+    ("regionkey", 4),
+)
+
+
+@query(
+    "fixed_width_roundtrip",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+           trim(n_name) AS name,
+           CAST(n_regionkey AS BIGINT) AS regionkey
+    FROM nation
+    """,
+)
+def q_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text sink + source — the mainframe/legacy intake
+    format CSV tooling can't speak: each row is one padded line
+    (format_string), the reader is the plain text source plus
+    substring/trim column carving at declared offsets.  Both
+    directions are pure Column expressions over the built-in text
+    format; no custom InputFormat, full predicate/limit pushdown on
+    the line scan.  The oracle reads the original table — green means
+    pad→carve round-tripped every value (including the rpad-then-trim
+    of space-bearing names)."""
+    key = ("fixed_width", sf_dir)
+    if key not in _STAGED:
+        out = _stage_path("fixed_width", sf_dir)
+        n = read_table(spark, sf_dir, "nation")
+        line = F.format_string(
+            "%4d%-26s%4d",
+            F.col("n_nationkey"),
+            F.col("n_name"),
+            F.col("n_regionkey"),
+        )
+        n.select(line.alias("value")).write.mode("overwrite").text(out)
+        _STAGED[key] = out
+    txt = spark.read.text(_STAGED[key])
+    pos = 1
+    cols = []
+    for name, width in _FW_COLS:
+        c = F.substring("value", pos, width)
+        pos += width
+        cols.append((name, c))
+    return txt.select(
+        F.trim(cols[0][1]).cast("bigint").alias("nationkey"),
+        F.trim(cols[1][1]).alias("name"),
+        F.trim(cols[2][1]).cast("bigint").alias("regionkey"),
+    )
