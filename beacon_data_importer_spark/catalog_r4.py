@@ -2070,3 +2070,97 @@ def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.max("k").alias("max_k"),
     )
+
+
+_CORR_PAIRS = (("qty", "price"), ("qty", "disc"), ("price", "disc"))
+
+
+@query(
+    "correlation_matrix",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+             CAST(sum(qty) AS DECIMAL(38,0)) AS s_qty,
+             CAST(sum(price) AS DECIMAL(38,0)) AS s_price,
+             CAST(sum(disc) AS DECIMAL(38,0)) AS s_disc,
+             CAST(sum(CAST(qty AS DECIMAL(38,0)) * qty) AS DECIMAL(38,0)) AS s_qq,
+             CAST(sum(CAST(price AS DECIMAL(38,0)) * price) AS DECIMAL(38,0)) AS s_pp,
+             CAST(sum(CAST(disc AS DECIMAL(38,0)) * disc) AS DECIMAL(38,0)) AS s_dd,
+             CAST(sum(CAST(qty AS DECIMAL(38,0)) * price) AS DECIMAL(38,0)) AS s_qp,
+             CAST(sum(CAST(qty AS DECIMAL(38,0)) * disc) AS DECIMAL(38,0)) AS s_qd,
+             CAST(sum(CAST(price AS DECIMAL(38,0)) * disc) AS DECIMAL(38,0)) AS s_pd
+      FROM b
+    )
+    SELECT 'qty' AS var_a, 'price' AS var_b,
+           CAST(floor(CAST(n * s_qp - s_qty * s_price AS DOUBLE)
+             / (sqrt(CAST(n * s_qq - s_qty * s_qty AS DOUBLE))
+                * sqrt(CAST(n * s_pp - s_price * s_price AS DOUBLE)))
+             * 1e6) AS BIGINT) AS pearson_e6
+    FROM s
+    UNION ALL
+    SELECT 'qty', 'disc',
+           CAST(floor(CAST(n * s_qd - s_qty * s_disc AS DOUBLE)
+             / (sqrt(CAST(n * s_qq - s_qty * s_qty AS DOUBLE))
+                * sqrt(CAST(n * s_dd - s_disc * s_disc AS DOUBLE)))
+             * 1e6) AS BIGINT)
+    FROM s
+    UNION ALL
+    SELECT 'price', 'disc',
+           CAST(floor(CAST(n * s_pd - s_price * s_disc AS DOUBLE)
+             / (sqrt(CAST(n * s_pp - s_price * s_price AS DOUBLE))
+                * sqrt(CAST(n * s_dd - s_disc * s_disc AS DOUBLE)))
+             * 1e6) AS BIGINT)
+    FROM s
+    """,
+)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the lineitem metrics — from
+    ONE sufficient-statistics aggregate (n, Σx, Σx², Σxy for every
+    pair), the distributed-correlation shape.  Spark's built-in
+    ``corr`` accumulates FLOATS whose partial-sum order varies with
+    partitioning — not cross-engine-stable; the decimal sums here are
+    exact and order-free, with the floors applied to single IEEE
+    expressions of identical integers (same discipline as
+    grouped_linreg / ab_test_ztest).  One scan, one 1-row shuffle,
+    three report rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    b = li.select(
+        cents(F.col("l_quantity")).alias("qty"),
+        cents(F.col("l_extendedprice")).alias("price"),
+        cents(F.col("l_discount")).alias("disc"),
+    )
+    aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
+    for v in ("qty", "price", "disc"):
+        aggs.append(F.sum(v).cast(dec).alias(f"s_{v}"))
+        aggs.append(
+            F.sum(F.col(v).cast(dec) * F.col(v)).cast(dec).alias(f"s_{v}{v[0]}")
+        )
+    for a, c in _CORR_PAIRS:
+        aggs.append(
+            F.sum(F.col(a).cast(dec) * F.col(c)).cast(dec).alias(f"s_{a}_{c}")
+        )
+    s = b.agg(*aggs)
+
+    def pearson(a: str, c: str) -> Column:
+        num = (F.col("n") * F.col(f"s_{a}_{c}") - F.col(f"s_{a}") * F.col(f"s_{c}")).cast("double")
+        da = F.sqrt((F.col("n") * F.col(f"s_{a}{a[0]}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double"))
+        dc = F.sqrt((F.col("n") * F.col(f"s_{c}{c[0]}") - F.col(f"s_{c}") * F.col(f"s_{c}")).cast("double"))
+        return F.floor(num / (da * dc) * 1e6)
+
+    out = None
+    for a, c in _CORR_PAIRS:
+        row = s.select(
+            F.lit(a).alias("var_a"),
+            F.lit(c).alias("var_b"),
+            pearson(a, c).alias("pearson_e6"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
