@@ -322,6 +322,10 @@ def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _STAGED: dict[tuple, str] = {}
+# staging is stage-once-per-process; the lock makes concurrent query
+# threads (a multi-tenant driver) serialize the write instead of
+# racing saveAsTable/overwrite on the same location
+_STAGE_LOCK = __import__("threading").Lock()
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -364,7 +368,8 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _sf_tag(sf_dir)
     key = ("bucketed", sf_dir)
     ot, ct = f"r4_orders_b_{tag}", f"r4_customer_b_{tag}"
-    if key not in _STAGED:
+    with _STAGE_LOCK:
+      if key not in _STAGED:
         # A fresh process gets a fresh metastore, but the warehouse
         # DIRECTORY persists — drop both the entry and the location or
         # saveAsTable refuses with LOCATION_ALREADY_EXISTS.
@@ -432,7 +437,8 @@ def q_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle answering from the raw table proves the round-trip
     lossless."""
     key = ("part_docs", sf_dir)
-    if key not in _STAGED:
+    with _STAGE_LOCK:
+      if key not in _STAGED:
         out = _stage_path("part_docs", sf_dir)
         (
             read_table(spark, sf_dir, "documents")
@@ -672,7 +678,8 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     escaping — round-tripped byte-exactly; the oracle never sees the
     JSONL, only the raw table."""
     key = ("jsonl_docs", sf_dir)
-    if key not in _STAGED:
+    with _STAGE_LOCK:
+      if key not in _STAGED:
         out = _stage_path("jsonl_docs", sf_dir)
         read_table(spark, sf_dir, "documents").write.mode("overwrite").json(
             out
@@ -711,7 +718,8 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates and strings survive the format hop bit-exactly (ORC and
     parquet have different logical-type encodings for all three)."""
     key = ("orc_lineitem", sf_dir)
-    if key not in _STAGED:
+    with _STAGE_LOCK:
+      if key not in _STAGED:
         out = _stage_path("orc_li", sf_dir)
         read_table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(out)
         _STAGED[key] = out
@@ -2008,7 +2016,8 @@ def q_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pad→carve round-tripped every value (including the rpad-then-trim
     of space-bearing names)."""
     key = ("fixed_width", sf_dir)
-    if key not in _STAGED:
+    with _STAGE_LOCK:
+      if key not in _STAGED:
         out = _stage_path("fixed_width", sf_dir)
         n = read_table(spark, sf_dir, "nation")
         line = F.format_string(
