@@ -90,3 +90,70 @@ def test_jdbc_append_accumulates(spark, derby_url):
     write_jdbc(df, derby_url, "append_t", mode="append", driver=DRIVER)
     back = read_jdbc(spark, derby_url, "append_t", driver=DRIVER)
     assert back.count() == 2
+
+
+def test_streaming_foreach_batch_jdbc_upsert(spark, sf_dir, derby_url):
+    """Streaming → JDBC MERGE: each micro-batch upserts per-user event
+    counts into the Derby table via foreachBatch (read-merge-overwrite
+    — the pattern for sinks Spark has no native streaming writer for;
+    on a server-grade target the same callback issues MERGE/COPY).
+    After AvailableNow completion the table must equal the batch
+    aggregate, and a restart with no new data must not change it."""
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.sources.parquet import read_table
+    from beacon_data_importer_spark.streaming import events as SE
+
+    table = "user_event_counts"
+    stream = SE.stream_events(spark, sf_dir)
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+    def sink(batch_df, batch_id: int) -> None:
+        from beacon_data_importer_spark.operators.upsert import update_from
+
+        try:
+            current = read_jdbc(batch_df.sparkSession, derby_url, table)
+            existing = True
+        except Exception:
+            current = None
+            existing = False
+        if existing and current is not None:
+            new_keys = batch_df.select("user_id")
+            merged = (
+                current.join(new_keys, "user_id", "left_anti")
+                .unionByName(batch_df)
+            )
+        else:
+            merged = batch_df
+        # stage to memory THEN overwrite: JDBC overwrite truncates the
+        # table it is also reading from otherwise
+        staged = merged.collect()
+        out = batch_df.sparkSession.createDataFrame(
+            staged, schema=merged.schema
+        )
+        write_jdbc(out, derby_url, table, mode="overwrite")
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="jdbc_upsert_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = {
+        (r.user_id, r.n_events)
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    got = {
+        (r.user_id, r.n_events)
+        for r in read_jdbc(spark, derby_url, table).collect()
+    }
+    assert got == want and len(got) > 0
