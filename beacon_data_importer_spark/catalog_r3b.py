@@ -1595,9 +1595,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks; the trailing partial window is kept).  Map-only: tokenize
     once per doc (staged projection, the CSE rule), explode the window
     starts with ``sequence``, slice per window — no shuffle at all;
-    chunk counts scale with corpus tokens, not documents².""".format(
-        size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
-    )
+    chunk counts scale with corpus tokens, not documents²."""
     from .operators.text import _ntoks, _tokens
 
     d = _docs_parallel(spark, sf_dir)
@@ -1635,6 +1633,9 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("chunk_text"),
     )
+
+
+q_chunk_documents.__doc__ = (q_chunk_documents.__doc__ or "").format(size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
 
 
 # ---------------------------------------------------------------------------
