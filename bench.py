@@ -163,6 +163,9 @@ HEADLINE += [
     "cascade_delete_report",
 ]
 
+# Round-4's FULL headline set (99 queries), frozen for round-5+ deltas.
+R4_SET = list(HEADLINE)
+
 
 def _stage_stats(base: str, app_id: str) -> dict[int, dict]:
     """Completed-stage metrics from the Spark UI REST API, by stageId."""
@@ -411,6 +414,9 @@ def main() -> None:
                 ),
                 "warm_total_r4_base_set": round(
                     sum(warm[n] for n in R4_BASE_SET if n in warm), 3
+                ),
+                "warm_total_r4_set": round(
+                    sum(warm[n] for n in R4_SET if n in warm), 3
                 ),
                 "warm_total": round(sum(warm.values()), 3),
                 "n_queries": len(warm),
