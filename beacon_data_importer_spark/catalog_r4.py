@@ -2173,3 +2173,52 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_SCD2_ASOF = "1995-06-01"
+
+
+@query(
+    "scd2_asof_view",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle=f"""
+    WITH upd AS (
+      SELECT o_custkey AS custkey, 'BIG SPENDER' AS segment,
+             min(CAST(o_orderdate AS DATE)) AS eff
+      FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+    ),
+    hist AS (
+      SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+             DATE '1990-01-01' AS valid_from, u.eff AS valid_to
+      FROM customer c LEFT JOIN upd u ON c.c_custkey = u.custkey
+      UNION ALL
+      SELECT u.custkey, u.segment, u.eff, CAST(NULL AS DATE)
+      FROM upd u
+    )
+    SELECT custkey, segment, valid_from
+    FROM hist
+    WHERE valid_from <= DATE '{_SCD2_ASOF}'
+      AND (valid_to IS NULL OR valid_to > DATE '{_SCD2_ASOF}')
+    """,
+)
+def q_scd2_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME reconstruction over the SCD2 history scd2_merge
+    builds: the dimension exactly as it stood on {d} — one interval
+    predicate (valid_from ≤ d < valid_to), which is the entire payoff
+    of type-2 versioning: any past training run, report, or feature
+    snapshot is reproducible without table-format time travel.  The
+    predicate is sargable (pushes to the scan; at warehouse scale the
+    history table partitions by valid_from range so the as-of read
+    prunes whole partitions).  Exactly one row per key survives —
+    intervals per key are disjoint by construction."""
+    from .catalog import EXTRA_QUERIES, QUERIES
+
+    hist = {**QUERIES, **EXTRA_QUERIES}["scd2_merge"](spark, sf_dir)
+    d = F.lit(_SCD2_ASOF).cast("date")
+    return hist.filter(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+    ).select("custkey", "segment", "valid_from")
+
+
+q_scd2_asof_view.__doc__ = (q_scd2_asof_view.__doc__ or "").format(d=_SCD2_ASOF)
