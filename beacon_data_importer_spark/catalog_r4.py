@@ -2222,3 +2222,68 @@ def q_scd2_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_scd2_asof_view.__doc__ = (q_scd2_asof_view.__doc__ or "").format(d=_SCD2_ASOF)
+
+
+@query(
+    "trending_parts",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH weekly AS (
+      SELECT l_partkey AS part,
+             CAST(datediff('day', DATE '1992-01-01',
+                           date_trunc('week', l_shipdate)) AS BIGINT) // 7
+               AS wk,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    trail4 AS (
+      SELECT part, wk,
+             CAST(sum(rev_c) OVER (
+               PARTITION BY part ORDER BY wk
+               RANGE BETWEEN 3 PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS rev_4w_c
+      FROM weekly
+    )
+    SELECT wk, part, rev_4w_c FROM (
+      SELECT wk, part, rev_4w_c,
+             row_number() OVER (PARTITION BY wk
+                                ORDER BY rev_4w_c DESC, part) AS rk
+      FROM trail4
+    ) t WHERE rk <= 5
+    """,
+)
+def q_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-5 parts per week by TRAILING-4-WEEK revenue
+    — the BI leaderboard shape that needs three window tiers stacked
+    (weekly rollup → trailing RANGE sum per part → per-week rank).
+    The rollup shrinks lineitem to (part, week) rows before any
+    window, so both window exchanges run over the pre-aggregated
+    frame; the trailing sum partitions by part and the rank by week —
+    two different keys, two exchanges, both over the small frame (the
+    scale rule: aggregate FIRST, window SECOND)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    wk = (
+        F.datediff(
+            F.date_trunc("week", F.col("l_shipdate")).cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        ).cast("bigint")
+        / 7
+    ).cast("bigint")
+    weekly = li.groupBy(
+        F.col("l_partkey").alias("part"), wk.alias("wk")
+    ).agg(F.sum(cents(F.col("l_extendedprice"))).alias("rev_c"))
+    wtrail = (
+        Window.partitionBy("part").orderBy("wk").rangeBetween(-3, Window.currentRow)
+    )
+    trailing = weekly.select(
+        "part", "wk", F.sum("rev_c").over(wtrail).alias("rev_4w_c")
+    )
+    wrank = Window.partitionBy("wk").orderBy(
+        F.col("rev_4w_c").desc(), F.col("part")
+    )
+    return (
+        trailing.withColumn("rk", F.row_number().over(wrank))
+        .filter(F.col("rk") <= 5)
+        .select("wk", "part", "rev_4w_c")
+    )
