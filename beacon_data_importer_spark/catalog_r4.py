@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .catalog import cents, query
 from .catalog_r2 import _duck_hash64
+from .operators.distinct_window import sliding_distinct_count
 from .sources.parquet import read_table
 
 # ---------------------------------------------------------------------------
@@ -161,54 +162,14 @@ def q_rolling_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_no = F.datediff(
         F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
     ).cast("bigint")
-    days = o.select(
+    base = o.select(
         F.col("o_orderpriority").alias("priority"),
         F.col("o_custkey").alias("custkey"),
         day_no.alias("day"),
-    ).distinct()
-
-    wcust = Window.partitionBy("priority", "custkey").orderBy("day")
-    isl = days.withColumn("prev", F.lag("day").over(wcust)).withColumn(
-        "new_isl",
-        (F.col("prev").isNull() | (F.col("day") > F.col("prev") + 90)).cast(
-            "int"
-        ),
     )
-    isl = isl.withColumn(
-        "isl_id",
-        F.sum("new_isl").over(
-            wcust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    islands = isl.groupBy("priority", "custkey", "isl_id").agg(
-        F.min("day").alias("start"), (F.max("day") + 90).alias("last_cov")
-    )
-    deltas = islands.select(
-        "priority", F.col("start").alias("day"), F.lit(1).alias("d")
-    ).unionAll(
-        islands.select(
-            "priority", (F.col("last_cov") + 1).alias("day"), F.lit(-1).alias("d")
-        )
-    )
-    bounds = deltas.groupBy("priority", "day").agg(F.sum("d").alias("d"))
-    # union boundary days with query (order) days, LOCF the running count
-    q_days = days.select("priority", "day").distinct()
-    merged = bounds.unionByName(
-        q_days.join(bounds, ["priority", "day"], "left_anti").select(
-            "priority", "day", F.lit(0).alias("d")
-        )
-    )
-    wrun = (
-        Window.partitionBy("priority")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    counted = merged.select(
-        "priority", "day", F.sum("d").over(wrun).alias("active")
-    )
+    counted = sliding_distinct_count(base, "priority", "custkey", "day", 90)
     # re-attach to every order row (per (priority, day) the count is
-    # constant, so a distinct-keyed broadcast-or-shuffle join restores
-    # the original row multiplicity)
+    # constant, so the distinct-keyed join restores row multiplicity)
     return (
         o.select(
             F.col("o_orderpriority").alias("priority"), day_no.alias("day_no")

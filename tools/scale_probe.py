@@ -332,6 +332,34 @@ def main() -> None:
         tedges.unpersist()
         spark.catalog.clearCache()
 
+        # Sliding distinct count (interval union): the linear
+        # formulation must scale ~linearly where the collect_list
+        # RANGE-frame form is O(rows x frame).  Amplified orders grow
+        # both rows AND per-day frame population - the adversarial
+        # direction for the naive form, neutral for this one.
+        from beacon_data_importer_spark.operators.distinct_window import (
+            sliding_distinct_count,
+        )
+
+        ob = o.select(
+            F.col("o_orderpriority").alias("g"),
+            F.col("o_custkey").alias("k"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            ).cast("bigint").alias("d"),
+        )
+        n_ob = ob.count()
+        dt = timed(sliding_distinct_count(ob, "g", "k", "d", 90))
+        results.setdefault("sliding_distinct_interval_union", {})[
+            f"x{factor}"
+        ] = {
+            "rows": n_ob,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n_ob / dt),
+        }
+        spark.catalog.clearCache()
+
     print(json.dumps({"metric": "scale_probe", "shapes": results}))
 
 
