@@ -2248,3 +2248,62 @@ def q_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("wk", "part", "rev_4w_c")
     )
+
+
+@query(
+    "scd2_temporal_join",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH upd AS (
+      SELECT o_custkey AS custkey, 'BIG SPENDER' AS segment,
+             min(CAST(o_orderdate AS DATE)) AS eff
+      FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+    ),
+    hist AS (
+      SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+             DATE '1990-01-01' AS valid_from, u.eff AS valid_to
+      FROM customer c LEFT JOIN upd u ON c.c_custkey = u.custkey
+      UNION ALL
+      SELECT u.custkey, u.segment, u.eff, CAST(NULL AS DATE)
+      FROM upd u
+    )
+    SELECT h.segment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN hist h
+      ON h.custkey = o.o_custkey
+     AND h.valid_from <= CAST(o.o_orderdate AS DATE)
+     AND (h.valid_to IS NULL OR h.valid_to > CAST(o.o_orderdate AS DATE))
+    GROUP BY h.segment
+    """,
+)
+def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL fact⋈dimension join over SCD2 history: each order joins
+    the dimension VERSION that was effective on its order date
+    (equality on the key + interval containment on the date) — revenue
+    attributed to the segment the customer was in AT ORDER TIME, which
+    a current-state join silently misattributes for every
+    since-changed customer.  This is the workhorse read pattern SCD2
+    exists for; scd2_asof_view is its fixed-date special case.
+
+    Plan: the equality conjunct keys the shuffle; the interval
+    predicate only filters within each key's (few) versions, so
+    fan-out is bounded by versions-per-key — never a range cross
+    join.  Exactly one version matches per (key, date) because
+    intervals per key partition the timeline."""
+    from .catalog import EXTRA_QUERIES, QUERIES
+
+    hist = {**QUERIES, **EXTRA_QUERIES}["scd2_merge"](spark, sf_dir)
+    o = read_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    j = o.join(
+        hist,
+        (hist.custkey == o.o_custkey)
+        & (hist.valid_from <= od)
+        & (hist.valid_to.isNull() | (hist.valid_to > od)),
+    )
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+    )
