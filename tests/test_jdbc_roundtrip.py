@@ -157,3 +157,51 @@ def test_streaming_foreach_batch_jdbc_upsert(spark, sf_dir, derby_url):
         for r in read_jdbc(spark, derby_url, table).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_federated_join_jdbc_dimension_with_parquet_fact(spark, sf_dir, derby_url):
+    """Multi-source federation: the customer dimension served from the
+    JDBC database joins the parquet fact table in one plan; result must
+    equal the all-parquet join.  (Spark pushes the dimension scan to
+    the database and joins engine-side — the lakehouse-to-OLTP read
+    pattern.)"""
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    write_jdbc(dim, derby_url, "dim_customer", mode="overwrite")
+
+    o = read_table(spark, sf_dir, "orders")
+    jdim = read_jdbc(spark, derby_url, "dim_customer")
+    got = {
+        (r.segment, r.n, r.rev)
+        for r in o.join(jdim, o.o_custkey == jdim.custkey)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "rev"
+            ),
+        )
+        .collect()
+    }
+    want = {
+        (r.segment, r.n, r.rev)
+        for r in o.join(dim, o.o_custkey == dim.custkey)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "rev"
+            ),
+        )
+        .collect()
+    }
+    assert got == want and len(got) >= 3
