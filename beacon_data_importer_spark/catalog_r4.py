@@ -2307,3 +2307,104 @@ def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
     )
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    rounds.append(
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM sym)"
+    )
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""l{i} AS MATERIALIZED (
+      SELECT v, lbl FROM (
+        SELECT e.dst AS v, p.lbl,
+               row_number() OVER (
+                 PARTITION BY e.dst
+                 ORDER BY count(*) DESC, p.lbl
+               ) AS rn
+        FROM sym e JOIN {prev} p ON p.v = e.src
+        GROUP BY e.dst, p.lbl
+      ) t WHERE rn = 1
+    )""")
+        prev = f"l{i}"
+    return ",\n    ".join(rounds)
+
+
+@query(
+    "label_propagation_communities",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle=f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT l.a, l.b FROM (
+        SELECT x.c1 AS a, y.c1 AS b
+        FROM (SELECT DISTINCT l_partkey AS pk, o_custkey AS c1
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey) x
+        JOIN (SELECT DISTINCT l_partkey AS pk, o_custkey AS c1
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey) y
+          ON x.pk = y.pk AND x.c1 < y.c1
+        GROUP BY x.c1, y.c1
+        HAVING count(*) >= 3
+      ) l
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b, a FROM e0
+    ),
+    {_lpa_oracle()}
+    SELECT lbl AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(v) AS BIGINT) AS min_member
+    FROM l{_LPA_ROUNDS}
+    GROUP BY lbl
+    """,
+)
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by LABEL PROPAGATION (Raghavan et al. 2007),
+    {r} synchronous rounds over the co-purchase graph: each node adopts
+    its neighbors' MOST FREQUENT label (count desc, label asc — fully
+    deterministic, unlike classic random-order LPA).  Communities are
+    denser-than-random subgraphs — the market-segmentation /
+    fraud-ring primitive next to connected_components' pure
+    reachability (CC merges everything touching; LPA splits weakly-
+    joined regions).
+
+    Per round: one frontier join + a (node, label) count + per-node
+    argmax window — all keyed on the vertex, the bounded-rounds device
+    of pagerank/bfs/random_walks.  Output: per-community size + min
+    member (the canonical representative)."""
+    from .plans.co_purchase import co_purchase_edges
+
+    edges = co_purchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    sym = sym.localCheckpoint()
+
+    labels = sym.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        freq = (
+            sym.join(labels, labels.v == sym.src)
+            .groupBy(F.col("dst").alias("nv"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("nv").orderBy(F.col("c").desc(), F.col("lbl"))
+        labels = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("nv").alias("v"), "lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("v").alias("min_member"),
+    )
+
+
+q_label_propagation_communities.__doc__ = (
+    q_label_propagation_communities.__doc__ or ""
+).format(r=_LPA_ROUNDS)
