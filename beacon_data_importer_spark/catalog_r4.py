@@ -2408,3 +2408,94 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
 q_label_propagation_communities.__doc__ = (
     q_label_propagation_communities.__doc__ or ""
 ).format(r=_LPA_ROUNDS)
+
+
+@query(
+    "corpus_diversity_report",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH toks AS (
+      SELECT source, u.tok
+      FROM (SELECT source,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+            FROM documents WHERE trim(text) <> '') t,
+           unnest(t.tk) AS u(tok)
+    ),
+    uni AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+      FROM toks GROUP BY source
+    ),
+    big AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_bigrams
+      FROM (
+        SELECT source, u.g
+        FROM (
+          SELECT source,
+                 list_transform(
+                   range(len(tk) - 1),
+                   i -> tk[i + 1] || ' ' || tk[i + 2]
+                 ) AS gs
+          FROM (SELECT doc_id, source,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+                FROM documents WHERE trim(text) <> '') t
+          WHERE len(tk) >= 2
+        ) b, unnest(b.gs) AS u(g)
+      )
+      GROUP BY source
+    )
+    SELECT uni.source, n_tokens, n_types,
+           CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+           CAST(n_distinct_bigrams * 1000000 // n_bigrams AS BIGINT)
+             AS distinct_bigram_ppm
+    FROM uni JOIN big ON uni.source = big.source
+    """,
+)
+def q_corpus_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DIVERSITY report per source — type-token ratio and
+    distinct-bigram rate (the self-BLEU-adjacent signals): low values
+    mark template-generated or mode-collapsed text that dedup misses
+    because no two documents are pairwise similar, yet the SOURCE as a
+    whole is repetitive — the complement of per-document repetition
+    (gopher signals) and cross-document near-dup (MinHash tier).
+
+    Plan: tokenize once per doc (staged projection), bigrams from a
+    per-doc posexplode + lead window keyed on doc_id, then two
+    map-side-combinable distinct aggregates per source.  Exact integer
+    ppm — no float division."""
+    from .catalog_ext import _docs_parallel
+    from .operators.text import _tokens
+
+    d = _docs_parallel(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    toks = d.select(
+        "doc_id", "source", F.posexplode(_tokens("text")).alias("i", "tok")
+    )
+    uni = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("tok").alias("n_types"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    big = (
+        toks.withColumn("__next", F.lead("tok").over(wdoc))
+        .filter(F.col("__next").isNotNull())
+        .withColumn("g", F.concat_ws(" ", F.col("tok"), F.col("__next")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count_distinct("g").alias("n_distinct_bigrams"),
+        )
+    )
+    return uni.join(big, "source").select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.expr("CAST(n_types * 1000000 DIV n_tokens AS BIGINT)").alias(
+            "ttr_ppm"
+        ),
+        F.expr(
+            "CAST(n_distinct_bigrams * 1000000 DIV n_bigrams AS BIGINT)"
+        ).alias("distinct_bigram_ppm"),
+    )
