@@ -2499,3 +2499,77 @@ def q_corpus_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_distinct_bigrams * 1000000 DIV n_bigrams AS BIGINT)"
         ).alias("distinct_bigram_ppm"),
     )
+
+
+def _dup_rate_oracle() -> str:
+    from .catalog_ext import _duck_minhash_sig_cte
+    from .catalog_r3b import _DUCK_LSH_PAIRS
+
+    return f"""
+    WITH {_duck_minhash_sig_cte()},
+    {_DUCK_LSH_PAIRS},
+    dup_ids AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs
+      )
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE dup_ids.id IS NOT NULL) AS BIGINT)
+             AS n_near_dup,
+           CAST(count(*) FILTER (WHERE dup_ids.id IS NOT NULL) * 1000000
+                // count(*) AS BIGINT) AS dup_rate_ppm
+    FROM documents d LEFT JOIN dup_ids ON dup_ids.id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@query(
+    "dup_rate_by_source",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle=None,  # assigned below — composes the corpus-LSH fragments
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication rate PER SOURCE — the triage view over the
+    dedup tier: a source whose dup-rate spikes is a scraper loop, a
+    mirror, or a mis-merged feed, and fixing the SOURCE beats deleting
+    its output one pair at a time.  Docs in ≥1 LSH candidate pair
+    (shared corpus staging) count as near-dup; exact-integer ppm per
+    source.  Companion to split_leakage_report (same pair frame,
+    different rollup) and source_mix_report (share vs duplication)."""
+    from .plans.corpus_lsh import corpus_candidate_pairs
+
+    pairs = corpus_candidate_pairs(spark, sf_dir)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        d.join(dup_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_near_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_near_dup",
+            F.expr("CAST(n_near_dup * 1000000 DIV n_docs AS BIGINT)").alias(
+                "dup_rate_ppm"
+            ),
+        )
+    )
+
+
+def _install_dup_rate_oracle() -> None:
+    from .catalog import EXTRA_ORACLES, ORACLES, QUERIES
+
+    target = ORACLES if "dup_rate_by_source" in QUERIES else EXTRA_ORACLES
+    target["dup_rate_by_source"] = _dup_rate_oracle()
+
+
+_install_dup_rate_oracle()
