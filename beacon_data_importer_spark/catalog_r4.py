@@ -2573,3 +2573,65 @@ def _install_dup_rate_oracle() -> None:
 
 
 _install_dup_rate_oracle()
+
+
+@query(
+    "order_to_ship_funnel_daily",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             min(CAST(l_shipdate AS DATE)) AS first_ship
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    base AS (
+      SELECT CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o.o_orderdate AS DATE)) AS BIGINT) // 30
+               AS period,
+             datediff('day', CAST(o.o_orderdate AS DATE), li.first_ship)
+               AS lat
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT period,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE lat <= 7) AS BIGINT) AS shipped_7d,
+           CAST(count(*) FILTER (WHERE lat <= 30) AS BIGINT) AS shipped_30d,
+           CAST(count(*) FILTER (WHERE lat <= 7) * 1000000 // count(*)
+                AS BIGINT) AS rate_7d_ppm
+    FROM base GROUP BY period
+    """,
+)
+def q_order_to_ship_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational SLA funnel: per 30-day cohort of orders, how many
+    first-shipped within 7 and within 30 days (conditional aggregation
+    — COUNT FILTER — over the order→first-ship latency).  The
+    fulfillment-SLA twin of ship_latency_histogram (which buckets the
+    distribution; this tracks threshold attainment over time — the
+    number an ops dashboard alarms on).  One lineitem min-agg keyed on
+    the order, one broadcast-or-shuffle join, one period rollup — all
+    map-side combinable."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    base = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey).select(
+        (
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).cast("bigint")
+            / 30
+        )
+        .cast("bigint")
+        .alias("period"),
+        F.datediff(F.col("first_ship"), F.to_date("o_orderdate")).alias("lat"),
+    )
+    return base.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("lat") <= 7, 1)).alias("shipped_7d"),
+        F.count(F.when(F.col("lat") <= 30, 1)).alias("shipped_30d"),
+        F.expr(
+            "CAST(count(CASE WHEN lat <= 7 THEN 1 END) * 1000000 "
+            "DIV count(*) AS BIGINT)"
+        ).alias("rate_7d_ppm"),
+    )
