@@ -146,3 +146,37 @@ def test_global_ntile_matches_window_ntile(spark):
             ).collect()
         }
         assert got == want, (total, n)
+
+
+def test_concurrent_layout_staging_is_safe(spark, sf_dir):
+    """Four threads invoking the bucketed-join query concurrently from
+    a COLD staging cache must all succeed with identical results — the
+    staging lock serializes the one-time table write instead of racing
+    overwrites on the same warehouse location."""
+    import threading
+
+    from beacon_data_importer_spark import catalog_r4
+
+    # force a cold staging path for this process
+    for k in [k for k in catalog_r4._STAGED if k[0] == "bucketed"]:
+        del catalog_r4._STAGED[k]
+
+    results, errors = [], []
+
+    def run():
+        try:
+            rows = sorted(
+                map(tuple, ALL_QUERIES["bucketed_join"](spark, sf_dir).collect())
+            )
+            results.append(rows)
+        except Exception as e:  # noqa: BLE001 — surfacing into the assert
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(results) == 4 and all(r == results[0] for r in results)
+    assert len(results[0]) > 0
