@@ -2635,3 +2635,78 @@ def q_order_to_ship_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV count(*) AS BIGINT)"
         ).alias("rate_7d_ppm"),
     )
+
+
+_EWMA_W = ("1.0", "0.5", "0.25", "0.125", "0.0625", "0.03125", "0.015625")
+
+
+def _ewma_terms(col_fmt: str) -> tuple[str, str]:
+    """(numerator, denominator) SQL for the 7-lag EWMA — one shared
+    string per engine with IDENTICAL literal weights."""
+    num = " + ".join(
+        f"{w} * coalesce({col_fmt.format(j=j)}, 0)"
+        for j, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"{w} * (CASE WHEN {col_fmt.format(j=j)} IS NULL THEN 0 ELSE 1 END)"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return num, den
+
+
+_EWMA_NUM_DUCK, _EWMA_DEN_DUCK = _ewma_terms(
+    "lag(rev_c, {j}) OVER (ORDER BY day_no)"
+)
+
+
+@query(
+    "ewma_daily_revenue",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    )
+    SELECT day_no, rev_c,
+           CAST(floor(({_EWMA_NUM_DUCK}) / ({_EWMA_DEN_DUCK}) * 1e2)
+                AS BIGINT) AS ewma_e2
+    FROM daily
+    """,
+)
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue (α=0.5,
+    7-term truncation) — the smoothing an ops dashboard tracks.  EWMA's
+    recurrence is non-associative (not window-expressible in general),
+    but the TRUNCATED form is a closed-form lag combination; α=0.5
+    makes every weight an exact binary fraction, so each weight×cents
+    product and their sum are EXACT doubles — no float-order hazard,
+    no pow() (whose rounding differs across engines' libm).  Weights
+    are shared literals between the Spark and DuckDB expressions; the
+    start-of-series is renormalized over the available lags.  The
+    daily frame is bounded (~2,400 rows), so the unpartitioned lag
+    window is statistics-sized — the heavy exchange is only the daily
+    rollup."""
+    o = read_table(spark, sf_dir, "orders")
+    day_no = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+    ).cast("bigint")
+    daily = o.groupBy(day_no.alias("day_no")).agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("rev_c")
+    )
+    w = Window.orderBy("day_no")
+    lagged = daily.select(
+        "day_no",
+        "rev_c",
+        *[F.lag("rev_c", j).over(w).alias(f"__l{j}") for j in range(len(_EWMA_W))],
+    )
+    num_sql, den_sql = _ewma_terms("__l{j}")
+    return lagged.select(
+        "day_no",
+        "rev_c",
+        F.expr(
+            f"CAST(floor(({num_sql}) / ({den_sql}) * 1e2) AS BIGINT)"
+        ).alias("ewma_e2"),
+    )
