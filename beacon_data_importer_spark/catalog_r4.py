@@ -2710,3 +2710,47 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(floor(({num_sql}) / ({den_sql}) * 1e2) AS BIGINT)"
         ).alias("ewma_e2"),
     )
+
+
+@query(
+    "hourly_seasonality",
+    registered=False,  # round-4 extra; future rotation candidate
+    oracle="""
+    WITH tot AS (SELECT count(*) AS t FROM events)
+    SELECT CAST(isodow(ts) AS INT) AS weekday,
+           CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+             AS share_ppm
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality profile: event share per (ISO weekday ×
+    hour-of-day) cell — the 7×24 heatmap capacity planning and anomaly
+    baselines start from.  One scan, one 168-cell aggregate, the total
+    riding along as a broadcast scalar; exact integer ppm.  Timestamp
+    decomposition happens in the session's pinned UTC zone, so both
+    engines bin identically (the classic cross-engine drift here is a
+    local-zone hour shift)."""
+    e = read_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.dayofweek(F.col("ts")).alias("__dow_sun1"),
+        F.hour(F.col("ts")).alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # Spark dayofweek is 1=Sunday; ISO wants 1=Monday..7=Sunday
+    iso = F.when(F.col("__dow_sun1") == 1, 7).otherwise(
+        F.col("__dow_sun1") - 1
+    )
+    total = e.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            iso.cast("int").alias("weekday"),
+            F.col("hour_of_day").cast("int"),
+            "n_events",
+            F.expr("CAST(n_events * 1000000 DIV t AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
