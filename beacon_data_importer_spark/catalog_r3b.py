@@ -1560,7 +1560,7 @@ _CHUNK_STRIDE = 48  # 16-token overlap
 
 @query(
     "chunk_documents",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
@@ -1645,7 +1645,7 @@ q_chunk_documents.__doc__ = (q_chunk_documents.__doc__ or "").format(size=_CHUNK
 
 @query(
     "funnel_progression",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH u1 AS MATERIALIZED (
       SELECT user_id, min(ts) AS t1 FROM events

@@ -104,7 +104,7 @@ _DUCK_PASSAGES = f"""
 
 @query(
     "passage_dedup",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH {_DUCK_PASSAGES},
     mk AS MATERIALIZED (
@@ -167,7 +167,7 @@ _BM25_TOPK = 10
 
 @query(
     "bm25_search",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
@@ -272,7 +272,7 @@ q_bm25_search.__doc__ = (q_bm25_search.__doc__ or "").format(terms="/".join(_BM2
 
 @query(
     "cohort_retention",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH weeks AS MATERIALIZED (
       SELECT DISTINCT user_id,
@@ -328,7 +328,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "event_transitions",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH seq AS MATERIALIZED (
       SELECT user_id, event_type,
@@ -392,7 +392,7 @@ _TOPTERMS_K = 5
 
 @query(
     "source_top_terms",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
@@ -494,7 +494,7 @@ def _duck_pr_iter(prev: str, cur: str) -> str:
 
 @query(
     "pagerank_parts",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH raw AS MATERIALIZED (
       SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
@@ -605,7 +605,7 @@ q_pagerank_parts.__doc__ = (q_pagerank_parts.__doc__ or "").format(it=_PR_ITERS,
 
 @query(
     "data_quality_report",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT 'custkey_complete' AS check_name,
            CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
@@ -709,7 +709,7 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "forward_fill_events",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT event_id, user_id,
            last_value(CASE WHEN event_type = 'purchase' THEN value END
@@ -760,7 +760,7 @@ _TEMP_BUDGET = 200
 
 @query(
     "temperature_mixture_sample",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH counts AS MATERIALIZED (
       SELECT source, count(*) AS c FROM documents GROUP BY source
@@ -833,7 +833,7 @@ def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "robust_outliers",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH base AS MATERIALIZED (
       SELECT c_nationkey AS nationkey, o_totalprice AS price
@@ -916,7 +916,7 @@ _COOC_TOPK = 20
 
 @query(
     "token_cooccurrence",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT doc_id,
@@ -1002,7 +1002,7 @@ def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "snapshot_diff",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH old AS MATERIALIZED (
       SELECT c_custkey AS k, c_name, c_acctbal FROM customer
@@ -1078,7 +1078,7 @@ _TRI_MIN_SHARED = 3
 
 @query(
     "triangle_count",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH cp AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
@@ -1167,7 +1167,7 @@ q_triangle_count.__doc__ = (q_triangle_count.__doc__ or "").format(m=_TRI_MIN_SH
 
 @query(
     "dataset_split_grouped",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH assigned AS (
       SELECT source, n_chars,
@@ -1214,7 +1214,7 @@ def q_dataset_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_eval",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=None,  # assigned below — needs fragments from catalog_ext/r3b
 )
 def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1393,7 +1393,7 @@ _install_dedup_eval_oracle()
 
 @query(
     "skew_salted_join",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH big AS (
       SELECT CASE WHEN l_suppkey % 3 = 0 THEN 0
@@ -1461,7 +1461,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "wow_growth",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH weekly AS MATERIALIZED (
       SELECT c.c_nationkey AS nationkey,
@@ -1536,7 +1536,7 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ship_latency_histogram",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH lat AS MATERIALIZED (
       SELECT date_diff('day', o.o_orderdate, l.l_shipdate) // 7 AS bucket_wk
@@ -1586,7 +1586,7 @@ def q_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "impute_group_mean",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH masked AS MATERIALIZED (
       SELECT event_id, event_type,
@@ -1645,7 +1645,7 @@ def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ab_test_ztest",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH assign AS MATERIALIZED (
       SELECT user_id,
@@ -1735,7 +1735,7 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rfm_segments",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
     rfm AS MATERIALIZED (
@@ -1806,7 +1806,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pareto_frontier",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH pts AS MATERIALIZED (
       SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
@@ -1867,7 +1867,7 @@ _PATHS_TOPK = 15
 
 @query(
     "event_paths",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH seq AS MATERIALIZED (
       SELECT user_id, event_type,
@@ -1916,7 +1916,7 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dim_date",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH bounds AS (
       SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
@@ -1975,7 +1975,7 @@ def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cohort_ltv",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH firsts AS MATERIALIZED (
       SELECT o_custkey AS ck,
@@ -2064,7 +2064,7 @@ _FHASH_BUCKETS = 16
 
 @query(
     "feature_hashing",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT doc_id, u.tok
@@ -2117,7 +2117,7 @@ q_feature_hashing.__doc__ = (q_feature_hashing.__doc__ or "").format(b=_FHASH_BU
 
 @query(
     "quantile_normalize",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT o_orderkey,
            CAST(floor(
@@ -2162,7 +2162,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "winsorized_mean",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH base AS MATERIALIZED (
       SELECT c_nationkey AS nationkey, o_totalprice AS price
@@ -2243,7 +2243,7 @@ _DEBOUNCE_S = 300
 
 @query(
     "event_debounce",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH gaps AS MATERIALIZED (
       SELECT event_id, user_id, event_type, ts,
@@ -2320,7 +2320,7 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "region_share",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH rev AS MATERIALIZED (
       SELECT r.r_name AS region, n.n_name AS nation,
@@ -2397,7 +2397,7 @@ def q_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "conversion_hazard",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH v AS MATERIALIZED (
       SELECT user_id, min(ts) AS t0 FROM events
@@ -2512,7 +2512,7 @@ def q_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "skew_report",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH ck AS (
       SELECT 'orders.o_custkey' AS keyname, o_custkey AS k FROM orders
@@ -2586,7 +2586,7 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "resample_interpolate",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH obs AS MATERIALIZED (
       SELECT user_id, ts, value, event_id FROM events
@@ -2738,7 +2738,7 @@ def _duck_bfs_iter(prev: str, cur: str) -> str:
 
 @query(
     "bfs_hops",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH cp AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
@@ -2806,7 +2806,7 @@ _RULES_TOPK = 20
 
 @query(
     "basket_rules",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH items AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem
@@ -2892,7 +2892,7 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cascade_delete_report",
-    # registered (round-4 rotation): never driver-proven; promoted per rotation policy
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH victims AS MATERIALIZED (
       SELECT c_custkey AS ck FROM customer WHERE c_custkey % 53 = 0

@@ -31,7 +31,7 @@ from .sources.parquet import read_table
 
 @query(
     "grouped_linreg",
-    # registered (round-4): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     WITH pts AS (
       SELECT c_nationkey AS nationkey,
@@ -120,7 +120,7 @@ def q_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rolling_distinct_customers",
-    # registered (round-4): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT o_orderpriority AS priority,
            CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
@@ -193,7 +193,7 @@ def q_rolling_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hll_distinct_audit",
-    # registered (round-4): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT l_returnflag AS returnflag,
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
@@ -238,7 +238,7 @@ _KFOLD_K = 5
 
 @query(
     "kfold_assignment",
-    # registered (round-4): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     SELECT
       CAST({_duck_hash64("CAST(doc_id AS VARCHAR)", seed=7)} % {_KFOLD_K}
@@ -285,17 +285,23 @@ def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STAGED: dict[tuple, str] = {}
 # staging is stage-once-per-process; the lock makes concurrent query
 # threads (a multi-tenant driver) serialize the write instead of
-# racing saveAsTable/overwrite on the same location
+# racing saveAsTable/overwrite on the same location.  CROSS-process
+# isolation comes from the PID suffix in _sf_tag: two processes (e.g.
+# bench.py and pytest on the same sf_dir) stage to disjoint paths and
+# table names, so neither can overwrite a layout the other is still
+# reading — an flock around the write alone could not guarantee that.
 _STAGE_LOCK = __import__("threading").Lock()
 
 
 def _sf_tag(sf_dir: str) -> str:
-    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    return f"{base}_p{os.getpid()}"
 
 
 def _stage_path(tag: str, sf_dir: str) -> str:
-    """Deterministic staging dir (overwritten by mode('overwrite')) —
-    bounded /tmp usage across processes, unlike mkdtemp-per-run."""
+    """Per-(sf, process) staging dir (overwritten by
+    mode('overwrite') on re-stage within a process; disjoint across
+    processes via the PID suffix)."""
     return os.path.join(
         tempfile.gettempdir(), f"r4_{tag}_{_sf_tag(sf_dir)}"
     )
@@ -303,7 +309,7 @@ def _stage_path(tag: str, sf_dir: str) -> str:
 
 @query(
     "bucketed_join",
-    # registered (round-4): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT c_nationkey AS nationkey,
            count(*) AS n_orders,
@@ -374,7 +380,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "partitioned_scan_prune",
-    # registered (round-4): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -438,7 +444,7 @@ def _zval_sql(x: str, y: str, bits: int = _Z_BITS) -> str:
 
 @query(
     "zorder_layout",
-    # registered (round-4): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH pts AS (
       SELECT (o_custkey & {2**_Z_BITS - 1}) AS x,
@@ -540,7 +546,7 @@ q_zorder_layout.__doc__ = (q_zorder_layout.__doc__ or "").replace(
 
 @query(
     "asof_join_nearest",
-    # registered (round-4): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT purchase_id, user_id, nearest_click, gap_us FROM (
       SELECT p.event_id AS purchase_id, p.user_id,
@@ -620,7 +626,7 @@ def _cksum(c: Column) -> Column:
 
 @query(
     "jsonl_roundtrip",
-    # registered (round-4): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     SELECT lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
@@ -658,7 +664,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orc_roundtrip",
-    # registered (round-4): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=f"""
     SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
            count(*) AS n_rows,
@@ -738,7 +744,7 @@ def _semantic_dedup_oracle() -> str:
 
 @query(
     "semantic_dedup",
-    # registered (round-4): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=None,  # assigned below — composes the kmeans CTE chain
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,7 +845,7 @@ def _split_leakage_oracle() -> str:
 
 @query(
     "split_leakage_report",
-    # registered (round-4): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r04; slot rotated (see catalog.py docstring)
     oracle=None,  # assigned below — composes the corpus-LSH fragments
 )
 def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,7 +896,7 @@ _install_split_leakage_oracle()
 
 @query(
     "argmax_per_group",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     SELECT nationkey, top_customer, top_acctbal_cents,
            bottom_customer, bottom_acctbal_cents FROM (
@@ -944,7 +950,7 @@ def q_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "time_weighted_avg",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH pts AS (
       SELECT user_id, epoch_us(ts) AS t,
@@ -1004,7 +1010,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "weighted_median",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH w AS (
       SELECT l_returnflag AS returnflag,
@@ -1070,7 +1076,7 @@ _CKBUCKETS = 64
 
 @query(
     "bucket_checksum_diff",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle=f"""
     WITH old AS (
       SELECT o_orderkey AS k,
@@ -1164,7 +1170,7 @@ q_bucket_checksum_diff.__doc__ = (q_bucket_checksum_diff.__doc__ or "").format(
 
 @query(
     "quantile_sketch_audit",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH r AS (
       SELECT l_returnflag AS returnflag,
@@ -1237,7 +1243,7 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "chi_square_independence",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH obs AS (
       SELECT c_mktsegment AS seg, o_orderpriority AS pri,
@@ -1310,7 +1316,7 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "benford_digit_audit",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH d AS (
       SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
@@ -1363,7 +1369,7 @@ _QLR_BUCKETS = 16
 
 @query(
     "quality_lr_score",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT doc_id, u.tok
@@ -1465,7 +1471,7 @@ q_quality_lr_score.__doc__ = (q_quality_lr_score.__doc__ or "").format(
 
 @query(
     "multimodal_frame_sample",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH m AS (
       SELECT doc_id AS media_id,
@@ -1514,7 +1520,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_resize_plan",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH m AS (
       SELECT doc_id AS media_id, text FROM documents
@@ -1583,7 +1589,7 @@ def _walks_oracle() -> str:
 
 @query(
     "random_walks",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle=f"""
     WITH e0 AS MATERIALIZED (
       SELECT l.a, l.b FROM (
@@ -1660,7 +1666,7 @@ _NEYMAN_TOTAL = 1000
 
 @query(
     "neyman_allocation",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle=f"""
     WITH s AS (
       SELECT c_nationkey AS nationkey,
@@ -1675,23 +1681,27 @@ _NEYMAN_TOTAL = 1000
     ),
     wts AS (
       SELECT nationkey, CAST(nh AS BIGINT) AS n_pop,
-             CAST(nh AS DOUBLE)
-               * sqrt(greatest(
-                   CAST(nh * sxx - sx * sx AS DOUBLE)
-                     / CAST(nh * nh AS DOUBLE),
-                   0e0)) AS w
+             CAST(floor(
+               CAST(nh AS DOUBLE)
+                 * sqrt(greatest(
+                     CAST(nh * sxx - sx * sx AS DOUBLE)
+                       / CAST(nh * nh AS DOUBLE),
+                     0e0))
+                 * 1e6) AS BIGINT) AS wq
       FROM s
     ),
     base AS (
-      SELECT nationkey, n_pop, w,
-             sum(w) OVER () AS wtot
+      SELECT nationkey, n_pop, wq,
+             sum(wq) OVER () AS wtot
       FROM wts
     ),
     fl AS (
       SELECT nationkey, n_pop,
-             CAST(floor({_NEYMAN_TOTAL} * w / wtot) AS BIGINT) AS base_n,
-             {_NEYMAN_TOTAL} * w / wtot
-               - floor({_NEYMAN_TOTAL} * w / wtot) AS rem
+             CAST(floor(CAST({_NEYMAN_TOTAL} * wq AS DOUBLE)
+                        / CAST(wtot AS DOUBLE)) AS BIGINT) AS base_n,
+             CAST({_NEYMAN_TOTAL} * wq AS DOUBLE) / CAST(wtot AS DOUBLE)
+               - floor(CAST({_NEYMAN_TOTAL} * wq AS DOUBLE)
+                       / CAST(wtot AS DOUBLE)) AS rem
       FROM base
     ),
     ranked AS (
@@ -1715,6 +1725,11 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped_linreg: exact DECIMAL sums, single IEEE sqrt), and the
     integer allocation uses largest-remainder rounding with a
     nationkey tie-break — deterministic, sums exactly to the budget.
+    The per-stratum weight is quantized to micro-unit BIGINTs before
+    the cross-strata total (an unordered float sum would be ULP-
+    order-sensitive and could flip a floor/remainder-rank boundary);
+    the only IEEE op after quantization is one exactly-rounded
+    division per stratum.
 
     Plan: one scan + 25-row window math; the allocation table then
     drives the per-stratum hash-ranked take (source_quota_sample's
@@ -1735,11 +1750,15 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     wts = s.select(
         "nationkey",
         F.col("nh").cast("bigint").alias("n_pop"),
-        (F.col("nh").cast("double") * F.sqrt(var)).alias("w"),
+        F.floor(F.col("nh").cast("double") * F.sqrt(var) * F.lit(1e6))
+        .cast("bigint")
+        .alias("wq"),
     )
     wall = Window.partitionBy()
-    base = wts.withColumn("wtot", F.sum("w").over(wall))
-    share = F.lit(float(_NEYMAN_TOTAL)) * F.col("w") / F.col("wtot")
+    base = wts.withColumn("wtot", F.sum("wq").over(wall))
+    share = (F.lit(_NEYMAN_TOTAL) * F.col("wq")).cast("double") / F.col(
+        "wtot"
+    ).cast("double")
     fl = base.select(
         "nationkey",
         "n_pop",
@@ -1778,7 +1797,7 @@ _BOM_LEVELS = 6  # 8^6 > any part key at the test SFs
 
 @query(
     "bom_rollup",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle=f"""
     WITH parts AS (
       SELECT p_partkey AS p,
@@ -1848,7 +1867,7 @@ q_bom_rollup.__doc__ = (q_bom_rollup.__doc__ or "").format(
 
 @query(
     "yoy_growth",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH m AS (
       SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
@@ -1896,7 +1915,7 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cumulative_distinct_customers",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH d AS (
       SELECT o_orderpriority AS priority, o_custkey AS ck,
@@ -1958,7 +1977,7 @@ _FW_COLS = (  # (name, width) — fixed-width layout for the nation table
 
 @query(
     "fixed_width_roundtrip",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
            trim(n_name) AS name,
@@ -2005,7 +2024,7 @@ def q_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "variant_json_stats",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
@@ -2047,7 +2066,7 @@ _CORR_PAIRS = (("qty", "price"), ("qty", "disc"), ("price", "disc"))
 
 @query(
     "correlation_matrix",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH b AS (
       SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty,
@@ -2141,7 +2160,7 @@ _SCD2_ASOF = "1995-06-01"
 
 @query(
     "scd2_asof_view",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle=f"""
     WITH upd AS (
       SELECT o_custkey AS custkey, 'BIG SPENDER' AS segment,
@@ -2187,7 +2206,7 @@ q_scd2_asof_view.__doc__ = (q_scd2_asof_view.__doc__ or "").format(d=_SCD2_ASOF)
 
 @query(
     "trending_parts",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH weekly AS (
       SELECT l_partkey AS part,
@@ -2252,7 +2271,7 @@ def q_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scd2_temporal_join",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH upd AS (
       SELECT o_custkey AS custkey, 'BIG SPENDER' AS segment,
@@ -2336,7 +2355,7 @@ def _lpa_oracle() -> str:
 
 @query(
     "label_propagation_communities",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle=f"""
     WITH e0 AS MATERIALIZED (
       SELECT l.a, l.b FROM (
@@ -2412,7 +2431,7 @@ q_label_propagation_communities.__doc__ = (
 
 @query(
     "corpus_diversity_report",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH toks AS (
       SELECT source, u.tok
@@ -2526,7 +2545,7 @@ def _dup_rate_oracle() -> str:
 
 @query(
     "dup_rate_by_source",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle=None,  # assigned below — composes the corpus-LSH fragments
 )
 def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2577,7 +2596,7 @@ _install_dup_rate_oracle()
 
 @query(
     "order_to_ship_funnel_daily",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH li AS (
       SELECT l_orderkey,
@@ -2661,7 +2680,7 @@ _EWMA_NUM_DUCK, _EWMA_DEN_DUCK = _ewma_terms(
 
 @query(
     "ewma_daily_revenue",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle=f"""
     WITH daily AS (
       SELECT CAST(datediff('day', DATE '1992-01-01',
@@ -2714,7 +2733,7 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hourly_seasonality",
-    registered=False,  # round-4 extra; future rotation candidate
+    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
     oracle="""
     WITH tot AS (SELECT count(*) AS t FROM events)
     SELECT CAST(isodow(ts) AS INT) AS weekday,

@@ -211,8 +211,18 @@ def windowed_distinct_users(
     watermarked ``dropDuplicatesWithinWatermark`` on (user, type,
     window-start) emits each user's first event per window, and the
     downstream windowed count then counts exactly the distinct users.
-    State per window is the user set — fine while window-cardinality ×
-    window-count fits streaming state.  ``exact=False`` is the single
+    EXACTNESS CAVEAT: ``dropDuplicatesWithinWatermark`` only
+    guarantees dedup of duplicates arriving within the watermark
+    delay of each other — the dedup state for a key is eligible for
+    eviction once the watermark passes it, so a duplicate user event
+    for the same window arriving MORE than ``watermark`` after the
+    first is double-counted.  "Exact" therefore holds under bounded
+    disorder (all copies of an event within the watermark delay),
+    which is the same contract under which the windowed aggregation
+    itself admits the late rows at all; size ``watermark`` to the
+    real disorder bound, or use ``exact=False`` when duplicates can
+    straggle arbitrarily.  State per window is the user set — fine
+    while window-cardinality × window-count fits streaming state.  ``exact=False`` is the single
     ``approx_count_distinct`` (HLL) aggregation instead: constant
     ~1.5 KB state per (window, type) group regardless of cardinality —
     the 100 TB-stream form, with the error budget measured batch-side

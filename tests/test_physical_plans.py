@@ -321,3 +321,29 @@ def test_bm25_broadcasts_statistics(spark, sf_dir):
     txt = optimized_explain(df)
     assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" in txt
     assert "TakeOrderedAndProject" in txt, txt
+
+
+def test_plan_audit_artifact_covers_whole_catalog():
+    """PLAN_AUDIT.json drift guard (VERDICT r4 / ADVICE r4 item 1):
+    the committed plan-audit artifact must carry exactly one entry per
+    catalog query — a query added without regenerating the audit
+    (tools/explain_audit.py) fails here instead of silently shipping
+    unaudited, and no audited entry may record an explain-time error."""
+    import json
+    import pathlib
+
+    audit = json.loads(
+        (pathlib.Path(__file__).parent.parent / "PLAN_AUDIT.json").read_text()
+    )
+    audited = set(audit["plans"])
+    catalog = set(entrymod.queries())
+    missing = sorted(catalog - audited)
+    stale = sorted(audited - catalog)
+    assert not missing and not stale, (
+        f"PLAN_AUDIT.json drifted: missing={missing} stale={stale} — "
+        "regenerate with tools/explain_audit.py"
+    )
+    errored = sorted(
+        n for n, p in audit["plans"].items() if "error" in p
+    )
+    assert not errored, f"explain failed for: {errored}"
