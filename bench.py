@@ -166,6 +166,43 @@ HEADLINE += [
 # Round-4's FULL headline set (99 queries), frozen for round-5+ deltas.
 R4_SET = list(HEADLINE)
 
+HEADLINE += [
+    # late round-4 (added to the headline in round 5, when rotation
+    # promoted them to driver slots): analytics/layout/graph extras
+    "argmax_per_group",
+    "time_weighted_avg",
+    "weighted_median",
+    "bucket_checksum_diff",
+    "quantile_sketch_audit",
+    "chi_square_independence",
+    "benford_digit_audit",
+    "quality_lr_score",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "random_walks",
+    "neyman_allocation",
+    "bom_rollup",
+    "yoy_growth",
+    "cumulative_distinct_customers",
+    "fixed_width_roundtrip",
+    "variant_json_stats",
+    "correlation_matrix",
+    "scd2_asof_view",
+    "trending_parts",
+    "scd2_temporal_join",
+    "label_propagation_communities",
+    "corpus_diversity_report",
+    "dup_rate_by_source",
+    "order_to_ship_funnel_daily",
+    "ewma_daily_revenue",
+    "hourly_seasonality",
+]
+
+# Round-5's BASE headline set (126 queries: R4_SET + the late-r4
+# additions above), frozen for round-6+ per-query deltas; round-5's own
+# additions append below and freeze as R5_SET at round close.
+R5_BASE_SET = list(HEADLINE)
+
 
 def _stage_stats(base: str, app_id: str) -> dict[int, dict]:
     """Completed-stage metrics from the Spark UI REST API, by stageId."""
@@ -417,6 +454,9 @@ def main() -> None:
                 ),
                 "warm_total_r4_set": round(
                     sum(warm[n] for n in R4_SET if n in warm), 3
+                ),
+                "warm_total_r5_base_set": round(
+                    sum(warm[n] for n in R5_BASE_SET if n in warm), 3
                 ),
                 "warm_total": round(sum(warm.values()), 3),
                 "n_queries": len(warm),
