@@ -95,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
         from . import catalog as _cat
         from . import (  # noqa: F401 (register queries)
             catalog_ext, catalog_more, catalog_r2, catalog_r3,
-            catalog_r3b, catalog_r3c, catalog_r4,
+            catalog_r3b, catalog_r3c, catalog_r4, catalog_r5,
         )
 
         registry = {**_cat.QUERIES, **_cat.EXTRA_QUERIES}

@@ -59,6 +59,7 @@ def _extra_names():
     import beacon_data_importer_spark.catalog_r3b  # noqa: F401
     import beacon_data_importer_spark.catalog_r3c  # noqa: F401
     import beacon_data_importer_spark.catalog_r4  # noqa: F401
+    import beacon_data_importer_spark.catalog_r5  # noqa: F401
 
     return sorted(catalog.EXTRA_QUERIES)
 
@@ -73,6 +74,7 @@ def test_registered_query_count_is_at_most_50():
     import beacon_data_importer_spark.catalog_r3b  # noqa: F401
     import beacon_data_importer_spark.catalog_r3c  # noqa: F401
     import beacon_data_importer_spark.catalog_r4  # noqa: F401
+    import beacon_data_importer_spark.catalog_r5  # noqa: F401
 
     assert len(catalog.QUERIES) <= 50, (
         "driver gate checks the first 50 queries; demote the overflow to "

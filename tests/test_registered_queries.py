@@ -59,6 +59,7 @@ def _registered_names():
     import beacon_data_importer_spark.catalog_r3b  # noqa: F401
     import beacon_data_importer_spark.catalog_r3c  # noqa: F401
     import beacon_data_importer_spark.catalog_r4  # noqa: F401
+    import beacon_data_importer_spark.catalog_r5  # noqa: F401
 
     return sorted(catalog.QUERIES)
 
