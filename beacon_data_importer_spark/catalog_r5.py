@@ -444,3 +444,406 @@ def q_order_gap_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("bigint"))
         .alias("avg_gap_micro_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# loo_target_encoding — leave-one-out mean encoding per segment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "loo_target_encoding",
+    # registered (round-5): new query, no driver row yet
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS s
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_custkey AS custkey, c_mktsegment AS segment,
+      CASE WHEN n >= 2 THEN
+        CAST(floor(1e6
+          * CAST(s - CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+          / CAST(n - 1 AS DOUBLE)) AS BIGINT)
+      ELSE NULL END AS loo_mean_micro_cents
+    FROM customer JOIN seg ON c_mktsegment = segment
+    """,
+)
+def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT TARGET ENCODING — the categorical-feature encoding
+    that replaces a category with the mean target of the OTHER members
+    (dropping self avoids the target-leakage a plain mean encoding
+    bakes in; this is the device behind CatBoost-style ordered target
+    statistics).  The per-category (n, Σ) pair comes from one exact
+    integer aggregation; each row's encoding is then (Σ − own)/(n−1)
+    — computed as floor-of-double so negative balances cannot trip the
+    engines' floor-vs-truncate integer-division divergence.
+
+    Plan: the category table is a 5-row broadcast back onto the scan —
+    no window over a 5-partition skew, no second shuffle.  At 100 TB
+    the encoding map for even a million-category feature is a few MB —
+    still broadcast."""
+    c = read_table(spark, sf_dir, "customer")
+    seg = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents(F.col("c_acctbal"))).cast("bigint").alias("s"),
+    )
+    joined = c.join(
+        F.broadcast(seg), c["c_mktsegment"] == seg["segment"]
+    )
+    own = cents(F.col("c_acctbal"))
+    loo = F.floor(
+        F.lit(1e6)
+        * (F.col("s") - own).cast("double")
+        / (F.col("n") - 1).cast("double")
+    ).cast("bigint")
+    return joined.select(
+        F.col("c_custkey").alias("custkey"),
+        "segment",
+        F.when(F.col("n") >= 2, loo)
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("loo_mean_micro_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cuped_adjustment — variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "1996-01-01"
+
+
+@query(
+    "cuped_adjustment",
+    # registered (round-5): new query, no driver row yet
+    oracle=f"""
+    WITH units AS MATERIALIZED (
+      SELECT o_custkey AS custkey,
+        CAST({_duck_hash64("CAST(o_custkey AS VARCHAR)", seed=11)} % 2
+             AS INT) AS arm,
+        CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+          THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS x,
+        CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+          THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    gstats AS (
+      SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+             sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      FROM units
+    ),
+    arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(x) AS BIGINT) AS sax,
+             CAST(sum(y) AS BIGINT) AS say
+      FROM units GROUP BY arm
+    )
+    SELECT arm, n_units,
+      CAST(floor(1e6 * CAST(say AS DOUBLE) / CAST(n_units AS DOUBLE))
+           AS BIGINT) AS mean_y_micro,
+      CAST(floor(1e6 * (
+        CAST(say AS DOUBLE) / CAST(n_units AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE))
+          * (CAST(sax AS DOUBLE) / CAST(n_units AS DOUBLE)
+             - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      )) AS BIGINT) AS mean_y_cuped_micro
+    FROM arms, gstats
+    """,
+)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. 2013): the A/B-testing variance-reduction that subtracts
+    θ·(x − μx) from each unit's metric, θ = cov(x,y)/var(x), using the
+    unit's PRE-period value x as the covariate.  Arms are a
+    deterministic hash split; y is post-{d} spend, x pre-{d} spend.
+    Because the adjustment is linear, the arm means need only the
+    exact per-arm sums: mean_adj = ȳₐ − θ(x̄ₐ − μx) — no per-unit
+    residual pass.  θ and the final means are the only IEEE ops, all
+    on exact integer/decimal sufficient statistics.
+
+    Plan: one per-customer aggregation (the experiment-unit rollup),
+    then a 2-row arm aggregate cross-joined with a broadcast 1-row
+    global-stats aggregate.  The same three-aggregate shape holds at
+    any scale — ab_test_ztest's device, extended with the covariance
+    statistics."""
+    from .functions.expressions import portable_hash64
+
+    o = read_table(spark, sf_dir, "orders")
+    split = F.lit(_CUPED_SPLIT + " 00:00:00").cast("timestamp")
+    pre = F.when(F.col("o_orderdate") < split, cents(F.col("o_totalprice"))).otherwise(F.lit(0))
+    post = F.when(F.col("o_orderdate") >= split, cents(F.col("o_totalprice"))).otherwise(F.lit(0))
+    units = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(pre).cast("bigint").alias("x"),
+        F.sum(post).cast("bigint").alias("y"),
+    ).select(
+        (
+            F.pmod(portable_hash64(F.col("custkey").cast("string"), seed=11), F.lit(2))
+        ).cast("int").alias("arm"),
+        "x",
+        "y",
+    )
+    dec = "decimal(38,0)"
+    glob = units.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    arms = units.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("x").cast("bigint").alias("sax"),
+        F.sum("y").cast("bigint").alias("say"),
+    )
+    j = arms.crossJoin(F.broadcast(glob))
+    na = F.col("n_units").cast("double")
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    mean_y = F.col("say").cast("double") / na
+    adj = mean_y - theta * (
+        F.col("sax").cast("double") / na
+        - F.col("sx").cast("double") / F.col("n").cast("double")
+    )
+    return j.select(
+        "arm",
+        "n_units",
+        F.floor(F.lit(1e6) * mean_y).cast("bigint").alias("mean_y_micro"),
+        F.floor(F.lit(1e6) * adj).cast("bigint").alias("mean_y_cuped_micro"),
+    )
+
+
+q_cuped_adjustment.__doc__ = (q_cuped_adjustment.__doc__ or "").format(
+    d=_CUPED_SPLIT
+)
+
+
+# ---------------------------------------------------------------------------
+# temporal_purged_split — walk-forward split with an embargo gap
+# ---------------------------------------------------------------------------
+
+_SPLIT_T0 = "1997-01-01"
+_SPLIT_T1 = "1997-01-31"  # 30-day embargo
+
+
+@query(
+    "temporal_purged_split",
+    # registered (round-5): new query, no driver row yet
+    oracle=f"""
+    WITH tagged AS MATERIALIZED (
+      SELECT o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+             CASE
+               WHEN o_orderdate < TIMESTAMP '{_SPLIT_T0} 00:00:00'
+                 THEN 'train'
+               WHEN o_orderdate < TIMESTAMP '{_SPLIT_T1} 00:00:00'
+                 THEN 'embargo'
+               ELSE 'test'
+             END AS split
+      FROM orders
+    ),
+    per AS (
+      SELECT split, count(*) AS n_orders, sum(pc) AS revenue_cents,
+             count(DISTINCT o_custkey) AS n_customers
+      FROM tagged GROUP BY split
+    ),
+    train_c AS (SELECT DISTINCT o_custkey FROM tagged
+                WHERE split = 'train')
+    SELECT p.split,
+           CAST(p.n_orders AS BIGINT) AS n_orders,
+           CAST(p.revenue_cents AS BIGINT) AS revenue_cents,
+           CAST(p.n_customers AS BIGINT) AS n_customers,
+           CAST((SELECT count(*) FROM (
+              SELECT DISTINCT t.o_custkey FROM tagged t
+              JOIN train_c tc ON tc.o_custkey = t.o_custkey
+              WHERE t.split = p.split) q) AS BIGINT)
+             AS n_customers_seen_in_train
+    FROM per p
+    """,
+)
+def q_temporal_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURGED WALK-FORWARD SPLIT: train strictly before {t0}, a 30-day
+    EMBARGO window ({t0}–{t1}) excluded from both sides, test after —
+    the time-series CV discipline (de Prado's purging/embargo) that
+    keeps label horizons from leaking across the boundary, where a
+    random row split would.  The report carries the audit column a
+    leakage review asks for: how many of each split's customers also
+    appear in train (entity overlap is expected under a temporal
+    split — flagging it is exactly what dataset_split_grouped's
+    group-disjoint alternative is for).
+
+    Plan: one scan tags splits (pushed CASE on the partition-prunable
+    date column), one agg per split, plus a distinct-customer semi
+    join against the broadcast train-customer set."""
+    o = read_table(spark, sf_dir, "orders")
+    t0 = F.lit(_SPLIT_T0 + " 00:00:00").cast("timestamp")
+    t1 = F.lit(_SPLIT_T1 + " 00:00:00").cast("timestamp")
+    tagged = o.select(
+        "o_custkey",
+        cents(F.col("o_totalprice")).alias("pc"),
+        F.when(F.col("o_orderdate") < t0, "train")
+        .when(F.col("o_orderdate") < t1, "embargo")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("pc").cast("bigint").alias("revenue_cents"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+    )
+    train_c = (
+        tagged.filter(F.col("split") == "train")
+        .select("o_custkey")
+        .distinct()
+    )
+    overlap = (
+        tagged.select("split", "o_custkey")
+        .distinct()
+        .join(F.broadcast(train_c), "o_custkey", "leftsemi")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers_seen_in_train"))
+    )
+    return per.join(overlap, "split", "left").select(
+        "split",
+        "n_orders",
+        "revenue_cents",
+        "n_customers",
+        F.coalesce(F.col("n_customers_seen_in_train"), F.lit(0)).alias(
+            "n_customers_seen_in_train"
+        ),
+    )
+
+
+q_temporal_purged_split.__doc__ = (q_temporal_purged_split.__doc__ or "").format(
+    t0=_SPLIT_T0, t1=_SPLIT_T1
+)
+
+
+# ---------------------------------------------------------------------------
+# negative_sampling — deterministic hash negatives for (user, item) pairs
+# ---------------------------------------------------------------------------
+
+_NEG_K = 3
+
+
+@query(
+    "negative_sampling",
+    # registered (round-5): new query, no driver row yet
+    oracle=f"""
+    WITH pos AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    mx AS (SELECT max(p_partkey) AS maxpk FROM part),
+    cand AS (
+      SELECT DISTINCT p.custkey,
+        CAST({_duck_hash64(
+            "CAST(p.custkey AS VARCHAR) || '|' || "
+            "CAST(p.partkey AS VARCHAR) || '|' || CAST(i.i AS VARCHAR)",
+            seed=13,
+        )} % maxpk + 1 AS BIGINT) AS neg_partkey
+      FROM pos p, (VALUES (1), (2), (3)) i(i), mx
+    ),
+    neg AS (
+      SELECT c.custkey, c.neg_partkey FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM pos p2
+                        WHERE p2.custkey = c.custkey
+                          AND p2.partkey = c.neg_partkey)
+    )
+    SELECT p.custkey,
+           CAST(count(DISTINCT p.partkey) AS BIGINT) AS n_pos,
+           CAST((SELECT count(*) FROM neg n
+                 WHERE n.custkey = p.custkey) AS BIGINT) AS n_neg
+    FROM pos p GROUP BY p.custkey
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE SAMPLING for implicit-feedback training data: each
+    observed (customer, part) purchase pair spawns {k} deterministic
+    candidate negatives (md5-hash-derived part ids), then candidates
+    that are secretly positives for that customer are anti-joined away
+    — the standard recsys/contrastive-learning corpus build, made
+    reproducible by hashing instead of RNG (any engine regenerates the
+    identical negatives; no sampling seed to ship).
+
+    Plan: distinct positives (one exchange), a {k}-way literal-array
+    explode (no shuffle), a broadcast 1-row max-key bound, and one
+    LEFT ANTI join back on (customer, part) — the join key is the same
+    partitioning the positives already have.  Candidate volume is
+    exactly {k}× positives: linear fan-out, never a cross join."""
+    from .functions.expressions import portable_hash64
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    pos = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+    )
+    mx = p.agg(F.max("p_partkey").alias("maxpk"))
+    cand = (
+        pos.crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, _NEG_K + 1)])
+            ).alias("i"),
+            "partkey",
+            "maxpk",
+        )
+        .select(
+            "custkey",
+            (
+                F.pmod(
+                    portable_hash64(
+                        F.concat_ws(
+                            "|",
+                            F.col("custkey").cast("string"),
+                            F.col("partkey").cast("string"),
+                            F.col("i").cast("string"),
+                        ),
+                        seed=13,
+                    ),
+                    F.col("maxpk"),
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("neg_partkey"),
+        )
+        .distinct()
+    )
+    neg = cand.join(
+        pos.select("custkey", F.col("partkey").alias("neg_partkey")),
+        ["custkey", "neg_partkey"],
+        "left_anti",
+    )
+    n_neg = neg.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neg")
+    )
+    n_pos = pos.groupBy("custkey").agg(
+        F.countDistinct("partkey").cast("bigint").alias("n_pos")
+    )
+    return n_pos.join(n_neg, "custkey", "left").select(
+        "custkey",
+        "n_pos",
+        F.coalesce(F.col("n_neg"), F.lit(0)).cast("bigint").alias("n_neg"),
+    )
+
+
+q_negative_sampling.__doc__ = (q_negative_sampling.__doc__ or "").format(
+    k=_NEG_K
+)
