@@ -847,3 +847,496 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_negative_sampling.__doc__ = (q_negative_sampling.__doc__ or "").format(
     k=_NEG_K
 )
+
+
+# ---------------------------------------------------------------------------
+# bloom_prune_audit — bloom-filter semi-join reduction, measured
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192  # bits
+_BLOOM_SEEDS = (21, 22)  # one hash per seed
+
+
+@query(
+    "bloom_prune_audit",
+    # registered (round-5): new query, no driver row yet
+    oracle=f"""
+    WITH dim AS MATERIALIZED (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+      SELECT list(DISTINCT pos) AS bs FROM (
+        SELECT {_duck_hash64("CAST(c_custkey AS VARCHAR)", seed=_BLOOM_SEEDS[0])}
+               % {_BLOOM_M} AS pos FROM dim
+        UNION ALL
+        SELECT {_duck_hash64("CAST(c_custkey AS VARCHAR)", seed=_BLOOM_SEEDS[1])}
+               % {_BLOOM_M} FROM dim
+      )
+    ),
+    probe AS (
+      SELECT o.o_custkey,
+        list_contains(bs,
+          {_duck_hash64("CAST(o.o_custkey AS VARCHAR)", seed=_BLOOM_SEEDS[0])}
+          % {_BLOOM_M})
+        AND list_contains(bs,
+          {_duck_hash64("CAST(o.o_custkey AS VARCHAR)", seed=_BLOOM_SEEDS[1])}
+          % {_BLOOM_M}) AS pass,
+        EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = o.o_custkey)
+          AS member
+      FROM orders o, bits
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_members,
+           CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_bloom,
+           CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST((sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
+                 * 1000000)
+                // sum(CASE WHEN NOT member THEN 1 ELSE 0 END) AS BIGINT)
+             AS fpr_ppm
+    FROM probe
+    """,
+)
+def q_bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER SEMI-JOIN REDUCTION (the runtime-filter /
+    sideways-information-passing device behind Spark's own
+    spark.sql.optimizer.runtimeFilter): the dimension predicate's keys
+    are compressed into an {m}-bit, 2-hash bloom set, broadcast, and
+    applied at the fact scan — rows failing the bloom can NEVER join,
+    so at 100 TB the probe prunes the shuffle before it happens at the
+    cost of a kilobyte-scale bitset.  The audit quantifies the one
+    thing that matters: zero false NEGATIVES by construction (every
+    true member passes — the query proves n_pass ≥ n_true), and the
+    measured false-positive rate that bounds the wasted shuffle.
+
+    Hashes are the engine's portable md5 hash64 so the oracle rebuilds
+    the identical bitset; the bit positions ride as a broadcast sorted
+    array (a real implementation packs them into longs — the set form
+    keeps the SQL twin exact)."""
+    from .functions.expressions import portable_hash64
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    dim = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    def pos(col: Column, seed: int) -> Column:
+        return F.pmod(
+            portable_hash64(col.cast("string"), seed=seed), F.lit(_BLOOM_M)
+        )
+
+    bits = (
+        dim.select(pos(F.col("c_custkey"), _BLOOM_SEEDS[0]).alias("pos"))
+        .unionAll(
+            dim.select(pos(F.col("c_custkey"), _BLOOM_SEEDS[1]).alias("pos"))
+        )
+        .agg(F.collect_set("pos").alias("bs"))
+    )
+    probe = (
+        o.crossJoin(F.broadcast(bits))
+        .join(
+            F.broadcast(dim.withColumn("__m", F.lit(True))),
+            o["o_custkey"] == dim["c_custkey"],
+            "left",
+        )
+        .select(
+            (
+                F.array_contains(
+                    "bs", pos(F.col("o_custkey"), _BLOOM_SEEDS[0])
+                )
+                & F.array_contains(
+                    "bs", pos(F.col("o_custkey"), _BLOOM_SEEDS[1])
+                )
+            ).alias("pass"),
+            F.coalesce(F.col("__m"), F.lit(False)).alias("member"),
+        )
+    )
+    agg = probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_members"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass_bloom"),
+        F.sum(F.when(F.col("pass") & ~F.col("member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+    return agg.select(
+        "n_orders",
+        "n_true_members",
+        "n_pass_bloom",
+        "n_false_pos",
+        F.expr(
+            "(n_false_pos * 1000000) div (n_orders - n_true_members)"
+        )
+        .cast("bigint")
+        .alias("fpr_ppm"),
+    )
+
+
+q_bloom_prune_audit.__doc__ = (q_bloom_prune_audit.__doc__ or "").format(
+    m=_BLOOM_M
+)
+
+
+# ---------------------------------------------------------------------------
+# cms_frequency_audit — Count-Min sketch estimates vs exact counts
+# ---------------------------------------------------------------------------
+
+_CMS_W = 1024
+_CMS_D = 3
+_CMS_SEED0 = 31
+_CMS_TOPK = 20
+
+
+@query(
+    "cms_frequency_audit",
+    # registered (round-5): new query, no driver row yet
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      SELECT d.d,
+             CAST('0x' || substring(md5(
+               CAST({_CMS_SEED0} + d.d AS VARCHAR) || '|'
+               || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT)
+               % {_CMS_W} AS col,
+             count(*) AS cnt
+      FROM lineitem, (VALUES (0), (1), (2)) d(d)
+      GROUP BY 1, 2
+    ),
+    exact AS MATERIALIZED (
+      SELECT l_partkey AS partkey, count(*) AS exact_cnt
+      FROM lineitem GROUP BY l_partkey
+    ),
+    top AS (
+      SELECT partkey, exact_cnt FROM (
+        SELECT partkey, exact_cnt,
+               row_number() OVER (ORDER BY exact_cnt DESC, partkey)
+                 AS rk
+        FROM exact
+      ) WHERE rk <= {_CMS_TOPK}
+    ),
+    est AS (
+      SELECT t.partkey, t.exact_cnt, min(c.cnt) AS est_cnt
+      FROM top t
+      JOIN cells c
+        ON c.col = CAST('0x' || substring(md5(
+             CAST({_CMS_SEED0} + c.d AS VARCHAR) || '|'
+             || CAST(t.partkey AS VARCHAR)), 1, 15) AS BIGINT)
+           % {_CMS_W}
+      GROUP BY t.partkey, t.exact_cnt
+    )
+    SELECT partkey,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           est_cnt >= exact_cnt AS never_underestimates
+    FROM est
+    """,
+)
+def q_cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH frequency estimation (Cormode & Muthukrishnan
+    2005), audited against exact counts: the {d}×{w} counter grid is
+    built in ONE aggregation over a {d}-way depth fan-out (each row
+    increments one cell per depth row), and a key's estimate is the
+    MIN of its {d} cells — never an underestimate, overshooting only
+    by colliding keys' mass (≈N/{w} per cell before the min).  The
+    audit reports the top-{k} heaviest keys' exact vs estimated counts
+    plus the one-sided-error invariant as a column.
+
+    This is the bounded-state answer to "how often does every key
+    appear in 100 TB": {d}·{w} integers regardless of key cardinality,
+    merge-associative across partitions/days (cells add) — where the
+    exact per-key count needs a key-cardinality shuffle.  md5-derived
+    row hashes make the sketch bit-identical cross-engine, so the
+    oracle replays the estimates exactly — no probabilistic bound
+    literal needed."""
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def cms_col(key: Column, d: Column) -> Column:
+        payload = F.concat(
+            (F.lit(_CMS_SEED0) + d).cast("string"),
+            F.lit("|"),
+            key.cast("string"),
+        )
+        return F.pmod(
+            F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+            F.lit(_CMS_W),
+        )
+
+    depths = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)]))
+    cells = (
+        li.select(F.col("l_partkey").alias("k"), depths.alias("d"))
+        .groupBy("d", cms_col(F.col("k"), F.col("d")).alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    top = (
+        exact.orderBy(F.col("exact_cnt").desc(), "partkey")
+        .limit(_CMS_TOPK)
+    )
+    est = (
+        top.join(
+            F.broadcast(cells),
+            cells["col"] == cms_col(F.col("partkey"), cells["d"]),
+        )
+        .groupBy("partkey", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.select(
+        "partkey",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        F.col("est_cnt").cast("bigint").alias("est_cnt"),
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias(
+            "never_underestimates"
+        ),
+    )
+
+
+q_cms_frequency_audit.__doc__ = (q_cms_frequency_audit.__doc__ or "").format(
+    d=_CMS_D, w=_CMS_W, k=_CMS_TOPK
+)
+
+
+# ---------------------------------------------------------------------------
+# sketch_reaggregation_audit — day HLL sketches → month union vs exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sketch_reaggregation_audit",
+    # registered (round-5): new query, no driver row yet
+    oracle="""
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+             AS ym,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           true AS merged_within_15pct
+    FROM orders GROUP BY 1
+    """,
+)
+def q_sketch_reaggregation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch REAGGREGATION: per-DAY HyperLogLog sketches of active
+    customers are UNIONED up to months — without touching raw rows
+    again — and the merged estimate audited against the exact month
+    distinct (|err| ≤ 15%, ~9× the lg_k=12 RSE, so the flag is stable
+    by a wide margin; same audit device as hll_distinct_audit).  This
+    is the property that makes sketches a STORAGE format, not just an
+    aggregate: a 100 TB warehouse keeps 4 KB day sketches and answers
+    any-date-range distinct questions by unioning sketches — the raw
+    scan happens once, ever.
+
+    Plan: one day-grain sketch aggregation (map-side partials merge
+    HLL registers), one month-grain union of ~30 sketches per group,
+    and the exact pass alongside for the audit."""
+    from .operators.sketch import distinct_sketches, merge_distinct_sketches
+
+    o = read_table(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("ym"),
+        F.dayofmonth("o_orderdate").alias("day"),
+        "o_custkey",
+    )
+    day_sketches = distinct_sketches(o, ["ym", "day"], "o_custkey")
+    merged = merge_distinct_sketches(day_sketches, ["ym"])
+    exact = o.groupBy("ym").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    j = exact.join(merged, "ym")
+    rel_err = F.abs(
+        F.col("approx_distinct") - F.col("exact_distinct")
+    ) / F.col("exact_distinct")
+    return j.select(
+        "ym", "exact_distinct", (rel_err <= 0.15).alias("merged_within_15pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# score_calibration — decile calibration of the linear quality model
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+_CAL_LABEL_CHARS = 500
+
+
+def _qlr_oracle() -> str:
+    from .catalog import EXTRA_ORACLES, ORACLES
+
+    return ORACLES.get("quality_lr_score") or EXTRA_ORACLES["quality_lr_score"]
+
+
+@query(
+    "score_calibration",
+    # registered (round-5): new query, no driver row yet
+    oracle=None,  # assigned below — composes the quality_lr_score oracle
+)
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL CALIBRATION by score decile: documents are ranked by the
+    hashed-feature linear quality score (quality_lr_score's exact
+    integer inference), cut into {b} equal-population bins, and each
+    bin reports its mean score and the rate of a deterministic quality
+    label (n_chars ≥ {c}) — the reliability-diagram table that says
+    whether "higher score" actually means "more likely good" before a
+    100 TB corpus is filtered on the threshold.
+
+    The decile cut is the DISTRIBUTED global-ntile device
+    (operators/order.py): range-repartition by (score, doc_id), local
+    sort, per-partition offsets broadcast back — SQL-ntile semantics
+    with no single-task global window.  Mean score is floor-of-double
+    (scores can be negative — integer div would diverge between
+    engines); label rate is exact integer ppm."""
+    from .catalog import EXTRA_QUERIES, QUERIES
+    from .operators.order import global_ntile
+
+    scores_fn = QUERIES.get("quality_lr_score") or EXTRA_QUERIES[
+        "quality_lr_score"
+    ]
+    scores = scores_fn(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") >= _CAL_LABEL_CHARS).alias("label"),
+    )
+    binned = global_ntile(
+        scores, _CAL_BINS, ["lr_score_e6", "doc_id"]
+    ).select(
+        F.col("__ntile").alias("bin"), "lr_score_e6", "doc_id"
+    )
+    j = binned.join(d, "doc_id")
+    agg = j.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("lr_score_e6").cast("bigint").alias("s"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    return agg.select(
+        "bin",
+        "n_docs",
+        F.floor(F.col("s").cast("double") / F.col("n_docs").cast("double"))
+        .cast("bigint")
+        .alias("mean_score_e6"),
+        F.expr("(n_pos * 1000000) div n_docs")
+        .cast("bigint")
+        .alias("label_rate_ppm"),
+    )
+
+
+q_score_calibration.__doc__ = (q_score_calibration.__doc__ or "").format(
+    b=_CAL_BINS, c=_CAL_LABEL_CHARS
+)
+
+
+def _install_score_calibration_oracle() -> None:
+    from .catalog import EXTRA_ORACLES, ORACLES, QUERIES
+
+    target = ORACLES if "score_calibration" in QUERIES else EXTRA_ORACLES
+    target["score_calibration"] = f"""
+    WITH scores AS MATERIALIZED ({_qlr_oracle()}),
+    binned AS (
+      SELECT doc_id, lr_score_e6,
+             ntile({_CAL_BINS}) OVER (ORDER BY lr_score_e6, doc_id)
+               AS bin
+      FROM scores
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(floor(CAST(sum(lr_score_e6) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) AS BIGINT)
+             AS mean_score_e6,
+           CAST((sum(CASE WHEN d.n_chars >= {_CAL_LABEL_CHARS}
+                          THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS label_rate_ppm
+    FROM binned JOIN documents d USING (doc_id)
+    GROUP BY bin
+    """
+
+
+_install_score_calibration_oracle()
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage — OOV rate per source against the corpus top-k vocab
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 500
+
+
+@query(
+    "vocab_coverage",
+    # registered (round-5): new query, no driver row yet
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT source, u.tok
+      FROM (SELECT source,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+            FROM documents WHERE trim(text) <> '') t,
+           unnest(t.tk) AS u(tok)
+    ),
+    corpus AS MATERIALIZED (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+        FROM corpus
+      ) WHERE rk <= {_VOCAB_K}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST((sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS oov_ppm
+    FROM toks LEFT JOIN vocab v USING (tok)
+    GROUP BY source
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER VOCABULARY COVERAGE: build the corpus top-{k} token
+    vocabulary (count desc, token asc — fully ranked, no sampling)
+    and report each source's out-of-vocabulary token rate — the
+    pre-training health check that catches a source whose tokens a
+    fixed vocab would shatter into bytes (code, non-Latin scripts,
+    boilerplate IDs) before training wastes context on it.
+
+    Plan: one (source, token)-free postings pass groups raw tokens to
+    corpus counts (map-side partials shrink the exchange to
+    vocabulary size); the top-{k} cut is TakeOrdered over the
+    vocabulary-sized frame — a bounded k·partitions heap merge, never
+    a global sort; membership rides back as a broadcast hash join at
+    token granularity.  Nothing downstream of the first aggregation
+    scales with corpus bytes."""
+    from .catalog_ext import _docs_parallel
+    from .operators.text import _tokens
+
+    d = _docs_parallel(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    toks = d.select("source", F.explode(_tokens("text")).alias("tok"))
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        corpus.orderBy(F.col("cnt").desc(), "tok")
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(True).alias("__v"))
+    )
+    j = toks.join(F.broadcast(vocab), "tok", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.expr(
+            "(sum(CASE WHEN __v IS NULL THEN 1 ELSE 0 END) * 1000000) "
+            "div count(*)"
+        )
+        .cast("bigint")
+        .alias("oov_ppm"),
+    )
+
+
+q_vocab_coverage.__doc__ = (q_vocab_coverage.__doc__ or "").format(
+    k=_VOCAB_K
+)
