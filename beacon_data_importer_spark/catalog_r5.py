@@ -1340,3 +1340,486 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_vocab_coverage.__doc__ = (q_vocab_coverage.__doc__ or "").format(
     k=_VOCAB_K
 )
+
+
+# ---------------------------------------------------------------------------
+# readability_scores — Flesch reading ease per source (regex heuristics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "readability_scores",
+    # registered (round-5): new query, no driver row yet
+    oracle="""
+    WITH per_doc AS MATERIALIZED (
+      SELECT source,
+        len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS words,
+        len(regexp_extract_all(text, '[.!?]+')) AS sentences,
+        len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(words) AS BIGINT) AS n_words,
+      CAST(sum(sentences) AS BIGINT) AS n_sentences,
+      CAST(sum(syllables) AS BIGINT) AS n_syllables,
+      CASE WHEN sum(sentences) > 0 AND sum(words) > 0 THEN
+        CAST(floor(1000.0 * (206.835
+          - 1.015 * (CAST(sum(words) AS DOUBLE)
+                     / CAST(sum(sentences) AS DOUBLE))
+          - 84.6 * (CAST(sum(syllables) AS DOUBLE)
+                    / CAST(sum(words) AS DOUBLE)))) AS BIGINT)
+      ELSE NULL END AS flesch_milli
+    FROM per_doc GROUP BY source
+    """,
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT READABILITY profiling: per-source Flesch reading ease from
+    three regex-countable proxies — whitespace words, [.!?]+ sentence
+    terminators, [aeiouy]+ vowel groups as syllables (the standard
+    dictionary-free approximation).  Readability stratification is a
+    curriculum / data-mixing signal: a source whose score collapses is
+    boilerplate or code, not prose.
+
+    The integer counts aggregate exactly (map-side partials); the
+    Flesch formula's four IEEE ops run once per SOURCE on exact sums
+    — never per-document floats — and surface as floor milli-units.
+    Regexes stay in the Java/RE2 common subset (text.py's discipline)
+    so both engines count identical matches."""
+    from .catalog_ext import _docs_parallel
+    from .operators.text import _ntoks, _tokens
+
+    d = _docs_parallel(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    per_doc = d.select(
+        "source",
+        _ntoks(_tokens("text")).alias("words"),
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")).alias(
+            "sentences"
+        ),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).alias("syllables"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("n_words"),
+        F.sum("sentences").cast("bigint").alias("n_sentences"),
+        F.sum("syllables").cast("bigint").alias("n_syllables"),
+    )
+    flesch = F.floor(
+        F.lit(1000.0)
+        * (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (
+                F.col("n_words").cast("double")
+                / F.col("n_sentences").cast("double")
+            )
+            - F.lit(84.6)
+            * (
+                F.col("n_syllables").cast("double")
+                / F.col("n_words").cast("double")
+            )
+        )
+    ).cast("bigint")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            (F.col("n_sentences") > 0) & (F.col("n_words") > 0), flesch
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("flesch_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# column_entropy_profile — Shannon entropy per categorical column
+# ---------------------------------------------------------------------------
+
+_ENTROPY_COLS = (
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("customer", "c_mktsegment"),
+    ("documents", "lang"),
+)
+
+
+def _entropy_oracle() -> str:
+    parts = []
+    for tbl, col in _ENTROPY_COLS:
+        parts.append(f"""
+      SELECT '{tbl}' AS tbl, '{col}' AS col, {col} AS val,
+             count(*) AS n_i
+      FROM {tbl} GROUP BY {col}""")
+    union = "\n      UNION ALL".join(parts)
+    return f"""
+    WITH vals AS MATERIALIZED ({union}
+    ),
+    withn AS (
+      SELECT tbl, col, n_i,
+             sum(n_i) OVER (PARTITION BY tbl, col) AS n
+      FROM vals
+    )
+    SELECT tbl, col,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(min(n) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(1e6
+             * (CAST(n_i AS DOUBLE) / CAST(n AS DOUBLE))
+             * log2(CAST(n AS DOUBLE) / CAST(n_i AS DOUBLE)))
+             AS BIGINT)) AS BIGINT) AS entropy_microbits
+    FROM withn GROUP BY tbl, col
+    """
+
+
+@query(
+    "column_entropy_profile",
+    # registered (round-5): new query, no driver row yet
+    oracle=_entropy_oracle(),
+)
+def q_column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-PROFILING: Shannon entropy of every low-cardinality
+    categorical column — the one-number summary that ranks columns by
+    information content (near-zero = constant column, log2(k) =
+    uniform over k values), driving encoding choices (dictionary vs
+    plain), partition-key selection, and drift alarms.
+
+    Per column: one value-level aggregation (map-side partials shrink
+    the exchange to the value cardinality), then the entropy sum runs
+    over the VALUE-level frame — dozens of rows however big the scan.
+    Each value's term floor(1e6·p·log2(1/p)) is floored BEFORE the
+    cross-value sum, so the only cross-engine float exposure is
+    per-term (deterministic inputs → deterministic IEEE), never an
+    order-sensitive float accumulation."""
+    frames = []
+    for tbl, col in _ENTROPY_COLS:
+        t = read_table(spark, sf_dir, tbl)
+        frames.append(
+            t.groupBy(F.col(col).alias("val")).agg(
+                F.count(F.lit(1)).alias("n_i")
+            ).select(
+                F.lit(tbl).alias("tbl"), F.lit(col).alias("col"),
+                "val", "n_i",
+            )
+        )
+    vals = frames[0]
+    for f in frames[1:]:
+        vals = vals.unionAll(f)
+    withn = vals.withColumn(
+        "n", F.sum("n_i").over(Window.partitionBy("tbl", "col"))
+    )
+    p = F.col("n_i").cast("double") / F.col("n").cast("double")
+    term = F.floor(
+        F.lit(1e6)
+        * p
+        * F.log2(F.col("n").cast("double") / F.col("n_i").cast("double"))
+    ).cast("bigint")
+    return withn.groupBy("tbl", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.min("n").cast("bigint").alias("n_rows"),
+        F.sum(term).cast("bigint").alias("entropy_microbits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kcore_decomposition — iterative 3-core peel of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+_KCORE_MIN_SHARED = 3  # same edge threshold as triangle_count / LPA
+
+
+def _kcore_oracle() -> str:
+    ctes = [f"""cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT x.c AS a, y.c AS b
+      FROM cp x JOIN cp y ON x.p = y.p AND x.c < y.c
+      GROUP BY x.c, y.c
+      HAVING count(*) >= {_KCORE_MIN_SHARED}
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    alive0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym)"""]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(f"""alive{r} AS MATERIALIZED (
+      SELECT e.src AS v FROM sym e
+      JOIN alive{r - 1} x ON e.src = x.v
+      JOIN alive{r - 1} y ON e.dst = y.v
+      GROUP BY e.src HAVING count(*) >= {_KCORE_K}
+    )""")
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    SELECT e.src AS vertex, CAST(count(*) AS BIGINT) AS deg_in_core
+    FROM sym e
+    JOIN alive{_KCORE_ROUNDS} x ON e.src = x.v
+    JOIN alive{_KCORE_ROUNDS} y ON e.dst = y.v
+    GROUP BY e.src
+    """
+
+
+@query(
+    "kcore_decomposition",
+    # registered (round-5): new query, no driver row yet
+    oracle=_kcore_oracle(),
+)
+def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-CORE of the customer co-purchase graph by iterative PEELING
+    (Matula & Beck 1983): repeatedly delete vertices with alive-degree
+    < {k} until a fixpoint — what survives is the maximal subgraph of
+    minimum degree {k}, the dense-cohesion community notion that LPA /
+    connected-components miss (a long chain is one component but has
+    an empty 2-core).  {r} synchronous rounds, the bounded-rounds
+    device of pagerank/bfs/LPA (peeling converges in ≤ rounds equal
+    to the peel depth; {r} is asserted stable by the CI twin test,
+    and the oracle unrolls the SAME {r} rounds so parity holds by
+    construction even at a scale where more rounds would matter).
+
+    Per round: two vertex-keyed semi joins + one degree count — every
+    shuffle is on the vertex key; per-round state is the shrinking
+    alive set, checkpointed to cut lineage."""
+    from .plans.co_purchase import co_purchase_edges
+
+    edges = co_purchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint()
+
+    alive = sym.select(F.col("src").alias("v")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            sym.join(alive, sym["src"] == alive["v"], "leftsemi")
+            .join(
+                alive.select(F.col("v").alias("v2")),
+                F.col("dst") == F.col("v2"),
+                "leftsemi",
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = (
+            deg.filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("v"))
+            .localCheckpoint()
+        )
+    core_edges = sym.join(
+        alive, sym["src"] == alive["v"], "leftsemi"
+    ).join(
+        alive.select(F.col("v").alias("v2")),
+        F.col("dst") == F.col("v2"),
+        "leftsemi",
+    )
+    return core_edges.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg_in_core")
+    )
+
+
+q_kcore_decomposition.__doc__ = (q_kcore_decomposition.__doc__ or "").format(
+    k=_KCORE_K, r=_KCORE_ROUNDS
+)
+
+
+# ---------------------------------------------------------------------------
+# late_data_audit — watermark lateness accounting (batch twin)
+# ---------------------------------------------------------------------------
+
+_WM_DELAY_US = 2 * 3600 * 1_000_000  # 2-hour watermark
+
+
+@query(
+    "late_data_audit",
+    # registered (round-5): new query, no driver row yet
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type, epoch_us(ts) AS es,
+             max(epoch_us(ts)) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS runmax
+      FROM events
+    )
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(sum(CASE WHEN es < runmax - {_WM_DELAY_US} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_late,
+      CAST(coalesce(max(CASE WHEN es < runmax - {_WM_DELAY_US}
+        THEN (runmax - {_WM_DELAY_US} - es) // 1000000 END), 0)
+        AS BIGINT) AS max_lateness_s,
+      CAST((sum(CASE WHEN es < runmax - {_WM_DELAY_US} THEN 1 ELSE 0 END)
+            * 1000000) // count(*) AS BIGINT) AS late_ppm
+    FROM arr GROUP BY event_type
+    """,
+)
+def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATENESS ACCOUNTING — the batch twin of Structured
+    Streaming's withWatermark drop rule: replay events in ARRIVAL
+    order (event_id is the ingest sequence), maintain the running
+    max event time, and classify each event as late when its time
+    falls more than the 2-hour delay behind the high-water mark —
+    exactly the rows a streaming aggregation would discard.  Sizing
+    the watermark IS this query: run it over yesterday's 100 TB,
+    read late_ppm/max_lateness, pick the delay that bounds loss.
+
+    The global running max uses operators/order.py's two-pass
+    range-partition device (per-partition prefix max + broadcast
+    cross-partition offsets) — never a single-task global window."""
+    from .operators.order import global_running_max
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("es"),
+    )
+    r = global_running_max(e, ["event_id"], "es", out_col="runmax")
+    late = F.col("es") < F.col("runmax") - F.lit(_WM_DELAY_US)
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    late,
+                    F.expr(
+                        f"(runmax - {_WM_DELAY_US} - es) div 1000000"
+                    ),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("max_lateness_s"),
+        F.expr(
+            f"(sum(CASE WHEN es < runmax - {_WM_DELAY_US} THEN 1 ELSE 0 "
+            "END) * 1000000) div count(*)"
+        )
+        .cast("bigint")
+        .alias("late_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling_anomaly_flags — trailing z-score outlier days
+# ---------------------------------------------------------------------------
+
+_ANOM_MIN_N = 8
+_ANOM_Z_MICRO = 2_000_000  # |z| >= 2
+
+
+@query(
+    "rolling_anomaly_flags",
+    # registered (round-5): new query, no driver row yet
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS ep,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT yr, ep, x,
+        count(*) OVER w AS n,
+        sum(x) OVER w AS sx,
+        sum(CAST(x AS DECIMAL(38,0)) * x) OVER w AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY yr ORDER BY ep
+                   RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT yr, ep, x, n,
+        CAST(floor(1e6
+          * (CAST(x AS DOUBLE)
+             - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+        ) AS BIGINT) AS z_micro
+      FROM win
+      WHERE n >= {_ANOM_MIN_N}
+        AND CAST(n AS DECIMAL(38,0)) * sxx
+            - CAST(sx AS DECIMAL(38,0)) * sx > 0
+    )
+    SELECT yr, ep, x AS revenue_cents, CAST(n AS BIGINT) AS n_window,
+           z_micro, abs(z_micro) >= {_ANOM_Z_MICRO} AS is_anomaly
+    FROM z
+    """,
+)
+def q_rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ANOMALY DETECTION on the daily revenue series: each
+    day's z-score against the TRAILING 28-day window EXCLUDING itself
+    (frame 28-preceding..1-preceding — a self-inclusive window dilutes
+    the very spike it should flag), |z| ≥ 2 marks the anomaly.  The
+    monitoring primitive behind every "revenue looks weird today"
+    alert, windowed so one broken day never poisons its own baseline.
+
+    Sufficient statistics (n, Σx, Σx²) accumulate exactly over the
+    RANGE window; the mean/std/z chain is deterministic IEEE on exact
+    inputs, floored to micro-units.  Degenerate windows (n < {m} or
+    zero variance) are excluded, not NULL-flagged — the alert table
+    only carries scoreable days.  Year-partitioned like
+    rolling_correlation: trailing stats parallelize across years
+    instead of one global-order task."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("ep"),
+    ).agg(F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("x"))
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("yr").orderBy("ep").rangeBetween(-28, -1)
+    win = daily.select(
+        "yr",
+        "ep",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).over(w).alias("sxx"),
+    )
+    var_num = (
+        F.col("n").cast(dec) * F.col("sxx")
+        - F.col("sx").cast(dec) * F.col("sx")
+    )
+    z = F.floor(
+        F.lit(1e6)
+        * (
+            F.col("x").cast("double")
+            - F.col("sx").cast("double") / F.col("n").cast("double")
+        )
+        / F.sqrt(
+            var_num.cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+        )
+    ).cast("bigint")
+    return (
+        win.filter((F.col("n") >= _ANOM_MIN_N) & (var_num > 0))
+        .select(
+            "yr",
+            "ep",
+            F.col("x").alias("revenue_cents"),
+            F.col("n").cast("bigint").alias("n_window"),
+            z.alias("z_micro"),
+            (F.abs(z) >= _ANOM_Z_MICRO).alias("is_anomaly"),
+        )
+    )
+
+
+q_rolling_anomaly_flags.__doc__ = (q_rolling_anomaly_flags.__doc__ or "").format(
+    m=_ANOM_MIN_N
+)

@@ -80,3 +80,61 @@ def global_ntile(df: DataFrame, n: int, order_cols: list[str]) -> DataFrame:
         .withColumn("__ntile", (tile + 1).cast("int"))
         .drop("__pid", "__mid", "__mid0", "__off", "__total")
     )
+
+
+def global_running_max(
+    df: DataFrame, order_cols: list[str], value_col: str,
+    out_col: str = "__runmax",
+) -> DataFrame:
+    """Append ``max(value_col) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)`` — the global prefix maximum — WITHOUT a single-task
+    global window.
+
+    Same two-pass device as :func:`global_ntile`: range-repartition on
+    the order columns, run the prefix max per partition (parallel),
+    then broadcast each partition's overall max and combine — the
+    global prefix max at any row is ``greatest(local prefix max,
+    max over all earlier partitions)``.  ``order_cols`` must be a
+    total order for a deterministic result when ``value_col`` ties
+    would otherwise straddle a boundary (the max itself is
+    order-insensitive, so this is only about reproducible
+    partitioning).
+
+    The scan shape every watermark/lateness audit needs at 100 TB:
+    two exchanges (range + broadcast), no per-key state growth.
+    """
+    spark = df.sparkSession
+    shuffle_n = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200") or "200"
+    )
+    ranged = df.repartitionByRange(
+        shuffle_n, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    with_pid = ranged.select(
+        "*", F.spark_partition_id().alias("__pid")
+    ).localCheckpoint()  # pin boundaries: two consumers below
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pmax = with_pid.groupBy("__pid").agg(F.max(value_col).alias("__pmax"))
+    prior_w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = pmax.select(
+        "__pid", F.max("__pmax").over(prior_w).alias("__prior")
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            F.greatest(
+                F.max(value_col).over(local_w),
+                F.coalesce(
+                    F.col("__prior"), F.max(value_col).over(local_w)
+                ),
+            ),
+        )
+        .drop("__pid", "__prior")
+    )
