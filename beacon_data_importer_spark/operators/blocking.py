@@ -194,11 +194,21 @@ def coarse_blocked_pairs(
     name_col: str,
     k: int = 2,
     coarse_key: str | None = None,
+    max_unblocked_rows: int = 10_000,
 ) -> DataFrame:
     """The baseline strategy: exhaustive verify within coarse-key blocks
     (self-equi-join on the coarse key; cross join when none).  O(Σ
     block²) — fine when blocks are small or names carry no segment
-    entropy, fatal when one block holds most rows."""
+    entropy, fatal when one block holds most rows.
+
+    GUARD: the no-``coarse_key`` arm is a true cross join, quadratic in
+    the input.  It refuses (``ValueError``) when the input exceeds
+    ``max_unblocked_rows`` (default 10⁴ → ≤10⁸ raw pairs) — at that
+    point either supply a ``coarse_key`` or let
+    :func:`blocking_cost_estimates` pick PassJoin segment blocking
+    (:func:`passjoin_candidate_pairs`).  The count is one scalar
+    aggregate; raise ``max_unblocked_rows`` explicitly to accept the
+    quadratic cost on purpose."""
     lcols = [F.col(id_col).alias("a"), F.col(name_col).alias("name_a")]
     rcols = [F.col(id_col).alias("b"), F.col(name_col).alias("name_b")]
     if coarse_key:
@@ -206,6 +216,15 @@ def coarse_blocked_pairs(
         right = df.select(F.col(coarse_key).alias("__ck"), *rcols)
         j = left.join(right, "__ck")
     else:
+        n = df.count()
+        if n > max_unblocked_rows:
+            raise ValueError(
+                f"coarse_blocked_pairs without coarse_key would cross-join "
+                f"{n} rows (~{n * n:.0e} pairs; limit "
+                f"{max_unblocked_rows}). Supply coarse_key, use PassJoin "
+                f"segment blocking (passjoin_candidate_pairs), or raise "
+                f"max_unblocked_rows to accept the quadratic cost."
+            )
         j = df.select(*lcols).crossJoin(df.select(*rcols))
     dist = bounded_levenshtein("name_a", "name_b", k)
     return (

@@ -117,7 +117,13 @@ def read_staging(spark: SparkSession, csv_path: str, kind: str) -> DataFrame:
 
 def _max_id(df: DataFrame, id_col: str = "id") -> int:
     """Current max surrogate id (0 for an empty table).  A driver-side
-    scalar — one value, not a materialization."""
+    scalar — one value, not a materialization — and one such job per
+    import BATCH, which is fine for the reference's dimension-sized
+    imports (RETURNING emulation inherently reads back a scalar).  Do
+    NOT reach for this on a per-row or per-partition cadence: the
+    fact-table path is ``operators/surrogate.assign_surrogate_ids_
+    scalable`` (zipWithIndex-free prefix-sum ids), which never runs a
+    driver-side read at all."""
     row = df.agg(F.max(id_col).alias("m")).collect()[0]
     return int(row.m) if row.m is not None else 0
 

