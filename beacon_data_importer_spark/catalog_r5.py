@@ -1823,3 +1823,422 @@ def q_rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_rolling_anomaly_flags.__doc__ = (q_rolling_anomaly_flags.__doc__ or "").format(
     m=_ANOM_MIN_N
 )
+
+
+# ---------------------------------------------------------------------------
+# link_prediction_scores — common-neighbors + Adamic–Adar on co-purchase
+# ---------------------------------------------------------------------------
+
+_LINKPRED_TOPN = 50
+
+
+def _linkpred_oracle() -> str:
+    return f"""
+    WITH cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT x.c AS a, y.c AS b
+      FROM cp x JOIN cp y ON x.p = y.p AND x.c < y.c
+      GROUP BY x.c, y.c
+      HAVING count(*) >= 3
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS w, count(*) AS d FROM sym GROUP BY src
+    ),
+    wedges AS (
+      SELECT s1.dst AS a, s2.dst AS b, s1.src AS w
+      FROM sym s1 JOIN sym s2
+        ON s1.src = s2.src AND s1.dst < s2.dst
+    ),
+    scored AS (
+      SELECT wg.a, wg.b,
+             count(*) AS n_cn,
+             sum(CAST(floor(1e6 / ln(CAST(deg.d AS DOUBLE)))
+                 AS BIGINT)) AS aa_micro
+      FROM wedges wg JOIN deg ON wg.w = deg.w
+      GROUP BY wg.a, wg.b
+    ),
+    non_edges AS (
+      SELECT s.* FROM scored s
+      LEFT JOIN edges e ON s.a = e.a AND s.b = e.b
+      WHERE e.a IS NULL
+    )
+    SELECT a, b, CAST(n_cn AS BIGINT) AS n_cn,
+           CAST(aa_micro AS BIGINT) AS aa_micro
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY n_cn DESC, aa_micro DESC, a, b) AS rk
+      FROM non_edges
+    ) WHERE rk <= {_LINKPRED_TOPN}
+    """
+
+
+@query(
+    "link_prediction_scores",
+    # registered (round-5): new query, no driver row yet
+    oracle=_linkpred_oracle(),
+)
+def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION on the customer co-purchase graph: for every
+    NON-adjacent pair with at least one common neighbor, the two
+    classical proximity scores — common-neighbor count and
+    Adamic–Adar (Σ 1/ln(deg(w)) over shared neighbors w, which
+    discounts promiscuous hubs) — top-{n} candidates.  The
+    "customers you should bundle" / recommender-candidate primitive,
+    and the feature stage of graph-ML edge models.
+
+    Plan: wedge expansion (the triangle_count join shape — Σ deg(w)²
+    pairs on the thresholded SPARSE projection), degree join on the
+    wedge midpoint, hash-aggregate per candidate pair, anti join
+    against the existing edge list, TakeOrdered for the top-{n} (a
+    bounded heap merge, never a global sort).  Adamic–Adar terms are
+    floored to micro-units BEFORE the cross-neighbor sum, so the
+    aggregation is exact integer arithmetic — deg is an integer, so
+    each term is deterministic IEEE on both engines."""
+    from .plans.co_purchase import co_purchase_edges
+
+    edges = co_purchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint()
+    deg = sym.groupBy(F.col("src").alias("w")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    s1 = sym.select(F.col("src").alias("w"), F.col("dst").alias("a"))
+    s2 = sym.select(F.col("src").alias("w2"), F.col("dst").alias("b"))
+    wedges = s1.join(
+        s2, (F.col("w") == F.col("w2")) & (F.col("a") < F.col("b"))
+    ).select("a", "b", "w")
+    term = F.floor(
+        F.lit(1e6) / F.log(F.col("d").cast("double"))
+    ).cast("bigint")
+    scored = (
+        wedges.join(deg, "w")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cn"),
+            F.sum(term).cast("bigint").alias("aa_micro"),
+        )
+    )
+    non_edges = scored.join(edges, ["a", "b"], "left_anti")
+    return (
+        non_edges.orderBy(
+            F.col("n_cn").desc(), F.col("aa_micro").desc(), "a", "b"
+        )
+        .limit(_LINKPRED_TOPN)
+        .select("a", "b", "n_cn", "aa_micro")
+    )
+
+
+q_link_prediction_scores.__doc__ = (
+    q_link_prediction_scores.__doc__ or ""
+).format(n=_LINKPRED_TOPN)
+
+
+# ---------------------------------------------------------------------------
+# distribution_drift_audit — event-type mix drift between stream halves
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "distribution_drift_audit",
+    # registered (round-5): new query, no driver row yet
+    oracle="""
+    WITH es AS (
+      SELECT event_type, epoch_us(ts) AS e FROM events
+    ),
+    bounds AS (SELECT (min(e) + max(e)) // 2 AS mid FROM es),
+    halves AS (
+      SELECT event_type,
+             CASE WHEN e <= (SELECT mid FROM bounds)
+                  THEN 0 ELSE 1 END AS half
+      FROM es
+    ),
+    cnt AS (
+      SELECT event_type, half, count(*) AS n
+      FROM halves GROUP BY event_type, half
+    ),
+    wide AS (
+      SELECT event_type,
+             coalesce(sum(CASE WHEN half = 0 THEN n END), 0) AS n_first,
+             coalesce(sum(CASE WHEN half = 1 THEN n END), 0) AS n_second
+      FROM cnt GROUP BY event_type
+    )
+    SELECT event_type,
+      CAST(n_first AS BIGINT) AS n_first,
+      CAST(n_second AS BIGINT) AS n_second,
+      CAST((n_first * 1000000)
+           // sum(n_first) OVER () AS BIGINT) AS ppm_first,
+      CAST((n_second * 1000000)
+           // sum(n_second) OVER () AS BIGINT) AS ppm_second,
+      CAST(abs((n_first * 1000000) // sum(n_first) OVER ()
+             - (n_second * 1000000) // sum(n_second) OVER ())
+           AS BIGINT) AS drift_ppm
+    FROM wide
+    """,
+)
+def q_distribution_drift_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DISTRIBUTION DRIFT audit: split the event stream at the midpoint
+    of its time range and compare the event-type mix of the two halves
+    — per-type share in each half (exact integer ppm) and the absolute
+    share drift.  The monitoring primitive behind "did the traffic mix
+    shift?" alerts and training/serving skew checks; the per-type
+    |Δppm| column is the L1/total-variation contribution, so
+    TVD = Σ drift_ppm / 2.
+
+    One scan → (type, half) hash aggregate (map-side partials; the
+    exchange carries ≤ 2·|types| rows); the two scalar extremes ride
+    in as a broadcast of a 1-row aggregate; the share windows run over
+    the |types|-sized frame.  Nothing after the first aggregation
+    scales with stream size, and every share is integer-exact."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"),
+    )
+    bounds = e.agg(
+        F.expr("(min(e) + max(e)) div 2").cast("bigint").alias("mid")
+    )
+    halves = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(F.col("e") <= F.col("mid"), 0).otherwise(1).alias("half"),
+    )
+    wide = halves.groupBy("event_type").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("half") == 0, 1)), F.lit(0)
+        ).alias("n_first"),
+        F.coalesce(
+            F.sum(F.when(F.col("half") == 1, 1)), F.lit(0)
+        ).alias("n_second"),
+    )
+    # totals ride in as a broadcast 1-row aggregate over the
+    # |types|-sized frame (no window, no extra scan of the raw stream)
+    tots = wide.agg(
+        F.sum("n_first").alias("tf"), F.sum("n_second").alias("ts")
+    )
+    j = wide.crossJoin(F.broadcast(tots))
+    ppm_first = F.expr("(n_first * 1000000) div tf").cast("bigint")
+    ppm_second = F.expr("(n_second * 1000000) div ts").cast("bigint")
+    return j.select(
+        "event_type",
+        F.col("n_first").cast("bigint").alias("n_first"),
+        F.col("n_second").cast("bigint").alias("n_second"),
+        ppm_first.alias("ppm_first"),
+        ppm_second.alias("ppm_second"),
+        F.abs(ppm_first - ppm_second).cast("bigint").alias("drift_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# max_drawdown — worst peak-relative decline of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "max_drawdown",
+    # registered (round-5): new query, no driver row yet
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS ep,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    runm AS (
+      SELECT yr, ep, x,
+             max(x) OVER (PARTITION BY yr ORDER BY ep
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM daily
+    ),
+    dd AS (
+      SELECT yr, ep, x, peak,
+             ((peak - x) * 1000000) // peak AS dd_ppm
+      FROM runm
+    )
+    SELECT yr, ep AS trough_ep, x AS trough_cents,
+           peak AS peak_cents, CAST(dd_ppm AS BIGINT) AS drawdown_ppm
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY yr
+               ORDER BY dd_ppm DESC, ep) AS rk
+      FROM dd
+    ) WHERE rk = 1
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX DRAWDOWN of the daily revenue series, per year: the worst
+    peak-relative decline — running max of the daily level, drawdown
+    = (peak − x)/peak, argmax per year (earliest day wins ties).  The
+    risk/health summary every revenue or throughput dashboard carries:
+    "at the worst point we were N% below the best day so far".
+
+    The prefix max runs YEAR-partitioned (trailing state parallelizes
+    across years — the rolling_correlation discipline, never one
+    global-order task); the frame under the windows is the
+    day-granularity aggregate, ~365 rows per year however big the
+    scan.  Cents are exact integers; the drawdown ratio is exact
+    integer ppm (both engines floor a non-negative division)."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("ep"),
+    ).agg(F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("x"))
+    wrun = (
+        Window.partitionBy("yr")
+        .orderBy("ep")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runm = daily.withColumn("peak", F.max("x").over(wrun))
+    dd = runm.withColumn(
+        "dd_ppm", F.expr("((peak - x) * 1000000) div peak")
+    )
+    wpick = Window.partitionBy("yr").orderBy(
+        F.col("dd_ppm").desc(), "ep"
+    )
+    return (
+        dd.withColumn("rk", F.row_number().over(wpick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "yr",
+            F.col("ep").alias("trough_ep"),
+            F.col("x").alias("trough_cents"),
+            F.col("peak").alias("peak_cents"),
+            F.col("dd_ppm").cast("bigint").alias("drawdown_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_vocab_overlap — pairwise weighted-Jaccard between source vocabs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_vocab_overlap",
+    # registered (round-5): new query, no driver row yet
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT source, u.tok
+      FROM (SELECT source,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+            FROM documents WHERE trim(text) <> '') t,
+           unnest(t.tk) AS u(tok)
+    ),
+    tc AS MATERIALIZED (
+      SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok
+    ),
+    tot AS MATERIALIZED (
+      SELECT source, sum(c) AS t_total, count(*) AS v_distinct
+      FROM tc GROUP BY source
+    ),
+    inter AS (
+      SELECT x.source AS source_a, y.source AS source_b,
+             sum(CASE WHEN x.c < y.c THEN x.c ELSE y.c END) AS inter_w,
+             count(*) AS inter_v
+      FROM tc x JOIN tc y
+        ON x.tok = y.tok AND x.source < y.source
+      GROUP BY x.source, y.source
+    )
+    SELECT i.source_a, i.source_b,
+      CAST(i.inter_v AS BIGINT) AS shared_tokens,
+      CAST((i.inter_v * 1000000)
+           // (ta.v_distinct + tb.v_distinct - i.inter_v)
+           AS BIGINT) AS jaccard_micro,
+      CAST((i.inter_w * 1000000)
+           // (ta.t_total + tb.t_total - i.inter_w)
+           AS BIGINT) AS weighted_jaccard_micro
+    FROM inter i
+    JOIN tot ta ON i.source_a = ta.source
+    JOIN tot tb ON i.source_b = tb.source
+    """,
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-VOCABULARY OVERLAP: for every source pair, the
+    distinct-token Jaccard and the count-WEIGHTED Jaccard
+    (Σmin/Σmax over token frequencies) — the corpus-mixing diagnostic
+    that finds redundant sources (near-1 overlap → dedup across them
+    before fixing mixture weights) and outliers (near-0 → different
+    register or language).
+
+    The quadratic lives only in the OUTPUT (S² pairs): the join is
+    TOKEN-keyed over per-source token counts — a vocabulary-sized
+    exchange, with Σmax recovered as tot_a + tot_b − Σmin so the
+    union never materializes (per-pair intersection rows only).  The
+    per-source totals ride back as a broadcast join (|S| rows).  All
+    arithmetic is exact-integer; ratios surface as floored
+    micro-units via non-negative integer division."""
+    from .catalog_ext import _docs_parallel
+    from .operators.text import _tokens
+
+    d = _docs_parallel(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    toks = d.select("source", F.explode(_tokens("text")).alias("tok"))
+    tc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tc.groupBy("source").agg(
+        F.sum("c").alias("t_total"), F.count(F.lit(1)).alias("v_distinct")
+    )
+    x = tc.select(
+        F.col("source").alias("source_a"),
+        "tok",
+        F.col("c").alias("ca"),
+    )
+    y = tc.select(
+        F.col("source").alias("source_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("c").alias("cb"),
+    )
+    inter = (
+        x.join(
+            y,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.least("ca", "cb")).alias("inter_w"),
+            F.count(F.lit(1)).alias("inter_v"),
+        )
+    )
+    ta = F.broadcast(
+        tot.select(
+            F.col("source").alias("source_a"),
+            F.col("t_total").alias("tta"),
+            F.col("v_distinct").alias("va"),
+        )
+    )
+    tb = F.broadcast(
+        tot.select(
+            F.col("source").alias("source_b"),
+            F.col("t_total").alias("ttb"),
+            F.col("v_distinct").alias("vb"),
+        )
+    )
+    return (
+        inter.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("inter_v").cast("bigint").alias("shared_tokens"),
+            F.expr("(inter_v * 1000000) div (va + vb - inter_v)")
+            .cast("bigint")
+            .alias("jaccard_micro"),
+            F.expr("(inter_w * 1000000) div (tta + ttb - inter_w)")
+            .cast("bigint")
+            .alias("weighted_jaccard_micro"),
+        )
+    )
