@@ -2242,3 +2242,433 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weighted_jaccard_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mutual_information — MI between categorical column pairs
+# ---------------------------------------------------------------------------
+
+_MI_PAIRS = (
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+    ("documents", "lang", "source"),
+)
+
+
+def _mi_oracle() -> str:
+    parts = []
+    for tbl, cx, cy in _MI_PAIRS:
+        parts.append(f"""
+      SELECT '{tbl}' AS tbl, '{cx}' AS colx, '{cy}' AS coly,
+             CAST({cx} AS VARCHAR) AS x, CAST({cy} AS VARCHAR) AS y,
+             count(*) AS nxy
+      FROM {tbl} GROUP BY {cx}, {cy}""")
+    union = "\n      UNION ALL".join(parts)
+    return f"""
+    WITH joint AS MATERIALIZED ({union}
+    ),
+    marg AS (
+      SELECT *,
+        sum(nxy) OVER (PARTITION BY tbl, x) AS nx,
+        sum(nxy) OVER (PARTITION BY tbl, y) AS ny,
+        sum(nxy) OVER (PARTITION BY tbl) AS n
+      FROM joint
+    )
+    SELECT tbl, colx, coly,
+      CAST(count(*) AS BIGINT) AS n_cells,
+      CAST(min(n) AS BIGINT) AS n_rows,
+      CAST(sum(CAST(floor(1e6
+        * (CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+        * log2(CAST(nxy * n AS DOUBLE) / CAST(nx * ny AS DOUBLE)))
+        AS BIGINT)) AS BIGINT) AS mi_microbits
+    FROM marg GROUP BY tbl, colx, coly
+    """
+
+
+@query(
+    "mutual_information",
+    registered=False,  # extra (round-5): rotation candidate for round 6
+    oracle=_mi_oracle(),
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-DEPENDENCE profiling: mutual information between
+    categorical column pairs — MI = Σ p(x,y)·log2(p(x,y)/(p(x)p(y))),
+    the model-free dependence measure behind feature selection (near
+    zero → the pair is redundant to condition on jointly) and
+    denormalization/encoding decisions; the bivariate sequel to
+    column_entropy_profile.
+
+    Per pair: ONE joint hash aggregate (map-side partials shrink the
+    exchange to cell cardinality); marginals come from windows over
+    the CELL-level frame — dozens of rows however big the scan, the
+    column_entropy_profile device.  Each cell's term is floored to
+    micro-bits BEFORE the cross-cell sum (deterministic IEEE on exact
+    integer counts → exact integer aggregation)."""
+    frames = []
+    for tbl, cx, cy in _MI_PAIRS:
+        t = read_table(spark, sf_dir, tbl)
+        frames.append(
+            t.groupBy(
+                F.col(cx).cast("string").alias("x"),
+                F.col(cy).cast("string").alias("y"),
+            )
+            .agg(F.count(F.lit(1)).alias("nxy"))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(cx).alias("colx"),
+                F.lit(cy).alias("coly"),
+                "x", "y", "nxy",
+            )
+        )
+    joint = frames[0]
+    for f in frames[1:]:
+        joint = joint.unionAll(f)
+    marg = (
+        joint.withColumn(
+            "nx", F.sum("nxy").over(Window.partitionBy("tbl", "x"))
+        )
+        .withColumn(
+            "ny", F.sum("nxy").over(Window.partitionBy("tbl", "y"))
+        )
+        .withColumn("n", F.sum("nxy").over(Window.partitionBy("tbl")))
+    )
+    term = F.floor(
+        F.lit(1e6)
+        * (F.col("nxy").cast("double") / F.col("n").cast("double"))
+        * F.log2(
+            (F.col("nxy") * F.col("n")).cast("double")
+            / (F.col("nx") * F.col("ny")).cast("double")
+        )
+    ).cast("bigint")
+    return marg.groupBy("tbl", "colx", "coly").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.min("n").cast("bigint").alias("n_rows"),
+        F.sum(term).cast("bigint").alias("mi_microbits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# last_touch_attribution — marketing attribution of purchases
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+@query(
+    "last_touch_attribution",
+    registered=False,  # extra (round-5): rotation candidate for round 6
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS es, event_id, value
+      FROM events
+    ),
+    touched AS (
+      SELECT *,
+        last_value(CASE WHEN event_type <> 'purchase'
+                        THEN event_type END IGNORE NULLS)
+          OVER w AS touch_type,
+        last_value(CASE WHEN event_type <> 'purchase'
+                        THEN es END IGNORE NULLS)
+          OVER w AS touch_es
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    attributed AS (
+      SELECT CASE WHEN touch_es >= es - {_ATTR_WINDOW_US}
+                  THEN touch_type ELSE 'direct' END AS channel,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM touched WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+      CAST(count(*) AS BIGINT) AS n_purchases,
+      CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      CAST((count(*) * 1000000) // (SELECT count(*) FROM attributed)
+           AS BIGINT) AS share_ppm
+    FROM attributed GROUP BY channel
+    """,
+)
+def q_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: every purchase is credited to the same
+    user's most recent non-purchase event within a 7-day lookback
+    ('direct' when none) — the standard marketing-attribution model,
+    built from the LOCF device (ignore-nulls running last over the
+    per-user event order, frame ending at 1 PRECEDING so a purchase
+    never attributes to itself).  Both LOCF columns share one
+    predicate, so they pick the SAME touch row by construction.
+
+    ONE shuffle on user_id for the window (single sort-based pass,
+    state = one value per key), then a channel-sized hash aggregate;
+    the attribution share rides on a broadcast scalar.  Revenue is
+    exact cents; shares are exact integer ppm."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("es"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    touched = e.select(
+        "*",
+        F.last(
+            F.when(not_purchase, F.col("event_type")), ignorenulls=True
+        ).over(w).alias("touch_type"),
+        F.last(
+            F.when(not_purchase, F.col("es")), ignorenulls=True
+        ).over(w).alias("touch_es"),
+    )
+    attributed = touched.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_es") >= F.col("es") - F.lit(_ATTR_WINDOW_US),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        cents(F.col("value")).alias("cents"),
+    )
+    total = attributed.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "n_purchases",
+            "revenue_cents",
+            F.expr("(n_purchases * 1000000) div tot")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift_by_label — per-label centroid cosine vs corpus centroid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_drift_by_label",
+    registered=False,  # extra (round-5): rotation candidate for round 6
+    oracle="""
+    WITH comp AS MATERIALIZED (
+      SELECT label, pos, sum(q) AS s, count(*) AS nv FROM (
+        SELECT label,
+          unnest(generate_series(1, len(embedding))) AS pos,
+          unnest(list_transform(embedding::DOUBLE[],
+                 e -> CAST(floor(e * 1e6) AS BIGINT))) AS q
+        FROM embeddings
+      ) GROUP BY label, pos
+    ),
+    gvec AS (
+      SELECT pos, sum(s) AS g FROM comp GROUP BY pos
+    ),
+    dots AS (
+      SELECT c.label,
+        max(c.nv) AS n_vecs,
+        sum(CAST(c.s AS DECIMAL(38,0)) * gl.g) AS num,
+        sum(CAST(c.s AS DECIMAL(38,0)) * c.s) AS na2,
+        sum(CAST(gl.g AS DECIMAL(38,0)) * gl.g) AS ng2
+      FROM comp c JOIN gvec gl ON c.pos = gl.pos
+      GROUP BY c.label
+    )
+    SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+      CAST(floor(1e6 * CAST(num AS DOUBLE)
+        / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(ng2 AS DOUBLE))))
+        AS BIGINT) AS cos_to_corpus_micro
+    FROM dots
+    """,
+)
+def q_embedding_drift_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EMBEDDING DRIFT monitor: cosine of each label's centroid against
+    the corpus centroid — the slice-level embedding health check (a
+    label whose centroid swings away from the corpus signals
+    distribution shift, a broken encoder, or a mislabeled slice).
+    Because cosine is scale-invariant, centroids never need the 1/n
+    division: cos(mean_label, mean_corpus) = cos(SUM_label,
+    SUM_corpus), computed directly on exact per-component sums.
+
+    Components are quantized floor(x·1e6) at the SCAN (float→double
+    widening is exact, so both engines floor identical doubles) and
+    summed as integers — the order-insensitivity discipline; the
+    64-term dot products accumulate as DECIMAL(38,0); exactly one
+    IEEE chain (divide + two sqrts) runs per label.  Shuffle story:
+    posexplode → (label, pos) hash-aggregate (map-side partials: the
+    exchange carries |labels|·dims rows), then everything downstream
+    is centroid-sized."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("x").cast("double") * 1e6).cast("bigint")
+    comp = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "x")
+        )
+        .select("label", "pos", q.alias("q"))
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("nv"))
+    )
+    glob = comp.groupBy("pos").agg(F.sum("s").alias("g"))
+    dec = "decimal(38,0)"
+    dots = (
+        comp.join(glob, "pos")
+        .groupBy("label")
+        .agg(
+            F.max("nv").alias("n_vecs"),
+            F.sum(F.col("s").cast(dec) * F.col("g")).alias("num"),
+            F.sum(F.col("s").cast(dec) * F.col("s")).alias("na2"),
+            F.sum(F.col("g").cast(dec) * F.col("g")).alias("ng2"),
+        )
+    )
+    return dots.select(
+        "label",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.floor(
+            F.lit(1e6)
+            * F.col("num").cast("double")
+            / (
+                F.sqrt(F.col("na2").cast("double"))
+                * F.sqrt(F.col("ng2").cast("double"))
+            )
+        )
+        .cast("bigint")
+        .alias("cos_to_corpus_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token_shift_lor — distinctive tokens via log-odds with Dirichlet prior
+# ---------------------------------------------------------------------------
+
+_LOR_ALPHA = 0.01
+_LOR_TOPN = 30
+
+
+@query(
+    "token_shift_lor",
+    registered=False,  # extra (round-5): rotation candidate for round 6
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT lang, u.tok
+      FROM (SELECT lang,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+            FROM documents WHERE trim(text) <> '') t,
+           unnest(t.tk) AS u(tok)
+    ),
+    top_lang AS (
+      SELECT lang FROM (
+        SELECT lang, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, lang) AS rk
+        FROM toks GROUP BY lang
+      ) WHERE rk = 1
+    ),
+    cnt AS MATERIALIZED (
+      SELECT tok,
+        sum(CASE WHEN lang = (SELECT lang FROM top_lang)
+            THEN 1 ELSE 0 END) AS y_g,
+        sum(CASE WHEN lang <> (SELECT lang FROM top_lang)
+            THEN 1 ELSE 0 END) AS y_r
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT sum(y_g) AS n_g, sum(y_r) AS n_r, count(*) AS v FROM cnt
+    ),
+    z AS (
+      SELECT tok, y_g, y_r,
+        (ln((y_g + {_LOR_ALPHA})
+            / (n_g + {_LOR_ALPHA} * v - y_g - {_LOR_ALPHA}))
+         - ln((y_r + {_LOR_ALPHA})
+              / (n_r + {_LOR_ALPHA} * v - y_r - {_LOR_ALPHA})))
+        / sqrt(1.0 / (y_g + {_LOR_ALPHA}) + 1.0 / (y_r + {_LOR_ALPHA}))
+          AS zval
+      FROM cnt, tot
+    )
+    SELECT tok,
+      CAST(y_g AS BIGINT) AS n_group, CAST(y_r AS BIGINT) AS n_rest,
+      CAST(floor(zval * 1e6) AS BIGINT) AS z_micro
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY floor(abs(zval) * 1e6) DESC, tok) AS rk
+      FROM z
+    ) WHERE rk <= {_LOR_TOPN}
+    """,
+)
+def q_token_shift_lor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCTIVE-TOKEN detection via log-odds ratio with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008 — the
+    "Fightin' Words" statistic): tokens whose usage rate in the top
+    language most diverges from the rest of the corpus, ranked by the
+    prior-smoothed z-score.  The corpus-drift / slice-characterization
+    primitive that raw frequency ratios get wrong for rare tokens
+    (the prior shrinks them; the variance term downweights them).
+
+    One postings pass → token-level hash aggregate carrying BOTH
+    group counts (a single conditional-sum pass, no per-group scans);
+    corpus totals ride in as a broadcast 1-row aggregate; the z chain
+    is per-token deterministic IEEE on exact integer counts, floored
+    to micro before the TakeOrdered top-{n} (bounded heap, never a
+    global sort)."""
+    from .catalog_ext import _docs_parallel
+    from .operators.text import _tokens
+
+    d = _docs_parallel(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    toks = d.select("lang", F.explode(_tokens("text")).alias("tok"))
+    top_lang = (
+        toks.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    cnt = (
+        toks.crossJoin(F.broadcast(top_lang))
+        .groupBy("tok")
+        .agg(
+            F.sum(
+                F.when(F.col("lang") == F.col("top_lang"), 1).otherwise(0)
+            ).alias("y_g"),
+            F.sum(
+                F.when(F.col("lang") != F.col("top_lang"), 1).otherwise(0)
+            ).alias("y_r"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("y_g").alias("n_g"),
+        F.sum("y_r").alias("n_r"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    a = _LOR_ALPHA
+    j = cnt.crossJoin(F.broadcast(tot))
+    zval = (
+        F.log(
+            (F.col("y_g") + a)
+            / (F.col("n_g") + a * F.col("v") - F.col("y_g") - a)
+        )
+        - F.log(
+            (F.col("y_r") + a)
+            / (F.col("n_r") + a * F.col("v") - F.col("y_r") - a)
+        )
+    ) / F.sqrt(
+        1.0 / (F.col("y_g") + a) + 1.0 / (F.col("y_r") + a)
+    )
+    scored = j.select(
+        "tok",
+        F.col("y_g").cast("bigint").alias("n_group"),
+        F.col("y_r").cast("bigint").alias("n_rest"),
+        F.floor(zval * 1e6).cast("bigint").alias("z_micro"),
+        F.floor(F.abs(zval) * 1e6).cast("bigint").alias("__az"),
+    )
+    return (
+        scored.orderBy(F.col("__az").desc(), "tok")
+        .limit(_LOR_TOPN)
+        .select("tok", "n_group", "n_rest", "z_micro")
+    )
