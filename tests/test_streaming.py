@@ -506,3 +506,63 @@ def test_streaming_checkpoint_recovery_is_exactly_once(spark, sf_dir, tmp_path):
     assert got.count() == full.count()
     # and no event was ever written twice
     assert got.select("event_id").distinct().count() == full.count()
+
+
+def test_streaming_cdc_merge_matches_batch_snapshot(spark, sf_dir, tmp_path):
+    """streaming/cdc.py end-to-end: the changelog stream applied in
+    REAL micro-batches (4 files, maxFilesPerTrigger=1) must land the
+    identical live dimension as a one-shot batch last-writer-wins —
+    verified with an INDEPENDENT formulation (window row_number, not
+    the sink's max_by aggregate).  Also checks multi-version commits,
+    tombstone retention (a last-op-delete key is absent from the live
+    view), and the per-key changelog audit count."""
+    from beacon_data_importer_spark.streaming.cdc import (
+        changelog_from_events,
+        current_snapshot,
+        streaming_cdc_merge,
+    )
+    from pyspark.sql import Window
+
+    batch = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "changelog_src")
+    batch.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "dim_user")
+    streaming_cdc_merge(changelog_from_events(stream), target)
+
+    versions = sorted(os.listdir(target))
+    assert len([v for v in versions if v.startswith("v")]) >= 2
+
+    live = {
+        (r.key, r.seq, r.cents, r.n_changes)
+        for r in current_snapshot(spark, target).collect()
+    }
+
+    log = changelog_from_events(batch)
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    ranked = log.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_changes", F.count(F.lit(1)).over(Window.partitionBy("key"))
+    )
+    want_df = ranked.filter((F.col("rn") == 1) & (F.col("op") == "U"))
+    want = {
+        (r.key, r.seq, r.cents, r.n_changes) for r in want_df.collect()
+    }
+    assert live == want
+    assert len(live) > 0
+
+    deleted = ranked.filter(
+        (F.col("rn") == 1) & (F.col("op") == "D")
+    ).count()
+    assert deleted > 0  # the scenario actually exercises tombstones
+    live_keys = {k for (k, _, _, _) in live}
+    for r in (
+        ranked.filter((F.col("rn") == 1) & (F.col("op") == "D"))
+        .limit(5)
+        .collect()
+    ):
+        assert r.key not in live_keys
