@@ -2685,6 +2685,18 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("bigint").alias("eid"),
         )
     )
+    # PIN the window's width: the grid explode emits millions of NARROW
+    # rows (tens of MB for ~1M rows), so AQE's size-based coalescing
+    # (parallelismFirst=false, session.py) would shrink the exchange to
+    # ~1 partition and serialize the CPU-bound per-user sort — measured
+    # 3x slower at sf0.1.  An explicit hash repartition on the window
+    # key is exempt from AQE coalescing, satisfies the window's
+    # required distribution (no second exchange), and keeps the sort
+    # at full parallelism.
+    width = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    mixed = mixed.repartition(width, "user_id")
     base = Window.partitionBy("user_id").orderBy("ts", "kind", "eid")
     wp = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -2849,6 +2861,15 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
     ).distinct()
+    # PIN the self-join's width (the resample_interpolate rationale):
+    # the postings are narrow rows, so size-based AQE coalescing
+    # (parallelismFirst=false) would starve the CPU-heavy basket pair
+    # expansion; an explicit repartition on the basket key is exempt,
+    # feeds BOTH join sides, and satisfies the join's distribution.
+    width = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    items = items.repartition(width, "o")
     nb = items.select("o").distinct().agg(F.count(F.lit(1)).alias("n"))
     freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("nf"))
     xl = items.select(F.col("o"), F.col("item").alias("a"))

@@ -1599,6 +1599,7 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
     alive = sym.select(F.col("src").alias("v")).distinct()
+    prev_n = None
     for _ in range(_KCORE_ROUNDS):
         deg = (
             sym.join(alive, sym["src"] == alive["v"], "leftsemi")
@@ -1615,6 +1616,17 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("src").alias("v"))
             .localCheckpoint()
         )
+        # FIXPOINT early exit: peeling is monotone (alive_r ⊆
+        # alive_{r-1} by construction), so an unchanged COUNT proves an
+        # unchanged SET and every remaining unrolled round is a no-op —
+        # the result is bit-identical to running all rounds, the oracle
+        # parity is untouched, and the count rides free on the frame
+        # the eager localCheckpoint just materialized (one bounded
+        # scalar per round, the pagerank/bfs bounded-rounds budget).
+        n = alive.count()
+        if n == prev_n:
+            break
+        prev_n = n
     core_edges = sym.join(
         alive, sym["src"] == alive["v"], "leftsemi"
     ).join(
