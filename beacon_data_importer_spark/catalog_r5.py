@@ -1581,10 +1581,13 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum degree {k}, the dense-cohesion community notion that LPA /
     connected-components miss (a long chain is one component but has
     an empty 2-core).  {r} synchronous rounds, the bounded-rounds
-    device of pagerank/bfs/LPA (peeling converges in ≤ rounds equal
-    to the peel depth; {r} is asserted stable by the CI twin test,
-    and the oracle unrolls the SAME {r} rounds so parity holds by
-    construction even at a scale where more rounds would matter).
+    device of pagerank/bfs/LPA.  The budget is a TRUNCATION, not a
+    convergence guarantee: at sf0.1 the alive set is still shrinking
+    at round {r} (PERF.md) — the result is the round-{r} partial peel
+    (a superset of the true core), and parity holds by construction
+    because the oracle unrolls the SAME {r} rounds.  When a round DOES
+    reach the fixpoint early, monotonicity (alive_r ⊆ alive_r-1) lets
+    the loop exit — identical output, fewer jobs.
 
     Per round: two vertex-keyed semi joins + one degree count — every
     shuffle is on the vertex key; per-round state is the shrinking
@@ -2683,4 +2686,220 @@ def q_token_shift_lor(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.col("__az").desc(), "tok")
         .limit(_LOR_TOPN)
         .select("tok", "n_group", "n_rest", "z_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend — robust pairwise-median slope of daily revenue, per year
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "theil_sen_trend",
+    registered=False,  # extra (round-5): rotation candidate for round 6
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS ep,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT i.yr,
+        CAST(floor(1e6 * CAST(j.x - i.x AS DOUBLE)
+                   / CAST(j.ep - i.ep AS DOUBLE)) AS BIGINT) AS s,
+        i.ep AS ei, j.ep AS ej
+      FROM daily i JOIN daily j
+        ON i.yr = j.yr AND i.ep < j.ep
+    ),
+    ranked AS (
+      SELECT yr, s,
+        row_number() OVER (PARTITION BY yr ORDER BY s, ei, ej) AS rk,
+        count(*) OVER (PARTITION BY yr) AS n_pairs
+      FROM slopes
+    )
+    SELECT yr, CAST(n_pairs AS BIGINT) AS n_pairs,
+           s AS slope_micro_cents_per_day
+    FROM ranked WHERE rk = (n_pairs + 1) // 2
+    """,
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL–SEN robust trend of the daily revenue series, per year:
+    the median of all pairwise slopes — the estimator with a 29%
+    breakdown point, immune to the outlier days that poison an OLS
+    trend (grouped_linreg's complement: same series, robust loss).
+
+    The O(d²) pair expansion runs on the DAY-level aggregate — ~365
+    rows per year → ~66k pairs per year whatever the scan size, and
+    the years parallelize (the rolling_correlation partitioning
+    discipline).  Each slope is floored to micro BEFORE ranking
+    (exact cents / exact day spans → deterministic IEEE), and the
+    median is the lower-middle order statistic with a full (slope,
+    ep_i, ep_j) tie-break, so both engines pick the identical row."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("ep"),
+    ).agg(F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("x"))
+    di = daily.select(
+        "yr", F.col("ep").alias("ei"), F.col("x").alias("xi")
+    )
+    dj = daily.select(
+        F.col("yr").alias("yr_j"),
+        F.col("ep").alias("ej"),
+        F.col("x").alias("xj"),
+    )
+    slopes = di.join(
+        dj, (F.col("yr") == F.col("yr_j")) & (F.col("ei") < F.col("ej"))
+    ).select(
+        "yr",
+        F.floor(
+            F.lit(1e6)
+            * (F.col("xj") - F.col("xi")).cast("double")
+            / (F.col("ej") - F.col("ei")).cast("double")
+        )
+        .cast("bigint")
+        .alias("s"),
+        "ei",
+        "ej",
+    )
+    wr = Window.partitionBy("yr").orderBy("s", "ei", "ej")
+    wn = Window.partitionBy("yr")
+    ranked = slopes.select(
+        "yr",
+        "s",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rk") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        "yr",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("s").alias("slope_micro_cents_per_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# anova_oneway — one-way ANOVA of order value across market segments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "anova_oneway",
+    registered=False,  # extra (round-5): rotation candidate for round 6
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS MATERIALIZED (
+      SELECT seg, count(*) AS n_g,
+             sum(v) AS s_g,
+             sum(CAST(v AS HUGEINT) * v) AS ss_g,
+             (sum(v)::HUGEINT * sum(v)) // count(*) AS t_g
+      FROM obs GROUP BY seg
+    ),
+    tot AS (
+      SELECT count(*) AS k, sum(n_g) AS n,
+             sum(ss_g) AS ss, sum(t_g) AS sb_plus,
+             (sum(s_g)::HUGEINT * sum(s_g)) // sum(n_g) AS s2n
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_rows,
+      CAST((sb_plus - s2n) // 1000000 AS BIGINT) AS ss_between_div1e6,
+      CAST((ss - sb_plus) // 1000000 AS BIGINT) AS ss_within_div1e6,
+      CAST(floor(1e6
+        * (CAST(sb_plus - s2n AS DOUBLE) / (k - 1))
+        / (CAST(ss - sb_plus AS DOUBLE) / (n - k))) AS BIGINT)
+        AS f_micro,
+      CAST(floor(1e6 * CAST(sb_plus - s2n AS DOUBLE)
+        / CAST(ss - s2n AS DOUBLE)) AS BIGINT) AS eta2_micro
+    FROM tot
+    """,
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across customer market segments:
+    the F statistic (between-group vs within-group variance) and η²
+    (variance explained) — the "does this categorical feature matter
+    for this metric" screen that complements chi_square_independence
+    (two categoricals) and mutual_information.
+
+    Sufficient statistics per group — n, Σv, Σv² — aggregate exactly
+    (cents as integers, squares as DECIMAL(38,0)/HUGEINT); the
+    group-level frame is |segments| rows, so the F/η² chain runs once
+    over a broadcast-scale aggregate.  NO float ever crosses groups:
+    the between-groups term Σ s_g²/n_g uses per-group FLOORED exact
+    integer division (s_g² div n_g — ≤1 count² definitional error per
+    group, order-insensitive integer sum), sidestepping the unordered
+    float-reduction trap ADVICE r4 flagged on neyman_allocation.  SS
+    outputs floor-divide by 1e6 (cents² magnitudes overflow bigint if
+    scaled up); the F/η² ratios are single IEEE chains at micro."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    obs = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        cents(F.col("o_totalprice")).alias("v"),
+    )
+    dec = "decimal(38,0)"
+    g = obs.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("v").alias("s_g"),
+        F.sum(F.col("v").cast(dec) * F.col("v")).alias("ss_g"),
+    ).withColumn(
+        # EXACT decimal floor division (a - a%b)/b: Spark's `div`
+        # returns LONG and s_g²/n_g exceeds bigint past sf~0.01 — the
+        # subtract-remainder form keeps the quotient in decimal(38,0)
+        # with an integral (hence exactly representable) value.
+        "t_g",
+        F.expr(
+            "cast((cast(s_g as decimal(38,0)) * s_g"
+            " - pmod(cast(s_g as decimal(38,0)) * s_g,"
+            "        cast(n_g as decimal(38,0)))) / n_g"
+            " as decimal(38,0))"
+        ),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum(F.col("ss_g")).alias("ss"),
+        F.sum(F.col("t_g").cast(dec)).alias("sb_plus"),
+        F.expr(
+            "cast((cast(sum(s_g) as decimal(38,0)) * sum(s_g)"
+            " - pmod(cast(sum(s_g) as decimal(38,0)) * sum(s_g),"
+            "        cast(sum(n_g) as decimal(38,0)))) / sum(n_g)"
+            " as decimal(38,0))"
+        ).alias("s2n"),
+    )
+    sb = (F.col("sb_plus") - F.col("s2n")).cast("double")
+    sw = (F.col("ss") - F.col("sb_plus")).cast("double")
+    st = (F.col("ss") - F.col("s2n")).cast("double")
+    return tot.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(
+            "cast((sb_plus - s2n - pmod(sb_plus - s2n,"
+            " cast(1000000 as decimal(38,0)))) / 1000000 as bigint)"
+        ).alias("ss_between_div1e6"),
+        F.expr(
+            "cast((ss - sb_plus - pmod(ss - sb_plus,"
+            " cast(1000000 as decimal(38,0)))) / 1000000 as bigint)"
+        ).alias("ss_within_div1e6"),
+        F.floor(
+            1e6 * (sb / (F.col("k") - 1)) / (sw / (F.col("n") - F.col("k")))
+        )
+        .cast("bigint")
+        .alias("f_micro"),
+        F.floor(1e6 * sb / st).cast("bigint").alias("eta2_micro"),
     )
