@@ -2903,3 +2903,335 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("f_micro"),
         F.floor(1e6 * sb / st).cast("bigint").alias("eta2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix_filter_jaccard_join — EXACT set-similarity self-join (All-Pairs)
+# ---------------------------------------------------------------------------
+
+_PF_TAU_NUM, _PF_TAU_DEN = 6, 10  # Jaccard threshold 0.6, exact rational
+
+_PF_DUCK_SH = (
+    "CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform("
+    "range(len(tk) - 2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))"
+    " ELSE [lower(trim(text))] END"
+)
+
+
+@query(
+    "prefix_filter_jaccard_join",
+    registered=False,  # extra (round-5): rotation candidate for round 6
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, {_PF_DUCK_SH} AS s
+      FROM (SELECT doc_id, text,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+            FROM documents)
+    ),
+    post AS MATERIALIZED (
+      SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS i, min(a.n) AS na, min(b.n) AS nb
+      FROM post a JOIN post b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+      CAST((i * 1000000) // (na + nb - i) AS BIGINT) AS jaccard_e6
+    FROM inter
+    WHERE i * {_PF_TAU_DEN} >= {_PF_TAU_NUM} * (na + nb - i)
+    """,
+)
+def q_prefix_filter_jaccard_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT set-similarity self-join with PREFIX FILTERING (Chaudhuri
+    et al. 2006 / Bayardo All-Pairs 2007): every document pair with
+    word-3-gram Jaccard ≥ {t} — COMPLETE, unlike the MinHash/LSH tier
+    whose recall is probabilistic.  Order each document's shingles by
+    ascending GLOBAL frequency (rarest first, shingle tie-break); any
+    pair meeting the threshold must share a token among each side's
+    first |A| − ⌈τ·|A|⌉ + 1 shingles, so only prefix-token postings
+    join — rare tokens have short postings, which is exactly why the
+    frequency order is the right one.
+
+    The driver oracle is the EXHAUSTIVE postings join (every shared
+    shingle), so the gate literally proves the filter's completeness
+    on real data, not just its precision.  Shuffles: one postings
+    aggregate for frequencies, one prefix-token join (candidate
+    stream ∝ Σ prefix-posting², collapsed by DISTINCT before the
+    verify), one broadcast-side array verify with exact integer
+    threshold arithmetic (i·{d} ≥ {n}·union — no float compare)."""
+    from .plans.corpus_lsh import corpus_shingle_sets
+
+    # staged once per session (plans/corpus_lsh.py) — shingling is the
+    # dominant CPU; prefix stream and verify arrays both consume it
+    shd = corpus_shingle_sets(spark, sf_dir)
+    post = shd.select(
+        "id", F.explode("s").alias("g"), F.size("s").alias("n")
+    )
+    freq = post.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # width pins (PERF.md AQE A/B): postings and candidate streams are
+    # NARROW rows, so size-based coalescing would serialize the
+    # CPU-heavy window sort and the prefix self-join — measured 2.3x at
+    # sf0.1.  Explicit hash repartitions are AQE-exempt and satisfy the
+    # window/join distributions (no extra exchange).
+    width = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    wp = Window.partitionBy("id").orderBy("df", "g")
+    prefix = (
+        post.repartition(width, "g")
+        .join(freq, "g")
+        .repartition(width, "id")
+        .withColumn("rk", F.row_number().over(wp))
+        # p = n - ceil(tau*n) + 1, all-integer ceil
+        .filter(
+            F.col("rk")
+            <= F.col("n")
+            - F.expr(
+                f"({_PF_TAU_NUM} * n + {_PF_TAU_DEN} - 1) "
+                f"div {_PF_TAU_DEN}"
+            )
+            + 1
+        )
+        .select("id", "g")
+    )
+    # the prefix stream feeds BOTH sides of the self-join — checkpoint
+    # once or the postings+freq+window pipeline executes twice
+    prefix = prefix.localCheckpoint()
+    cands = (
+        prefix.select(F.col("id").alias("id_a"), "g")
+        .join(
+            prefix.select(F.col("id").alias("id_b"), F.col("g").alias("g2")),
+            (F.col("g") == F.col("g2")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        # materialize once (feeds the verify join) ...
+        .localCheckpoint()
+        # ... then RE-WIDEN: the distinct's AQE-coalesced output is ONE
+        # partition of narrow pairs, which would serialize the verify's
+        # per-pair array intersections (measured 7 s -> 1.1 s at sf0.1)
+        .repartition(width)
+    )
+    sa = shd.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = shd.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    i = F.size(F.array_intersect("s_a", "s_b"))
+    u = F.size("s_a") + F.size("s_b") - i
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(i * _PF_TAU_DEN >= _PF_TAU_NUM * u)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "(size(array_intersect(s_a, s_b)) * 1000000) div "
+                "(size(s_a) + size(s_b) "
+                "- size(array_intersect(s_a, s_b)))"
+            )
+            .cast("bigint")
+            .alias("jaccard_e6"),
+        )
+    )
+
+
+q_prefix_filter_jaccard_join.__doc__ = (
+    q_prefix_filter_jaccard_join.__doc__ or ""
+).format(t=_PF_TAU_NUM / _PF_TAU_DEN, n=_PF_TAU_NUM, d=_PF_TAU_DEN)
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficient — per-vertex triangle density
+# ---------------------------------------------------------------------------
+
+
+def _clustering_oracle() -> str:
+    return """
+    WITH cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT x.c AS a, y.c AS b
+      FROM cp x JOIN cp y ON x.p = y.p AND x.c < y.c
+      GROUP BY x.c, y.c
+      HAVING count(*) >= 3
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS v, count(*) AS d FROM sym GROUP BY src
+    ),
+    tri AS MATERIALIZED (
+      SELECT s1.src AS w, s1.dst AS a, s2.dst AS b
+      FROM sym s1
+      JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+      JOIN edges e ON e.a = s1.dst AND e.b = s2.dst
+    ),
+    tcount AS (
+      SELECT v, count(*) AS t FROM (
+        SELECT w AS v FROM tri
+        UNION ALL SELECT a FROM tri
+        UNION ALL SELECT b FROM tri
+      ) GROUP BY v
+    )
+    SELECT deg.v AS vertex, CAST(deg.d AS BIGINT) AS degree,
+      CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
+      CAST((coalesce(t, 0) * 2000000) // (deg.d * (deg.d - 1))
+           AS BIGINT) AS cc_micro
+    FROM deg LEFT JOIN tcount ON deg.v = tcount.v
+    WHERE deg.d >= 2
+    """
+
+
+@query(
+    "clustering_coefficient",
+    registered=False,  # extra (round-5): rotation candidate for round 6
+    oracle=_clustering_oracle(),
+)
+def q_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT per vertex: 2·triangles(v) /
+    (deg(v)·(deg(v)−1)) — the "how clique-like is this customer's
+    neighborhood" score that separates hub-and-spoke structure
+    (cc→0) from tight communities (cc→1); the per-vertex refinement
+    of triangle_count's global census and the k-core / link-prediction
+    family's fourth member sharing the SAME staged sparse edge list.
+
+    Wedge join (Σ deg² pairs on the thresholded projection) closed
+    against the canonical a<b edge list; each triangle credits all
+    three corners via a stacked union BEFORE one hash aggregate.  The
+    coefficient is exact integer arithmetic end-to-end (2e6·t div
+    d(d−1) — non-negative, so div = floor on both engines)."""
+    from .plans.co_purchase import co_purchase_edges
+
+    edges = co_purchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint()
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    s1 = sym.select("src", F.col("dst").alias("a"))
+    s2 = sym.select(F.col("src").alias("src2"), F.col("dst").alias("b"))
+    wedges = s1.join(
+        s2, (F.col("src") == F.col("src2")) & (F.col("a") < F.col("b"))
+    ).select(F.col("src").alias("w"), "a", "b")
+    tri = wedges.join(edges, ["a", "b"]).localCheckpoint()
+    corners = (
+        tri.select(F.col("w").alias("v"))
+        .unionAll(tri.select(F.col("a").alias("v")))
+        .unionAll(tri.select(F.col("b").alias("v")))
+    )
+    tcount = corners.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tcount, "v", "left")
+        .select(
+            F.col("v").alias("vertex"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.expr(
+                "(coalesce(t, 0) * 2000000) div (d * (d - 1))"
+            )
+            .cast("bigint")
+            .alias("cc_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_health — per-dimension statistics of the embedding table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_dim_health",
+    registered=False,  # extra (round-5): rotation candidate for round 6
+    oracle="""
+    WITH comp AS MATERIALIZED (
+      SELECT pos, q FROM (
+        SELECT unnest(generate_series(1, len(embedding))) AS pos,
+               unnest(list_transform(embedding::DOUBLE[],
+                      e -> CAST(floor(e * 1e6) AS BIGINT))) AS q
+        FROM embeddings
+      )
+    )
+    SELECT pos,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(min(q) AS BIGINT) AS min_q,
+      CAST(max(q) AS BIGINT) AS max_q,
+      CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT)
+        AS mean_floor_q,
+      CAST(floor(sqrt(
+        CAST(count(*)::HUGEINT * sum(q::HUGEINT * q)
+             - sum(q)::HUGEINT * sum(q) AS DOUBLE)
+        / (CAST(count(*) AS DOUBLE) * (count(*) - 1)))) AS BIGINT)
+        AS std_floor_q,
+      (count(*)::HUGEINT * sum(q::HUGEINT * q)
+       - sum(q)::HUGEINT * sum(q)) = 0 AS is_dead
+    FROM comp GROUP BY pos
+    """,
+)
+def q_embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DIMENSION HEALTH: per-component n/min/max/mean/std
+    over the whole vector table plus a dead-dimension flag (zero
+    variance — a component the encoder never uses, the classic symptom
+    of a collapsed projection head or a truncated export).  Companion
+    to embedding_drift_by_label: that one watches SLICES, this one
+    watches COORDINATES.
+
+    Components quantize to floor(x·1e6) integers at the scan (exact
+    float→double widening), so min/max/Σ/Σq² aggregate exactly
+    (DECIMAL(38,0) squares); mean and std are one IEEE chain each on
+    exact inputs, floored.  The exchange after posexplode carries
+    (pos)-keyed partials — 64 groups however many vectors — and the
+    dead flag is an exact integer comparison, never a float epsilon."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("x").cast("double") * 1e6).cast("bigint")
+    comp = emb.select(
+        F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        (F.col("pos0") + 1).cast("bigint").alias("pos"), q.alias("q")
+    )
+    dec = "decimal(38,0)"
+    agg = comp.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q").cast(dec) * F.col("q")).alias("ss"),
+    )
+    var_num = (
+        F.col("n").cast(dec) * F.col("ss")
+        - F.col("s").cast(dec) * F.col("s")
+    )
+    return agg.select(
+        "pos",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("min_q").cast("bigint").alias("min_q"),
+        F.col("max_q").cast("bigint").alias("max_q"),
+        F.floor(F.col("s").cast("double") / F.col("n"))
+        .cast("bigint")
+        .alias("mean_floor_q"),
+        F.floor(
+            F.sqrt(
+                var_num.cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 1))
+            )
+        )
+        .cast("bigint")
+        .alias("std_floor_q"),
+        (var_num == 0).alias("is_dead"),
+    )

@@ -56,3 +56,27 @@ def corpus_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND, MAX_BUCKET)
         per_session[key] = pairs.localCheckpoint()
     return per_session[key]
+
+
+def corpus_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, s) distinct word-3-gram shingle SETS for the documents
+    corpus, staged once per session and scale factor — the shared
+    input of the EXACT set-similarity tier (prefix_filter_jaccard_join
+    and any verify stage that needs true sets rather than MinHash
+    sketches).  Shingling is the dominant CPU of those queries (~5 s
+    of codegen transform + array_distinct at sf0.1), so it follows the
+    signature table's stage-once discipline."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _shingles
+
+    per_session = _STAGE.setdefault(spark, {})
+    key = ("shingle_sets", sf_dir)
+    if key not in per_session:
+        d = _docs_parallel(spark, sf_dir)
+        shd = d.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(_shingles(F.col("text"))).alias("s"),
+        )
+        per_session[key] = shd.localCheckpoint()
+    return per_session[key]
