@@ -3235,3 +3235,134 @@ def q_embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("std_floor_q"),
         (var_num == 0).alias("is_dead"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ipw_treatment_effect — inverse-propensity-weighted signup effect
+# ---------------------------------------------------------------------------
+
+# exact floor division a//b for non-negative DECIMAL(38,0) operands on
+# the Spark side (Spark's `div` materializes a LONG quotient, which can
+# overflow; see anova_oneway)
+_FDIV = "cast(({a} - pmod({a}, cast({b} as decimal(38,0)))) / {b} as decimal(38,0))"
+
+
+@query(
+    "ipw_treatment_effect",
+    registered=False,  # extra (round-5): rotation candidate for round 6
+    oracle="""
+    WITH peru AS MATERIALIZED (
+      SELECT user_id,
+        count(*) AS n_events,
+        max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS t,
+        sum(CASE WHEN event_type = 'purchase'
+            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    banded AS (
+      SELECT *, CAST(floor(log2(CAST(n_events AS DOUBLE))) AS BIGINT)
+             AS band
+      FROM peru
+    ),
+    g AS MATERIALIZED (
+      SELECT band, count(*) AS n_d,
+        sum(t) AS nt_d, count(*) - sum(t) AS nc_d,
+        sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS yt_d,
+        sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS yc_d
+      FROM banded GROUP BY band
+    ),
+    ok AS (SELECT * FROM g WHERE nt_d > 0 AND nc_d > 0),
+    terms AS (
+      SELECT sum(n_d) AS n_ok, count(*) AS bands_used,
+        sum(nt_d) AS nt, sum(nc_d) AS nc,
+        sum(yt_d) AS yt, sum(yc_d) AS yc,
+        sum((yt_d::HUGEINT * n_d * 1000000) // nt_d) AS wt,
+        sum((yc_d::HUGEINT * n_d * 1000000) // nc_d) AS wc
+      FROM ok
+    )
+    SELECT CAST(n_ok AS BIGINT) AS n_users,
+      CAST(bands_used AS BIGINT) AS bands_used,
+      CAST(nt AS BIGINT) AS n_treated,
+      CAST((yt * 1000000) // nt - (yc * 1000000) // nc AS BIGINT)
+        AS naive_diff_microcents,
+      CAST(wt // n_ok - wc // n_ok AS BIGINT) AS ipw_ate_microcents
+    FROM terms
+    """,
+)
+def q_ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERSE-PROPENSITY-WEIGHTED treatment effect (Horvitz–Thompson /
+    Hájek): the observational-causal estimate of "does signing up
+    change purchase spend", confounded by ACTIVITY (active users both
+    sign up more and buy more).  Stratify on band = ⌊log2(events)⌋,
+    estimate the propensity per band as nt_d/n_d, and reweight each
+    stratum to the full population: mean_T = Σ_d Yt_d·n_d/nt_d / Σn_d
+    (the Hájek form — band weights sum exactly to the population).
+    Bands violating positivity (no treated or no control) are DROPPED,
+    the standard trimming rule, and reported via bands_used.  The
+    naive difference rides along so the confounding bias is visible.
+
+    Exactness: per-band terms Yt_d·n_d·1e6/nt_d are EXACT floor
+    divisions (HUGEINT in DuckDB; the subtract-remainder DECIMAL form
+    on Spark — anova_oneway's device), so cross-band aggregation is
+    integer arithmetic; ≤1 micro-cent definitional error per band,
+    never an engine divergence.  Plan: one user-level aggregate (the
+    only full-data shuffle), then band-level frames of ~20 rows."""
+    e = read_table(spark, sf_dir, "events")
+    peru = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("t"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    banded = peru.withColumn(
+        "band",
+        F.floor(F.log2(F.col("n_events").cast("double"))).cast("bigint"),
+    )
+    g = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.sum("t").alias("nt_d"),
+        (F.count(F.lit(1)) - F.sum("t")).alias("nc_d"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).alias(
+            "yt_d"
+        ),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).alias(
+            "yc_d"
+        ),
+    )
+    ok = g.filter((F.col("nt_d") > 0) & (F.col("nc_d") > 0))
+    wt_term = _FDIV.format(
+        a="cast(yt_d as decimal(38,0)) * n_d * 1000000", b="nt_d"
+    )
+    wc_term = _FDIV.format(
+        a="cast(yc_d as decimal(38,0)) * n_d * 1000000", b="nc_d"
+    )
+    terms = ok.agg(
+        F.sum("n_d").alias("n_ok"),
+        F.count(F.lit(1)).alias("bands_used"),
+        F.sum("nt_d").alias("nt"),
+        F.sum("nc_d").alias("nc"),
+        F.sum("yt_d").alias("yt"),
+        F.sum("yc_d").alias("yc"),
+        F.sum(F.expr(wt_term)).alias("wt"),
+        F.sum(F.expr(wc_term)).alias("wc"),
+    )
+    naive = F.expr(
+        "(yt * 1000000) div nt - (yc * 1000000) div nc"
+    ).cast("bigint")
+    ipw = (
+        F.expr(_FDIV.format(a="wt", b="n_ok"))
+        - F.expr(_FDIV.format(a="wc", b="n_ok"))
+    ).cast("bigint")
+    return terms.select(
+        F.col("n_ok").cast("bigint").alias("n_users"),
+        F.col("bands_used").cast("bigint").alias("bands_used"),
+        F.col("nt").cast("bigint").alias("n_treated"),
+        naive.alias("naive_diff_microcents"),
+        ipw.alias("ipw_ate_microcents"),
+    )
