@@ -203,6 +203,53 @@ HEADLINE += [
 # additions append below and freeze as R5_SET at round close.
 R5_BASE_SET = list(HEADLINE)
 
+HEADLINE += [
+    # round-5 additions (round close): CDC/incremental tier
+    "cdc_apply",
+    "incremental_agg_merge",
+    "gaps_islands",
+    "rolling_correlation",
+    "order_gap_features",
+    # ML-experiment / feature engineering
+    "loo_target_encoding",
+    "cuped_adjustment",
+    "temporal_purged_split",
+    "negative_sampling",
+    "ipw_treatment_effect",
+    # probabilistic structures
+    "bloom_prune_audit",
+    "cms_frequency_audit",
+    "sketch_reaggregation_audit",
+    "score_calibration",
+    # text / corpus analysis
+    "vocab_coverage",
+    "readability_scores",
+    "token_shift_lor",
+    "source_vocab_overlap",
+    "prefix_filter_jaccard_join",
+    # profiling / drift / monitoring
+    "column_entropy_profile",
+    "mutual_information",
+    "distribution_drift_audit",
+    "late_data_audit",
+    "rolling_anomaly_flags",
+    "max_drawdown",
+    "theil_sen_trend",
+    "anova_oneway",
+    "last_touch_attribution",
+    # graph
+    "kcore_decomposition",
+    "link_prediction_scores",
+    "clustering_coefficient",
+    # embeddings
+    "embedding_drift_by_label",
+    "embedding_dim_health",
+]
+
+# Round-5 headline set (159 queries; includes every registered driver
+# slot), frozen for round-6+ per-query deltas.
+R5_SET = list(HEADLINE)
+
 
 def _stage_stats(base: str, app_id: str) -> dict[int, dict]:
     """Completed-stage metrics from the Spark UI REST API, by stageId."""
@@ -457,6 +504,9 @@ def main() -> None:
                 ),
                 "warm_total_r5_base_set": round(
                     sum(warm[n] for n in R5_BASE_SET if n in warm), 3
+                ),
+                "warm_total_r5_set": round(
+                    sum(warm[n] for n in R5_SET if n in warm), 3
                 ),
                 "warm_total": round(sum(warm.values()), 3),
                 "n_queries": len(warm),
