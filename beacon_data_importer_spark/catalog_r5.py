@@ -3075,11 +3075,7 @@ def _clustering_oracle() -> str:
       JOIN edges e ON e.a = s1.dst AND e.b = s2.dst
     ),
     tcount AS (
-      SELECT v, count(*) AS t FROM (
-        SELECT w AS v FROM tri
-        UNION ALL SELECT a FROM tri
-        UNION ALL SELECT b FROM tri
-      ) GROUP BY v
+      SELECT w AS v, count(*) AS t FROM tri GROUP BY w
     )
     SELECT deg.v AS vertex, CAST(deg.d AS BIGINT) AS degree,
       CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
@@ -3106,8 +3102,10 @@ def q_clustering_coefficient(
     family's fourth member sharing the SAME staged sparse edge list.
 
     Wedge join (Σ deg² pairs on the thresholded projection) closed
-    against the canonical a<b edge list; each triangle credits all
-    three corners via a stacked union BEFORE one hash aggregate.  The
+    against the canonical a<b edge list; each triangle surfaces once
+    per corner as the wedge midpoint, so one hash aggregate on the
+    midpoint IS the per-vertex census (cross-checked against a
+    brute-force Python twin in tests/test_r5_operators.py).  The
     coefficient is exact integer arithmetic end-to-end (2e6·t div
     d(d−1) — non-negative, so div = floor on both engines)."""
     from .plans.co_purchase import co_purchase_edges
@@ -3126,13 +3124,14 @@ def q_clustering_coefficient(
     wedges = s1.join(
         s2, (F.col("src") == F.col("src2")) & (F.col("a") < F.col("b"))
     ).select(F.col("src").alias("w"), "a", "b")
-    tri = wedges.join(edges, ["a", "b"]).localCheckpoint()
-    corners = (
-        tri.select(F.col("w").alias("v"))
-        .unionAll(tri.select(F.col("a").alias("v")))
-        .unionAll(tri.select(F.col("b").alias("v")))
+    tri = wedges.join(edges, ["a", "b"])
+    # each triangle {x,y,z} appears EXACTLY once per corner as the
+    # wedge midpoint w (the other two sorted a<b), so grouping by w
+    # already yields per-vertex triangle counts — crediting a/b too
+    # would triple-count (caught by the brute-force CI twin)
+    tcount = tri.groupBy(F.col("w").alias("v")).agg(
+        F.count(F.lit(1)).alias("t")
     )
-    tcount = corners.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
     return (
         deg.filter(F.col("d") >= 2)
         .join(tcount, "v", "left")
