@@ -231,3 +231,132 @@ def test_ipw_reduces_to_naive_when_unconfounded(spark):
         (yc * n * 1_000_000) // nc
     ) // n
     assert ipw == naive
+
+
+def test_anova_matches_numpy_float_reference(spark, sf_dir):
+    """The integer-exact sufficient-statistics pipeline vs a plain
+    numpy float computation of F and eta^2 (agreement to float
+    precision proves the exact-arithmetic path computes the same
+    statistic, not just a self-consistent one)."""
+    import numpy as np
+
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    r = ALL_QUERIES["anova_oneway"](spark, sf_dir).collect()[0]
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    rows = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_mktsegment", "o_totalprice")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for row in rows:
+        groups[row.c_mktsegment].append(round(row.o_totalprice * 100))
+    vals = [np.array(v, dtype=float) for v in groups.values()]
+    allv = np.concatenate(vals)
+    k, n = len(vals), len(allv)
+    ssb = sum(len(v) * (v.mean() - allv.mean()) ** 2 for v in vals)
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in vals)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    eta2 = ssb / (ssb + ssw)
+    assert r.n_groups == k and r.n_rows == n
+    # the query's per-group floors introduce <=1 count^2 per group;
+    # micro-unit outputs agree to ~1e-6 relative
+    assert abs(r.f_micro / 1e6 - f) / f < 1e-5
+    assert abs(r.eta2_micro / 1e6 - eta2) < 1e-5
+
+
+def test_max_drawdown_matches_python_scan(spark, sf_dir):
+    """Per-year argmax drawdown vs a sequential Python peak scan."""
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    got = {
+        r.yr: (r.trough_ep, r.trough_cents, r.peak_cents, r.drawdown_ppm)
+        for r in ALL_QUERIES["max_drawdown"](spark, sf_dir).collect()
+    }
+    o = read_table(spark, sf_dir, "orders").collect()
+    import datetime
+
+    daily = defaultdict(int)
+    for r in o:
+        d = r.o_orderdate
+        if isinstance(d, str):
+            d = datetime.date.fromisoformat(d)
+        elif isinstance(d, datetime.datetime):
+            d = d.date()
+        ep = (d - datetime.date(1992, 1, 1)).days
+        daily[(d.year, ep)] += round(r.o_totalprice * 100)
+    peaks = {}
+    best = {}
+    for (yr, ep) in sorted(daily):
+        x = daily[(yr, ep)]
+        peaks[yr] = max(peaks.get(yr, 0), x)
+        dd = ((peaks[yr] - x) * 1_000_000) // peaks[yr]
+        if yr not in best or dd > best[yr][3]:
+            best[yr] = (ep, x, peaks[yr], dd)
+    assert got == best
+
+
+def test_mutual_information_matches_python(spark, sf_dir):
+    """MI micro-bits vs a Python dict computation with the same
+    per-cell floor rule."""
+    import math
+
+    from beacon_data_importer_spark.catalog_r5 import _MI_PAIRS
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    got = {
+        (r.tbl, r.colx, r.coly): (r.n_cells, r.n_rows, r.mi_microbits)
+        for r in ALL_QUERIES["mutual_information"](spark, sf_dir).collect()
+    }
+    for tbl, cx, cy in _MI_PAIRS:
+        rows = read_table(spark, sf_dir, tbl).select(cx, cy).collect()
+        joint = defaultdict(int)
+        for r in rows:
+            joint[(str(r[0]), str(r[1]))] += 1
+        nx = defaultdict(int)
+        ny = defaultdict(int)
+        for (x, y), c in joint.items():
+            nx[x] += c
+            ny[y] += c
+        n = sum(joint.values())
+        mi = sum(
+            math.floor(
+                1e6 * (c / n) * math.log2((c * n) / (nx[x] * ny[y]))
+            )
+            for (x, y), c in joint.items()
+        )
+        assert got[(tbl, cx, cy)] == (len(joint), n, mi)
+
+
+def test_embedding_drift_matches_numpy_cosine_of_means(spark, sf_dir):
+    """cos(sum_label, sum_corpus) on quantized integers vs numpy
+    cosine of the float MEANS — scale-invariance makes them equal up
+    to quantization."""
+    import numpy as np
+
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    got = {
+        r.label: r.cos_to_corpus_micro
+        for r in ALL_QUERIES["embedding_drift_by_label"](
+            spark, sf_dir
+        ).collect()
+    }
+    rows = read_table(spark, sf_dir, "embeddings").collect()
+    by_label = defaultdict(list)
+    for r in rows:
+        by_label[r.label].append(np.array(r.embedding, dtype=np.float64))
+    corpus_mean = np.mean(
+        [v for vs in by_label.values() for v in vs], axis=0
+    )
+    for label, vs in by_label.items():
+        m = np.mean(vs, axis=0)
+        cos = float(
+            m @ corpus_mean
+            / (np.linalg.norm(m) * np.linalg.norm(corpus_mean))
+        )
+        # quantization at 1e6 per component over ~|x|<=4 keeps the
+        # cosine within ~1e-4 of the float reference
+        assert abs(got[label] / 1e6 - cos) < 1e-3
