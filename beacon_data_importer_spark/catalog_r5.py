@@ -3365,3 +3365,96 @@ def q_ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         naive.alias("naive_diff_microcents"),
         ipw.alias("ipw_ate_microcents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# revenue_concentration — per-year Gini coefficient + top-decile share
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_concentration",
+    registered=False,  # extra (round-5): rotation candidate for round 6
+    oracle="""
+    WITH ranked AS MATERIALIZED (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY year(o_orderdate)
+               ORDER BY round(o_totalprice * 100), o_orderkey) AS i,
+             count(*) OVER (PARTITION BY year(o_orderdate)) AS n
+      FROM orders
+    ),
+    agg AS (
+      SELECT yr, max(n) AS n,
+        sum(x) AS s,
+        sum(CAST(i AS HUGEINT) * x) AS ix,
+        sum(CASE WHEN i > n - n // 10 THEN x ELSE 0 END) AS s_top
+      FROM ranked GROUP BY yr
+    )
+    SELECT yr, CAST(n AS BIGINT) AS n_orders,
+      CAST(s AS BIGINT) AS total_cents,
+      CAST(floor(1e6
+        * (2 * CAST(ix AS DOUBLE) - (n + 1) * CAST(s AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT)
+        AS gini_micro,
+      CAST((s_top * 1000000) // s AS BIGINT) AS top_decile_share_ppm
+    FROM agg
+    """,
+)
+def q_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REVENUE CONCENTRATION per year: the exact Gini coefficient of
+    order values (G = (2Σi·x_i − (n+1)Σx)/(nΣx) over ascending ranks)
+    plus the top-decile revenue share — the whale-dependence metrics
+    behind "how concentrated is our business" and dataset-skew
+    reports (the same statistic measures token/source imbalance when
+    pointed at a corpus).
+
+    Ranks come from a YEAR-partitioned window (the rolling_correlation
+    parallelism discipline — never one global sort), with an orderkey
+    tie-break so equal values rank identically on both engines; Σi·x
+    accumulates exactly as DECIMAL(38,0)/HUGEINT; the Gini is ONE
+    IEEE chain on exact sums, the decile share pure integer ppm."""
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        cents(F.col("o_totalprice")).alias("x"),
+        F.col("o_orderkey").alias("k"),
+    )
+    wr = Window.partitionBy("yr").orderBy("x", "k")
+    wn = Window.partitionBy("yr")
+    ranked = base.select(
+        "yr",
+        "x",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.groupBy("yr").agg(
+        F.max("n").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("i").cast(dec) * F.col("x")).alias("ix"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.expr("n div 10"), F.col("x")
+            ).otherwise(0)
+        ).alias("s_top"),
+    )
+    gini = F.floor(
+        F.lit(1e6)
+        * (
+            2 * F.col("ix").cast("double")
+            - (F.col("n") + 1).cast("double") * F.col("s").cast("double")
+        )
+        / (F.col("n").cast("double") * F.col("s").cast("double"))
+    ).cast("bigint")
+    return agg.select(
+        "yr",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("s").cast("bigint").alias("total_cents"),
+        gini.alias("gini_micro"),
+        F.expr("(s_top * 1000000) div s")
+        .cast("bigint")
+        .alias("top_decile_share_ppm"),
+    )

@@ -244,9 +244,11 @@ HEADLINE += [
     # embeddings
     "embedding_drift_by_label",
     "embedding_dim_health",
+    # concentration metrics
+    "revenue_concentration",
 ]
 
-# Round-5 headline set (159 queries; includes every registered driver
+# Round-5 headline set (160 queries; includes every registered driver
 # slot), frozen for round-6+ per-query deltas.
 R5_SET = list(HEADLINE)
 

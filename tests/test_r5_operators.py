@@ -360,3 +360,36 @@ def test_embedding_drift_matches_numpy_cosine_of_means(spark, sf_dir):
         # quantization at 1e6 per component over ~|x|<=4 keeps the
         # cosine within ~1e-4 of the float reference
         assert abs(got[label] / 1e6 - cos) < 1e-3
+
+
+def test_gini_matches_python_reference(spark, sf_dir):
+    """Per-year Gini and top-decile share vs a sorted-list Python
+    computation with the same rank tie-break."""
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    got = {
+        r.yr: (r.n_orders, r.total_cents, r.gini_micro,
+               r.top_decile_share_ppm)
+        for r in ALL_QUERIES["revenue_concentration"](
+            spark, sf_dir
+        ).collect()
+    }
+    rows = read_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice", "o_orderkey"
+    ).collect()
+    import math
+    by_year = defaultdict(list)
+    for r in rows:
+        yr = int(str(r.o_orderdate)[:4])
+        by_year[yr].append((round(r.o_totalprice * 100), r.o_orderkey))
+    want = {}
+    for yr, vals in by_year.items():
+        vals.sort()
+        n = len(vals)
+        s = sum(x for x, _ in vals)
+        ix = sum((i + 1) * x for i, (x, _) in enumerate(vals))
+        k = n // 10
+        s_top = sum(x for x, _ in vals[n - k:]) if k else 0
+        gini = math.floor(1e6 * (2 * ix - (n + 1) * s) / (n * s))
+        want[yr] = (n, s, gini, (s_top * 1_000_000) // s)
+    assert got == want
