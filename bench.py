@@ -252,6 +252,14 @@ HEADLINE += [
 # slot), frozen for round-6+ per-query deltas.
 R5_SET = list(HEADLINE)
 
+# Post-freeze round-5 additions (kept out of R5_SET so its cross-round
+# deltas stay comparable; they still run and report per-query times).
+HEADLINE += [
+    # tokenizer tier
+    "bpe_tokenize",
+    "bpe_merge_audit",
+]
+
 
 def _stage_stats(base: str, app_id: str) -> dict[int, dict]:
     """Completed-stage metrics from the Spark UI REST API, by stageId."""
