@@ -261,3 +261,340 @@ def q_bpe_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("distinct_words").cast("bigint").alias("distinct_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fifo_allocation — FIFO payment application (order-to-cash waterfall)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fifo_allocation",
+    registered=False,  # extra (round-5): rotation candidate for round 6
+    oracle="""
+    WITH inv AS (
+      SELECT o_custkey AS c,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS amt,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_i
+      FROM orders
+    ),
+    inv2 AS (SELECT c, amt, cum_i, cum_i - amt AS prev_i FROM inv),
+    tot AS (SELECT c, CAST(sum(amt) AS BIGINT) AS t FROM inv GROUP BY c),
+    pay AS (
+      SELECT c, j,
+        CASE WHEN j < 4 THEN j * (t // 4) ELSE t END AS cum_p,
+        CASE WHEN j = 1 THEN 0
+             WHEN j < 4 THEN (j - 1) * (t // 4)
+             ELSE 3 * (t // 4) END AS prev_p
+      FROM tot, unnest(generate_series(1, 4)) AS u(j)
+    ),
+    alloc AS (
+      SELECT p.j, i.c,
+        least(i.cum_i, p.cum_p) - greatest(i.prev_i, p.prev_p) AS a
+      FROM inv2 i JOIN pay p USING (c)
+      WHERE least(i.cum_i, p.cum_p) > greatest(i.prev_i, p.prev_p)
+    )
+    SELECT CAST(j AS INT) AS pay_idx,
+      CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(sum(a) AS BIGINT) AS allocated_cents,
+      CAST(count(DISTINCT c) AS BIGINT) AS n_customers
+    FROM alloc GROUP BY j
+    """,
+)
+def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO PAYMENT APPLICATION (the order-to-cash waterfall): each
+    customer pays their invoice ledger in four installments (three of
+    floor(total/4), one remainder-absorbing final), and every payment
+    is applied to invoices oldest-first.  The classic procedural
+    match-payments loop becomes ONE closed-form interval overlap on
+    running totals: payment j covers invoice i by
+    ``min(cumI_i, cumP_j) - max(cumI_{i-1}, cumP_{j-1})`` when
+    positive — no iteration, no state, exact integers throughout.
+
+    Plan at scale: one hash exchange on custkey feeds the running-sum
+    window, the per-customer total, and the 4-way payment fan-out; the
+    overlap join is custkey-equi so it co-partitions with no extra
+    shuffle, and its fan-out is bounded (≤ 4 payments x invoices that
+    overlap, i.e. ≤ n+4 surviving pairs per customer, not n x 4).
+    Reference parity: the windowed generalization of the staged
+    UPDATE…FROM arithmetic (``import_stage.py`` M4/M5)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("c")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inv = o.select(
+        F.col("o_custkey").alias("c"),
+        cents(F.col("o_totalprice")).alias("amt"),
+        "o_orderdate",
+        "o_orderkey",
+    ).select(
+        "c",
+        "amt",
+        F.sum("amt").over(w).alias("cum_i"),
+    ).select("c", "amt", "cum_i", (F.col("cum_i") - F.col("amt")).alias("prev_i"))
+    tot = inv.groupBy("c").agg(F.sum("amt").alias("t"))
+    pay = tot.select(
+        "c",
+        "t",
+        F.explode(F.array(*[F.lit(j) for j in (1, 2, 3, 4)])).alias("j"),
+    ).select(
+        "c",
+        "j",
+        F.when(F.col("j") < 4, F.col("j") * F.expr("t div 4"))
+        .otherwise(F.col("t"))
+        .alias("cum_p"),
+        F.when(F.col("j") == 1, F.lit(0).cast("bigint"))
+        .when(F.col("j") < 4, (F.col("j") - 1) * F.expr("t div 4"))
+        .otherwise(3 * F.expr("t div 4"))
+        .alias("prev_p"),
+    )
+    alloc = (
+        inv.join(pay, "c")
+        .withColumn(
+            "a",
+            F.least("cum_i", "cum_p") - F.greatest("prev_i", "prev_p"),
+        )
+        .filter(F.col("a") > 0)
+    )
+    return alloc.groupBy("j").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("a").alias("allocated_cents"),
+        F.countDistinct("c").alias("n_customers"),
+    ).select(
+        F.col("j").cast("int").alias("pay_idx"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("allocated_cents").cast("bigint").alias("allocated_cents"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# revenue_recognition — calendarized straight-line recognition schedule
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_recognition",
+    registered=False,  # extra (round-5): rotation candidate for round 6
+    oracle="""
+    WITH span AS (
+      SELECT o.o_orderkey,
+        CAST(round(o.o_totalprice * 100) AS BIGINT) AS t,
+        date_trunc('month', least(o.o_orderdate, s.mx)) AS m0,
+        abs((year(s.mx) * 12 + month(s.mx))
+          - (year(o.o_orderdate) * 12 + month(o.o_orderdate))) + 1 AS m
+      FROM orders o
+      JOIN (SELECT l_orderkey, max(l_shipdate) AS mx
+            FROM lineitem GROUP BY l_orderkey) s
+        ON s.l_orderkey = o.o_orderkey
+    ),
+    slices AS (
+      SELECT CAST(m0 + to_months(CAST(i AS INT)) AS DATE) AS mon,
+        (t * (i + 1)) // m - (t * i) // m AS a
+      FROM span, unnest(generate_series(0, m - 1)) AS u(i)
+    )
+    SELECT mon,
+      CAST(sum(a) AS BIGINT) AS recognized_cents,
+      CAST(count(*) AS BIGINT) AS n_orders
+    FROM slices GROUP BY mon
+    """,
+)
+def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDARIZED REVENUE RECOGNITION: each order's value is
+    recognized straight-line over the calendar months spanned by its
+    order and last-shipment dates (earlier month first — the synthetic
+    corpus ships some lines before booking, so the span is taken in
+    either direction), re-aggregated into a calendar-month recognition
+    ledger — the deferred-revenue report every subscription/contract
+    business runs.
+
+    The per-month split is the exact largest-remainder scheme
+    ``slice(i) = (T*(i+1)) div m - (T*i) div m``: integer cents, sums
+    to T exactly, no rounding drift to reconcile — the same device as
+    dataset_split's exact quotas.  Plan: the order->last-ship join is
+    an orderkey-equi shuffle join (both sides pre-aggregated/narrow),
+    the month fan-out is a bounded explode (contract length in months,
+    data-independent of corpus scale), and the final ledger groupBy
+    keys on ~100 calendar months."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("mx")
+    )
+    span = o.join(
+        last_ship, o["o_orderkey"] == last_ship["l_orderkey"]
+    ).select(
+        cents(F.col("o_totalprice")).alias("t"),
+        F.trunc(
+            F.least("o_orderdate", "mx").cast("date"), "month"
+        ).alias("m0"),
+        (
+            F.abs(
+                (F.year("mx") * 12 + F.month("mx"))
+                - (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            )
+            + 1
+        ).cast("bigint").alias("m"),
+    )
+    slices = span.select(
+        "t",
+        "m",
+        F.posexplode(
+            F.expr("sequence(0, m - 1)")
+        ).alias("pos", "i"),
+        F.col("m0"),
+    ).select(
+        F.expr("add_months(m0, cast(i as int))").alias("mon"),
+        (
+            F.expr("(t * (i + 1)) div m") - F.expr("(t * i) div m")
+        ).alias("a"),
+    )
+    return slices.groupBy("mon").agg(
+        F.sum("a").cast("bigint").alias("recognized_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier — product-limit survival of order->first-ship delay
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kaplan_meier",
+    registered=False,  # extra (round-5): rotation candidate for round 6
+    oracle="""
+    WITH subj AS (
+      SELECT date_diff('day', o.o_orderdate, s.first_ship) AS t,
+        date_diff('day', o.o_orderdate,
+                  (SELECT max(o_orderdate) FROM orders)) AS c
+      FROM orders o
+      JOIN (SELECT l_orderkey, min(l_shipdate) AS first_ship
+            FROM lineitem GROUP BY l_orderkey) s
+        ON s.l_orderkey = o.o_orderkey
+    ),
+    obs AS (
+      SELECT least(t, c) AS obs_t,
+        CASE WHEN t <= c THEN 1 ELSE 0 END AS ev
+      FROM subj
+    ),
+    by_t AS (
+      SELECT obs_t, CAST(count(*) AS BIGINT) AS n_sub,
+        CAST(sum(ev) AS BIGINT) AS d
+      FROM obs GROUP BY obs_t
+    ),
+    risk AS (
+      SELECT obs_t, n_sub, d,
+        CAST(sum(n_sub) OVER (ORDER BY obs_t DESC
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+      FROM by_t
+    ),
+    km AS (
+      SELECT obs_t, n_risk, d, n_sub - d AS cens,
+        CASE WHEN d < n_risk THEN CAST(floor(1e6 * ln(
+          1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+          AS BIGINT) ELSE NULL END AS term
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(obs_t AS BIGINT) AS t_days,
+      n_risk AS n_at_risk, d AS n_events,
+      CAST(cens AS BIGINT) AS n_censored,
+      CASE WHEN term IS NULL THEN NULL ELSE
+        CAST(sum(term) OVER (ORDER BY obs_t
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) END
+        AS log_surv_micro
+    FROM km
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER product-limit survival of the order->first-shipment
+    delay with honest right-censoring: the study window closes at the
+    corpus max order date, so an order placed near the close whose
+    first shipment falls outside its window is CENSORED at its window
+    length rather than counted — the estimator every time-to-event
+    report (churn, time-to-convert, time-to-fail) is built on.
+
+    The product becomes a cumulative SUM in log space: each factor
+    ln(1 - d/n) is computed from exact integer d and n_at_risk, floored
+    to micro-units PER TERM before the ordered cumulative sum (the
+    ADVICE-r4 discipline — no unordered float reductions; benford's
+    ln-precedent for the single IEEE op).  A d = n_at_risk terminal
+    point (survival exactly 0) reports NULL log-survival rather than
+    -inf.  Plan: the subject build is one orderkey-equi join; the curve
+    math runs on the tiny distinct-delay frame (hundreds of rows at
+    any corpus scale), where the single-task ordered windows are
+    sanctioned (operators/order.py doctrine)."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    cutoff = o.agg(F.max("o_orderdate").alias("cut"))
+    subj = (
+        o.join(first_ship, o["o_orderkey"] == first_ship["l_orderkey"])
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            F.datediff(
+                F.col("first_ship").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("t"),
+            F.datediff(
+                F.col("cut").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("c"),
+        )
+    )
+    by_t = (
+        subj.select(
+            F.least("t", "c").alias("obs_t"),
+            F.when(F.col("t") <= F.col("c"), 1).otherwise(0).alias("ev"),
+        )
+        .groupBy("obs_t")
+        .agg(
+            F.count(F.lit(1)).alias("n_sub"),
+            F.sum("ev").alias("d"),
+        )
+    )
+    w_desc = Window.orderBy(F.col("obs_t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = by_t.select(
+        "obs_t",
+        "n_sub",
+        "d",
+        F.sum("n_sub").over(w_desc).alias("n_risk"),
+    )
+    km = risk.filter(F.col("d") > 0).select(
+        "obs_t",
+        "n_risk",
+        "d",
+        (F.col("n_sub") - F.col("d")).alias("cens"),
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+            ).cast("bigint"),
+        ).alias("term"),
+    )
+    w_asc = Window.orderBy("obs_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return km.select(
+        F.col("obs_t").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("cens").cast("bigint").alias("n_censored"),
+        F.when(
+            F.col("term").isNotNull(),
+            F.sum("term").over(w_asc),
+        ).cast("bigint").alias("log_surv_micro"),
+    )

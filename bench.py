@@ -258,6 +258,10 @@ HEADLINE += [
     # tokenizer tier
     "bpe_tokenize",
     "bpe_merge_audit",
+    # order-to-cash / survival tier
+    "fifo_allocation",
+    "revenue_recognition",
+    "kaplan_meier",
 ]
 
 
