@@ -225,3 +225,134 @@ def streaming_near_dup_flags(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Timer-based session features (EventTimeTimeout)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_SECONDS = 1800  # same 30-min gap as catalog events_sessionize
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start", TimestampType(), True),
+        StructField("session_end", TimestampType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("value_cents", LongType(), True),
+        StructField("closed_by", StringType(), True),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType(), True),
+        StructField("last_us", LongType(), True),
+        StructField("n", LongType(), True),
+        StructField("cents", LongType(), True),
+    ]
+)
+
+
+def streaming_session_features(
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """SESSION FEATURIZER WITH EVENT-TIME TIMERS: per-user 30-min-gap
+    sessions that close through TWO paths — a later event past the gap
+    (``closed_by='gap'``), or the event-time TIMER firing when the
+    watermark passes ``last_event + gap`` with no further activity
+    (``closed_by='timer'``).  The timer path is what a pure
+    window/sessionize pipeline cannot express: the session for a user
+    who simply STOPS is emitted as soon as the stream's clock proves it
+    over, not at job end.  Emits (user_id, session_start, session_end,
+    n_events, value_cents, closed_by) per closed session.
+
+    State per key is one open-session record (4 longs); at 100 TB of
+    keys the RocksDB state store holds one such record per ACTIVE user,
+    and the watermark both bounds state (expired keys are removed when
+    their timer fires) and drops late events.  Intra-batch gap
+    splitting walks each Arrow batch sorted by (ts, event_id), so the
+    operator is exactly the batch lag/running-sum sessionizer
+    (catalog_ext.q_events_sessionize) under bounded disorder — the
+    equivalence the streaming test asserts.
+
+    Timer mechanics: ``hasTimedOut`` batches close the held session and
+    clear state; data batches first fold the held session into the
+    walk, then re-arm ``setTimeoutTimestamp(last + gap)`` for whatever
+    session stays open.  A held session already expired versus the
+    CURRENT watermark (its user went quiet while other keys kept the
+    stream moving) is closed inline, because arming a timer at-or-before
+    the watermark is rejected by the engine.
+    """
+    gap_ms = gap_seconds * 1000
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        uid = key[0]
+        cols = list(SESSION_OUT_SCHEMA.fieldNames())
+
+        def _emit(rows: list) -> "pd.DataFrame":
+            out = pd.DataFrame(rows, columns=cols)
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            return out
+
+        if state.hasTimedOut:
+            start_us, last_us, n, cents_v = state.get
+            state.remove()
+            yield _emit([(uid, start_us, last_us, n, cents_v, "timer")])
+            return
+
+        frames = [pdf for pdf in pdfs if not pdf.empty]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        ts_us = (rows["ts"].astype("int64") // 1_000).tolist()
+        val_cents = [int(round(v * 100)) for v in rows["value"].tolist()]
+
+        open_sess = list(state.get) if state.exists else None
+        wm_ms = state.getCurrentWatermarkMs()
+        closed: list = []
+        if open_sess is not None and open_sess[1] // 1000 + gap_ms <= wm_ms:
+            # expired while other keys advanced the watermark; the
+            # engine forbids re-arming a timer at/behind the watermark
+            closed.append(
+                (uid, open_sess[0], open_sess[1], open_sess[2],
+                 open_sess[3], "timer")
+            )
+            open_sess = None
+        gap_us = gap_ms * 1000
+        for t_us, v_c in zip(ts_us, val_cents):
+            if open_sess is None:
+                open_sess = [t_us, t_us, 1, v_c]
+            elif t_us - open_sess[1] > gap_us:
+                closed.append(
+                    (uid, open_sess[0], open_sess[1], open_sess[2],
+                     open_sess[3], "gap")
+                )
+                open_sess = [t_us, t_us, 1, v_c]
+            else:
+                open_sess[1] = t_us
+                open_sess[2] += 1
+                open_sess[3] += v_c
+        state.update(tuple(open_sess))
+        state.setTimeoutTimestamp(open_sess[1] // 1000 + gap_ms)
+        if closed:
+            yield _emit(closed)
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

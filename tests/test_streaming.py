@@ -566,3 +566,113 @@ def test_streaming_cdc_merge_matches_batch_snapshot(spark, sf_dir, tmp_path):
         .collect()
     ):
         assert r.key not in live_keys
+
+
+def test_streaming_session_timers_match_batch_sessionize(spark, sf_dir, tmp_path):
+    """The EventTimeTimeout session featurizer over a 5-chunk
+    time-ordered availableNow stream must equal the batch lag/running-
+    sum sessionizer for every session the final watermark proves
+    closed; sessions still open at the final watermark must NOT be
+    emitted."""
+    import os
+    import shutil
+    from collections import defaultdict
+
+    from beacon_data_importer_spark.streaming.stateful import (
+        SESSION_GAP_SECONDS,
+        streaming_session_features,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    rows = ev.sort("ts", "event_id").collect()
+    assert rows, "events table empty"
+
+    # stage 5 strictly time-ordered chunks, one file each, ascending
+    # mtime so maxFilesPerTrigger=1 replays them in order
+    src = tmp_path / "session_stream"
+    src.mkdir()
+    n = len(rows)
+    bounds = [round(i * n / 5) for i in range(6)]
+    for i in range(5):
+        chunk = rows[bounds[i] : bounds[i + 1]]
+        if not chunk:
+            continue
+        tmp_out = str(tmp_path / f"chunk_build_{i}")
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            tmp_out
+        )
+        part = next(
+            p for p in os.listdir(tmp_out) if p.endswith(".parquet")
+        )
+        dest = str(src / f"chunk_{i}.parquet")
+        shutil.copyfile(os.path.join(tmp_out, part), dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_session_features(
+        stream, watermark_delay="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_timers")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_rows = spark.table("session_timers").collect()
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_cents)
+        for r in got_rows
+    )
+
+    # pure-Python reference with the same gap + final-watermark rule
+    gap = SESSION_GAP_SECONDS
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id, round(r.value * 100)))
+    import datetime
+
+    # engine semantics: watermark and timers are millisecond-floored,
+    # and event-time timers fire on STRICT < watermark
+    max_ms = max(
+        int(r.ts.timestamp() * 1_000_000) // 1000 for r in rows
+    )
+    wm_ms = max_ms - 30 * 60 * 1000
+    want = []
+    open_by_user = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        sess = None
+        sessions = []
+        for ts, _eid, cents_v in evs:
+            if sess is None:
+                sess = [ts, ts, 1, cents_v]
+            elif (ts - sess[1]).total_seconds() > gap:
+                sessions.append(sess)
+                sess = [ts, ts, 1, cents_v]
+            else:
+                sess[1], sess[2], sess[3] = ts, sess[2] + 1, sess[3] + cents_v
+        # last session closes only if the final watermark passed its gap
+        last_ms = int(sess[1].timestamp() * 1_000_000) // 1000
+        if last_ms + gap * 1000 < wm_ms:
+            sessions.append(sess)
+        else:
+            open_by_user[uid] = sess
+        want.extend((uid, s[0], s[1], s[2], s[3]) for s in sessions)
+    assert got == sorted(want)
+    assert len(open_by_user) > 0, (
+        "test vacuous: every session closed — shrink the watermark delay"
+    )
+    assert {r.closed_by for r in got_rows} <= {"gap", "timer"}
+    assert any(r.closed_by == "timer" for r in got_rows), (
+        "timer path never fired"
+    )
