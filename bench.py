@@ -265,6 +265,17 @@ HEADLINE += [
 ]
 
 
+def _bench_set(all_queries: dict) -> list[str]:
+    """SPARK_GRAFT_BENCH_SET=full widens the run to EVERY catalog query
+    (headline order first, then the remaining extras alphabetically);
+    default stays the curated HEADLINE list so per-round wall budgets
+    and cross-round deltas are unaffected."""
+    if os.environ.get("SPARK_GRAFT_BENCH_SET", "").lower() != "full":
+        return HEADLINE
+    rest = sorted(set(all_queries) - set(HEADLINE))
+    return HEADLINE + rest
+
+
 def _stage_stats(base: str, app_id: str) -> dict[int, dict]:
     """Completed-stage metrics from the Spark UI REST API, by stageId."""
     import urllib.request
@@ -313,7 +324,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     shuffle_b: dict[str, int] = {}
     spill_b: dict[str, int] = {}
-    for name in HEADLINE:
+    for name in _bench_set(qs):
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
