@@ -262,6 +262,13 @@ HEADLINE += [
     "fifo_allocation",
     "revenue_recognition",
     "kaplan_meier",
+    # layout / statistics audits tier (catalog_r5c)
+    "geo_grid_join",
+    "rendezvous_sharding",
+    "zonemap_skip_audit",
+    "join_cardinality_estimate",
+    "cusum_changepoints",
+    "encoding_advisor",
 ]
 
 
