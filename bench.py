@@ -269,6 +269,11 @@ HEADLINE += [
     "join_cardinality_estimate",
     "cusum_changepoints",
     "encoding_advisor",
+    # data-contract / experimentation tier (catalog_r5d)
+    "fd_violation_audit",
+    "bootstrap_ci_revenue",
+    "qini_uplift",
+    "top_p_vocab",
 ]
 
 
