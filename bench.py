@@ -274,6 +274,9 @@ HEADLINE += [
     "bootstrap_ci_revenue",
     "qini_uplift",
     "top_p_vocab",
+    # privacy / interval tier (catalog_r5e)
+    "k_anonymity_audit",
+    "max_concurrent_orders",
 ]
 
 
