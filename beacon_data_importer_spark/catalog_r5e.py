@@ -146,14 +146,17 @@ q_k_anonymity_audit.__doc__ = (q_k_anonymity_audit.__doc__ or "").format(
     "max_concurrent_orders",
     registered=False,  # extra (round-5e): rotation candidate for round 6
     oracle="""
-    WITH span AS (
+    WITH raw AS (
       SELECT o.o_orderkey,
              CAST(datediff('day', DATE '1992-01-01',
-                           CAST(o.o_orderdate AS DATE)) AS BIGINT) AS d0,
+                           CAST(o.o_orderdate AS DATE)) AS BIGINT) AS a,
              CAST(datediff('day', DATE '1992-01-01',
-                           CAST(max(l.l_shipdate) AS DATE)) AS BIGINT) AS d1
+                           CAST(max(l.l_shipdate) AS DATE)) AS BIGINT) AS b
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    span AS (
+      SELECT o_orderkey, least(a, b) AS d0, greatest(a, b) AS d1 FROM raw
     ),
     deltas AS (
       SELECT d0 AS day_no, 1 AS delta FROM span
@@ -175,19 +178,24 @@ q_k_anonymity_audit.__doc__ = (q_k_anonymity_audit.__doc__ or "").format(
 def q_max_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order-concurrency profile via the sweep-line transform.
 
-    An order is "open" from its order date through its last line
-    shipment; the naive concurrency question is an interval self-join
-    (O(n²)).  The sweep line replaces it with two delta events per
-    order (+1 at start, -1 the day after close), a distributed daily
-    rollup, and one running sum over the ~2.4k-day frame — O(n) work,
-    one shuffle on day_no, and the global window runs on the bounded
-    calendar frame (same rationale as ``ewma_daily_revenue``).
-    Output: per day, net openings and the exact number of open orders.
+    An order is "in flight" across its activity span — from the
+    earlier to the later of (order date, last line shipment); this
+    synthetic corpus inverts ~21% of orders (shipment precedes
+    ordering), so the span takes least/greatest rather than assuming
+    direction, keeping every interval well-formed and the concurrency
+    non-negative.  The naive concurrency question is an interval
+    self-join (O(n²)).  The sweep line replaces it with two delta
+    events per order (+1 at span start, -1 the day after span end), a
+    distributed daily rollup, and one running sum over the ~2.4k-day
+    frame — O(n) work, one shuffle on day_no, and the global window
+    runs on the bounded calendar frame (same rationale as
+    ``ewma_daily_revenue``).  Output: per day, net openings and the
+    exact number of in-flight orders.
 
-    The per-order close date is itself a map-side-combined max over
+    The per-order span end is itself a map-side-combined max over
     that order's lines (shuffle on orderkey — the join's natural key).
-    Orders with no lineitem rows have no close event and are excluded
-    by the inner join on both engines.
+    Orders with no lineitem rows have no span and are excluded by the
+    inner join on both engines.
 
     Reference parity: the set-cardinality-over-time generalization of
     the reference's callback scheduling window (X15,
@@ -195,17 +203,15 @@ def q_max_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     epoch = F.lit("1992-01-01").cast("date")
+    a = F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("bigint")
+    b = F.datediff(F.col("close_ts").cast("date"), epoch).cast("bigint")
     span = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.max("l_shipdate").alias("close_ts"))
         .select(
-            F.datediff(F.col("o_orderdate").cast("date"), epoch)
-            .cast("bigint")
-            .alias("d0"),
-            F.datediff(F.col("close_ts").cast("date"), epoch)
-            .cast("bigint")
-            .alias("d1"),
+            F.least(a, b).alias("d0"),
+            F.greatest(a, b).alias("d1"),
         )
     )
     deltas = span.select(

@@ -30,10 +30,13 @@ MIN_SHARED = 3
 _STAGE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
 
-def co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def co_purchase_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected (a < b) customer co-purchase edge list with
-    ``MIN_SHARED``-part thresholding, staged once per session and
-    scale factor."""
+    ``MIN_SHARED``-part thresholding AND the shared-part count kept as
+    an edge attribute (``a``, ``b``, ``shared``), staged once per
+    session and scale factor.  The unweighted consumers project it
+    away; weighted-graph consumers (``weighted_sssp``) derive integer
+    edge costs from ``shared`` — one pair expansion serves both."""
     per_session = _STAGE.setdefault(spark, {})
     key = ("edges", sf_dir)
     if key not in per_session:
@@ -55,7 +58,13 @@ def co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("shared"))
             .filter(F.col("shared") >= MIN_SHARED)
-            .select("a", "b")
         )
         per_session[key] = edges.localCheckpoint()
     return per_session[key]
+
+
+def co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (a < b) customer co-purchase edge list with
+    ``MIN_SHARED``-part thresholding, staged once per session and
+    scale factor."""
+    return co_purchase_edges_weighted(spark, sf_dir).select("a", "b")

@@ -277,6 +277,13 @@ HEADLINE += [
     # privacy / interval tier (catalog_r5e)
     "k_anonymity_audit",
     "max_concurrent_orders",
+    # weighted-graph / inference / calendar tier (catalog_r5f)
+    "weighted_sssp",
+    "fdr_bh_audit",
+    "conformal_interval_audit",
+    "business_day_latency",
+    "littles_law_audit",
+    "dp_noisy_counts",
 ]
 
 
