@@ -33,9 +33,11 @@ _KANON_K = 5
 # generalization level, exactly how QI hierarchies are built.
 _KANON_QIS: list[tuple[str, list[str]]] = [
     ("nationkey", ["c_nationkey"]),
-    # the +100000000-cent offset keeps the dividend positive: Spark's
-    # `div` truncates toward zero while DuckDB's `//` floors, so they
-    # only agree on non-negative operands (acctbal can be negative).
+    # the +100000000-cent offset keeps the dividend positive: both
+    # engines' integer division truncates toward zero (measured — see
+    # catalog_r5f._CONF_SHIFT), which on negatives would fold the
+    # -0.x and +0.x cent ranges into one double-width bucket; the
+    # offset makes every bucket a uniform floor-division bucket.
     (
         "nationkey,balance_bucket",
         [

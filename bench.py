@@ -284,6 +284,10 @@ HEADLINE += [
     "business_day_latency",
     "littles_law_audit",
     "dp_noisy_counts",
+    # embedding-truncation / recommender / causal tier (catalog_r5g)
+    "matryoshka_recall_audit",
+    "item_item_cf_topk",
+    "did_estimate",
 ]
 
 
