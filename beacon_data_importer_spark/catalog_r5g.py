@@ -152,14 +152,27 @@ q_matryoshka_recall_audit.__doc__ = (
 
 _CF_MIN_CO = 2
 _CF_K = 5
+# Baskets wider than this are excluded entirely (pair AND popularity
+# stages, keeping the cosine denominator consistent with the numerator
+# corpus): one planted W=20k basket measured
+# 449 s vs the corpus's 5.6 s (tools/scale_probe.py cf — W²/2 pairs out
+# of a single row group, skew no partitioning fixes).  64 is far above
+# this corpus's max width, so locally the cap is a no-op — it exists
+# for the 100 TB case where one bot cart would otherwise own the job.
+_CF_MAX_WIDTH = 64
 
 
 @query(
     "item_item_cf_topk",
     registered=False,  # extra (round-5g): rotation candidate for round 6
     oracle=f"""
-    WITH it AS MATERIALIZED (
+    WITH it0 AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    it AS MATERIALIZED (
+      SELECT i.o, i.p FROM it0 i
+      JOIN (SELECT o FROM it0 GROUP BY o
+            HAVING count(*) <= {_CF_MAX_WIDTH}) ok ON ok.o = i.o
     ),
     pop AS MATERIALIZED (
       SELECT p, CAST(count(*) AS BIGINT) AS n FROM it GROUP BY p
@@ -207,18 +220,26 @@ def q_item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded sqrt·divide — bit-identical cross-engine; the
     per-item ranking window shuffles on item with id tie-break.
 
-    At 100 TB: the only superlinear term is baskets × (parts per
-    basket)², which is linear in rows for bounded basket width; skewed
-    mega-baskets would need the documented cap the LSH tier uses
-    (filter or sample baskets above a width bound) — not present in
-    this corpus.
+    At 100 TB: work is baskets × width², linear in rows for bounded
+    width — measured flat-or-better rows/sec at 8× basket
+    amplification, while ONE planted 20k-part mega-basket cost 80×
+    the whole corpus (tools/scale_probe.py cf) — hence the
+    ``_CF_MAX_WIDTH`` cap, a no-op on this corpus and the documented
+    bot-cart guard at scale (same doctrine as the LSH ``max_bucket``).
 
     Reference parity: beyond-reference analytics; the J2 multi-valued
     lookup is the degenerate one-basket case."""
     li = read_table(spark, sf_dir, "lineitem")
-    it = li.select(
+    it0 = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    ok = (
+        it0.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") <= _CF_MAX_WIDTH)
+        .select("o")
+    )
+    it = it0.join(ok, "o")  # width cap — see _CF_MAX_WIDTH
     pop = it.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     x = it.select("o", F.col("p").alias("a"))
     y = it.select(F.col("o").alias("o_r"), F.col("p").alias("b"))

@@ -40,7 +40,11 @@ def test_item_item_cf_matches_python_recompute(spark, sf_dir):
     """Recompute the full CF pipeline sequentially (distinct baskets →
     pair counts → cosine → per-item top-k with id tie-break) and
     compare the entire result set."""
-    from beacon_data_importer_spark.catalog_r5g import _CF_K, _CF_MIN_CO
+    from beacon_data_importer_spark.catalog_r5g import (
+        _CF_K,
+        _CF_MAX_WIDTH,
+        _CF_MIN_CO,
+    )
     from beacon_data_importer_spark.sources.parquet import read_table
 
     it = {
@@ -52,11 +56,18 @@ def test_item_item_cf_matches_python_recompute(spark, sf_dir):
         .distinct()
         .collect()
     }
-    pop: dict[int, int] = {}
-    baskets: dict[int, list[int]] = {}
+    raw_baskets: dict[int, list[int]] = {}
     for o, p in it:
-        pop[p] = pop.get(p, 0) + 1
-        baskets.setdefault(o, []).append(p)
+        raw_baskets.setdefault(o, []).append(p)
+    # width cap (a no-op on this corpus — asserted so the claim stays true)
+    assert max(len(v) for v in raw_baskets.values()) <= _CF_MAX_WIDTH
+    baskets = {
+        o: v for o, v in raw_baskets.items() if len(v) <= _CF_MAX_WIDTH
+    }
+    pop: dict[int, int] = {}
+    for v in baskets.values():
+        for p in v:
+            pop[p] = pop.get(p, 0) + 1
     co: dict[tuple[int, int], int] = {}
     for parts in baskets.values():
         parts = sorted(parts)

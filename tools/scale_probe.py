@@ -363,8 +363,99 @@ def main() -> None:
     print(json.dumps({"metric": "scale_probe", "shapes": results}))
 
 
+def cf_probe() -> None:
+    """Item-item CF scaling claim (catalog_r5g.q_item_item_cf_topk):
+    work is baskets × width², i.e. LINEAR in rows for bounded basket
+    width.  Probe directions:
+
+    * ``xN`` — amplify lineitem by orderkey offsets only (8× baskets,
+      SAME part catalog): pair-groupBy key cardinality stays constant,
+      counts fatten — rows/sec should stay ~flat (map-side combine
+      carries the growth).
+    * ``hub`` — plant ONE mega-basket holding every part (the width²
+      adversary the docstring warns about): measured so the documented
+      hazard has a number attached, not a hand-wave.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="cf-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import Window
+
+    def cf_topk(it):
+        pop = it.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+        x = it.select("o", F.col("p").alias("a"))
+        y = it.select(F.col("o").alias("o_r"), F.col("p").alias("b"))
+        co = (
+            x.join(y, (F.col("o") == F.col("o_r")) & (F.col("a") < F.col("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+        )
+        sym = co.unionByName(
+            co.select(F.col("b").alias("a"), F.col("a").alias("b"), "c")
+        )
+        pa = pop.select(F.col("p").alias("a"), F.col("n").alias("na"))
+        pb = pop.select(F.col("p").alias("b"), F.col("n").alias("nb"))
+        raw = F.col("c").cast("double") / F.sqrt(
+            (F.col("na") * F.col("nb")).cast("double")
+        )
+        w = Window.partitionBy("a").orderBy(F.col("raw").desc(), "b")
+        return (
+            sym.join(pa, "a").join(pb, "b")
+            .select("a", "b", "c", raw.alias("raw"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+        )
+
+    results: dict[str, dict] = {}
+    base = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    for factor in (1, 8):
+        it = (
+            amplify(base, factor, ["o"])
+            .distinct()
+            .repartition(spark.sparkContext.defaultParallelism, "o")
+            .persist()
+        )
+        n = it.count()
+        dt = timed(cf_topk(it))
+        results[f"baskets_x{factor}"] = {
+            "rows": n,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n / dt),
+        }
+        it.unpersist()
+        spark.catalog.clearCache()
+
+    # hub adversary: one basket containing EVERY part (width W ⇒ W²/2
+    # pairs from a single input row group — the skew no partitioning
+    # fixes, only a width cap does).
+    parts = base.select("p").distinct()
+    hub = parts.select(F.lit(-1).cast("bigint").alias("o"), "p")
+    it = (
+        base.unionByName(hub)
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "o")
+        .persist()
+    )
+    n = it.count()
+    width = parts.count()
+    dt = timed(cf_topk(it))
+    results["hub_basket"] = {
+        "rows": n,
+        "hub_width": width,
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n / dt),
+    }
+    it.unpersist()
+    print(json.dumps({"metric": "cf_scale_probe", "shapes": results}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "blocking":
         blocking_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "cf":
+        cf_probe()
     else:
         main()
