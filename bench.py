@@ -288,6 +288,9 @@ HEADLINE += [
     "matryoshka_recall_audit",
     "item_item_cf_topk",
     "did_estimate",
+    # recursion / retrieval tier (catalog_r5h)
+    "recursive_bom_rollup",
+    "rrf_hybrid_search",
 ]
 
 
