@@ -291,6 +291,10 @@ HEADLINE += [
     # recursion / retrieval tier (catalog_r5h)
     "recursive_bom_rollup",
     "rrf_hybrid_search",
+    # retrieval-quality / monitoring / stats tier (catalog_r5i)
+    "ann_ndcg_audit",
+    "psi_drift_audit",
+    "equidepth_histogram",
 ]
 
 
