@@ -82,6 +82,58 @@ def global_ntile(df: DataFrame, n: int, order_cols: list[str]) -> DataFrame:
     )
 
 
+def global_rank(
+    df: DataFrame, order_cols: list[str], out_col: str = "__rank"
+) -> DataFrame:
+    """Append ``row_number() OVER (ORDER BY order_cols)`` — the global
+    1-based rank — WITHOUT a single-task global window.
+
+    Same device as :func:`global_ntile` (steps 1–4 of its module
+    docstring): range-repartition on the order columns, sort within
+    partitions, per-partition counter via ``monotonically_increasing_id``
+    after the sort, and a broadcast prefix-sum offset table; global
+    rank = partition offset + local position + 1.  ``order_cols`` must
+    be a TOTAL order (add a tie-breaker id) or ranks at boundary ties
+    are partition-placement-dependent.
+
+    This is the primitive behind sorted-neighborhood blocking,
+    equi-depth statistics, and any "exact position in the global
+    order" need at 100 TB: one range exchange (what any global sort
+    pays), everything else map-side.
+    """
+    spark = df.sparkSession
+    shuffle_n = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200") or "200"
+    )
+    ranged = df.repartitionByRange(
+        shuffle_n, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    with_ids = ranged.select(
+        "*",
+        F.spark_partition_id().alias("__pid"),
+        F.monotonically_increasing_id().alias("__mid"),
+    ).localCheckpoint()  # pin boundaries: offsets + final join both consume
+    counts = with_ids.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__mid0")
+    )
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        "__mid0",
+        F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off"),
+    )
+    return (
+        with_ids.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            (F.col("__off") + F.col("__mid") - F.col("__mid0") + 1).cast(
+                "bigint"
+            ),
+        )
+        .drop("__pid", "__mid", "__mid0", "__off")
+    )
+
+
 def global_running_max(
     df: DataFrame, order_cols: list[str], value_col: str,
     out_col: str = "__runmax",

@@ -295,6 +295,9 @@ HEADLINE += [
     "ann_ndcg_audit",
     "psi_drift_audit",
     "equidepth_histogram",
+    # SNM blocking / forecast-skill tier (catalog_r5j)
+    "sorted_neighborhood_pairs",
+    "mase_forecast_audit",
 ]
 
 
