@@ -298,6 +298,10 @@ HEADLINE += [
     # SNM blocking / forecast-skill tier (catalog_r5j)
     "sorted_neighborhood_pairs",
     "mase_forecast_audit",
+    # temporal rules / privacy triad / forecast decomposition (catalog_r5k)
+    "sequential_purchase_rules",
+    "t_closeness_audit",
+    "brier_decomposition",
 ]
 
 
