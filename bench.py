@@ -302,6 +302,9 @@ HEADLINE += [
     "sequential_purchase_rules",
     "t_closeness_audit",
     "brier_decomposition",
+    # Spark-4 source surfaces (catalog_r5l)
+    "xml_roundtrip",
+    "python_datasource_scan",
 ]
 
 
