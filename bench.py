@@ -305,6 +305,9 @@ HEADLINE += [
     # Spark-4 source surfaces (catalog_r5l)
     "xml_roundtrip",
     "python_datasource_scan",
+    # Spark-4 SQL surfaces (catalog_r5m)
+    "pipe_syntax_pricing",
+    "sql_udf_taxed_margin",
 ]
 
 
