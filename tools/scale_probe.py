@@ -452,10 +452,83 @@ def cf_probe() -> None:
     print(json.dumps({"metric": "cf_scale_probe", "shapes": results}))
 
 
+def rank_probe() -> None:
+    """global_rank + SNM banding scaling (operators/order.global_rank,
+    catalog_r5j): the rank is one range exchange + map-side counters,
+    and the banded neighborhood self-join is an equi-join on width-w
+    buckets — both should hold rows/sec as the entity count amplifies
+    (names get offset suffixes so key cardinality scales too)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="rank-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from beacon_data_importer_spark.operators.order import global_rank
+
+    results: dict[str, dict] = {}
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    for factor in (1, 8):
+        c = None
+        for i in range(factor):
+            part = base.select(
+                (F.col("c_custkey") + F.lit(i * 100_000_000)).alias(
+                    "c_custkey"
+                ),
+                F.concat(F.col("c_name"), F.lit(f"#{i}")).alias("c_name"),
+            )
+            c = part if c is None else c.unionByName(part)
+        n = c.count()
+
+        t0 = time.time()
+        ranked = global_rank(c, ["c_name", "c_custkey"], out_col="r")
+        ranked.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        results[f"global_rank_x{factor}"] = {
+            "rows": n,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n / dt),
+        }
+
+        w = 5
+        left = ranked.select(
+            F.col("c_custkey").alias("ka"),
+            F.col("c_name").alias("na"),
+            F.col("r").alias("ra"),
+            F.expr(f"(r - 1) div {w}").alias("bucket"),
+        )
+        rb = F.expr(f"(r - 1) div {w}")
+        right = ranked.select(
+            F.col("c_custkey").alias("kb"),
+            F.col("c_name").alias("nb"),
+            F.col("r").alias("rbr"),
+            F.explode(F.array(rb, rb - 1)).alias("bucket"),
+        ).filter(F.col("bucket") >= 0)
+        pairs = (
+            left.join(right, "bucket")
+            .filter(
+                (F.col("rbr") - F.col("ra") >= 1)
+                & (F.col("rbr") - F.col("ra") <= w)
+            )
+            .select("ka", "kb", F.levenshtein("na", "nb").alias("lev"))
+        )
+        t0 = time.time()
+        pairs.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        results[f"snm_banded_pairs_x{factor}"] = {
+            "rows": n,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n / dt),
+        }
+        spark.catalog.clearCache()
+    print(json.dumps({"metric": "rank_scale_probe", "shapes": results}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "blocking":
         blocking_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "cf":
         cf_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "rank":
+        rank_probe()
     else:
         main()
