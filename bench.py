@@ -308,6 +308,10 @@ HEADLINE += [
     # Spark-4 SQL surfaces (catalog_r5m)
     "pipe_syntax_pricing",
     "sql_udf_taxed_margin",
+    # survival hazard / sequential monitoring / blocking eval (catalog_r5n)
+    "nelson_aalen_hazard",
+    "interim_analysis_audit",
+    "blocking_recall_audit",
 ]
 
 
