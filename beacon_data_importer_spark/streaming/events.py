@@ -197,6 +197,70 @@ def interval_join_attribution(
     )
 
 
+def interval_join_attribution_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every click emits —
+    joined rows as matches arrive, and a NULL-purchase row once the
+    purchase-side watermark proves no match can still come (state
+    expiry IS the negative answer; this is how "clicks that never
+    converted" becomes a streaming result instead of a batch backfill).
+
+    Emission contract (the part every production design doc must state,
+    MEASURED here rather than assumed): an unmatched click is emitted
+    only when the join's LEFT-side state watermark passes its match
+    window — and that state watermark lags the global watermark by the
+    horizon itself (the range condition widens how long a left row
+    could still match), so the guaranteed-emission bound is
+    ``click_ts + 2·horizon < max_event_ts − delay``.  A bounded run
+    (``availableNow``) therefore ends with that tail still buffered;
+    the equivalence test encodes exactly this contract instead of
+    pretending outer joins are free of it.
+
+    Same state-size posture as the inner form: both sides watermarked,
+    the range condition bounds buffered event-time, state partitioned
+    by user_id."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        "click_ts",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("lag_seconds"),
+    )
+
+
 def windowed_distinct_users(
     events: DataFrame,
     window: str = "1 hour",

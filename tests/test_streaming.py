@@ -160,6 +160,83 @@ def test_streaming_dedup_with_watermark(spark, sf_dir):
     assert got.select("user_id").distinct().count() == got.count()
 
 
+def test_stream_stream_outer_join_contract(spark, sf_dir):
+    """LEFT-OUTER stream-stream join: matched rows must equal the batch
+    inner join exactly; null-purchase rows must be exactly batch-
+    unmatched clicks; and the emission CONTRACT holds — every unmatched
+    click whose expiry bound (click_ts + horizon) lies at least one
+    second before the final watermark (max_ts − delay) must have been
+    emitted (later ones may legitimately stay buffered when the stream
+    ends)."""
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    clicks = SE.stream_events(spark, sf_dir)
+    purchases = SE.stream_events(spark, sf_dir)
+    joined = SE.interval_join_attribution_outer(clicks, purchases)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("outer_attrib_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("outer_attrib_stream")
+
+    e = read_table(spark, sf_dir, "events")
+    c = e.filter("event_type='click'").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter("event_type='purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (c["user_id"] == p["pu"])
+        & (p["purchase_ts"] >= c["click_ts"])
+        & (p["purchase_ts"] <= c["click_ts"] + F.expr("INTERVAL 1 hour"))
+    )
+    inner = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(p, cond).collect()
+    }
+    got_matched = {
+        (r["click_id"], r["purchase_id"])
+        for r in got.filter("purchase_id IS NOT NULL").collect()
+    }
+    assert got_matched == inner
+
+    unmatched_truth = {
+        r["click_id"] for r in c.join(p, cond, "left_anti").collect()
+    }
+    got_null = {
+        r["click_id"] for r in got.filter("purchase_id IS NULL").collect()
+    }
+    assert got_null <= unmatched_truth  # no false negatives invented
+    max_ts = e.agg(F.max("ts")).first()[0]
+    # the interval join's LEFT state watermark lags the global watermark
+    # by the horizon (the range condition widens how long a left row
+    # could still match), so the guaranteed-emission bound is
+    # click_ts + 2·horizon < max_ts − delay, with a 1 s truncation band
+    must_emit = {
+        r["click_id"]
+        for r in c.join(p, cond, "left_anti")
+        .filter(
+            F.col("click_ts") + F.expr("INTERVAL 2 hours")  # 2 × horizon
+            < F.lit(max_ts) - F.expr("INTERVAL 2 hours")
+            - F.expr("INTERVAL 1 second")
+        )
+        .collect()
+    }
+    assert must_emit <= got_null  # the contract: expired state emitted
+    assert len(got_null) >= len(must_emit) > 0
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     """Stream-stream click→purchase attribution (watermarked interval
     join) produces exactly the batch twin's pairs."""
