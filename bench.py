@@ -312,6 +312,8 @@ HEADLINE += [
     "nelson_aalen_hazard",
     "interim_analysis_audit",
     "blocking_recall_audit",
+    # off-policy evaluation (catalog_r5o)
+    "bandit_replay_eval",
 ]
 
 
