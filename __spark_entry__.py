@@ -39,6 +39,7 @@ import beacon_data_importer_spark.catalog_r5l as _catalog_r5l  # noqa: F401 (reg
 import beacon_data_importer_spark.catalog_r5m as _catalog_r5m  # noqa: F401 (registers queries)
 import beacon_data_importer_spark.catalog_r5n as _catalog_r5n  # noqa: F401 (registers queries)
 import beacon_data_importer_spark.catalog_r5o as _catalog_r5o  # noqa: F401 (registers queries)
+import beacon_data_importer_spark.catalog_r5p as _catalog_r5p  # noqa: F401 (registers queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -314,6 +314,10 @@ HEADLINE += [
     "blocking_recall_audit",
     # off-policy evaluation (catalog_r5o)
     "bandit_replay_eval",
+    # cooperative-game attribution / observational estimators (catalog_r5p)
+    "shapley_attribution",
+    "rdd_estimate",
+    "poststratification_estimate",
 ]
 
 
