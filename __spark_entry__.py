@@ -40,6 +40,7 @@ import beacon_data_importer_spark.catalog_r5m as _catalog_r5m  # noqa: F401 (reg
 import beacon_data_importer_spark.catalog_r5n as _catalog_r5n  # noqa: F401 (registers queries)
 import beacon_data_importer_spark.catalog_r5o as _catalog_r5o  # noqa: F401 (registers queries)
 import beacon_data_importer_spark.catalog_r5p as _catalog_r5p  # noqa: F401 (registers queries)
+import beacon_data_importer_spark.catalog_r5q as _catalog_r5q  # noqa: F401 (registers queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
