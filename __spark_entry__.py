@@ -16,31 +16,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-import beacon_data_importer_spark.catalog as _catalog
-import beacon_data_importer_spark.catalog_ext as _catalog_ext  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_more as _catalog_more  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r2 as _catalog_r2  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r3 as _catalog_r3  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r3b as _catalog_r3b  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r3c as _catalog_r3c  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r4 as _catalog_r4  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5 as _catalog_r5  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5b as _catalog_r5b  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5c as _catalog_r5c  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5d as _catalog_r5d  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5e as _catalog_r5e  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5f as _catalog_r5f  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5g as _catalog_r5g  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5h as _catalog_r5h  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5i as _catalog_r5i  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5j as _catalog_r5j  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5k as _catalog_r5k  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5l as _catalog_r5l  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5m as _catalog_r5m  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5n as _catalog_r5n  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5o as _catalog_r5o  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5p as _catalog_r5p  # noqa: F401 (registers queries)
-import beacon_data_importer_spark.catalog_r5q as _catalog_r5q  # noqa: F401 (registers queries)
+# all_catalogs auto-discovers and imports every catalog_* module in the
+# package (sorted), so new catalog tiers register here, in cli.py, and
+# in the tools from one place (ADVICE r5 item 3).
+import beacon_data_importer_spark.all_catalogs as _catalog
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -896,7 +896,7 @@ _install_split_leakage_oracle()
 
 @query(
     "argmax_per_group",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT nationkey, top_customer, top_acctbal_cents,
            bottom_customer, bottom_acctbal_cents FROM (
@@ -950,7 +950,7 @@ def q_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "time_weighted_avg",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH pts AS (
       SELECT user_id, epoch_us(ts) AS t,
@@ -1010,7 +1010,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "weighted_median",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH w AS (
       SELECT l_returnflag AS returnflag,
@@ -1076,7 +1076,7 @@ _CKBUCKETS = 64
 
 @query(
     "bucket_checksum_diff",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH old AS (
       SELECT o_orderkey AS k,
@@ -1170,7 +1170,7 @@ q_bucket_checksum_diff.__doc__ = (q_bucket_checksum_diff.__doc__ or "").format(
 
 @query(
     "quantile_sketch_audit",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH r AS (
       SELECT l_returnflag AS returnflag,
@@ -1243,7 +1243,7 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "chi_square_independence",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH obs AS (
       SELECT c_mktsegment AS seg, o_orderpriority AS pri,
@@ -1316,7 +1316,7 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "benford_digit_audit",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH d AS (
       SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
@@ -1369,7 +1369,7 @@ _QLR_BUCKETS = 16
 
 @query(
     "quality_lr_score",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT doc_id, u.tok
@@ -1471,7 +1471,7 @@ q_quality_lr_score.__doc__ = (q_quality_lr_score.__doc__ or "").format(
 
 @query(
     "multimodal_frame_sample",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH m AS (
       SELECT doc_id AS media_id,
@@ -1520,7 +1520,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_resize_plan",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH m AS (
       SELECT doc_id AS media_id, text FROM documents
@@ -1589,7 +1589,7 @@ def _walks_oracle() -> str:
 
 @query(
     "random_walks",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH e0 AS MATERIALIZED (
       SELECT l.a, l.b FROM (
@@ -1666,7 +1666,7 @@ _NEYMAN_TOTAL = 1000
 
 @query(
     "neyman_allocation",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH s AS (
       SELECT c_nationkey AS nationkey,
@@ -1797,7 +1797,7 @@ _BOM_LEVELS = 6  # 8^6 > any part key at the test SFs
 
 @query(
     "bom_rollup",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH parts AS (
       SELECT p_partkey AS p,
@@ -1867,7 +1867,7 @@ q_bom_rollup.__doc__ = (q_bom_rollup.__doc__ or "").format(
 
 @query(
     "yoy_growth",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH m AS (
       SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
@@ -1915,7 +1915,7 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cumulative_distinct_customers",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH d AS (
       SELECT o_orderpriority AS priority, o_custkey AS ck,
@@ -1977,7 +1977,7 @@ _FW_COLS = (  # (name, width) — fixed-width layout for the nation table
 
 @query(
     "fixed_width_roundtrip",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
            trim(n_name) AS name,
@@ -2024,7 +2024,7 @@ def q_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "variant_json_stats",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
@@ -2066,7 +2066,7 @@ _CORR_PAIRS = (("qty", "price"), ("qty", "disc"), ("price", "disc"))
 
 @query(
     "correlation_matrix",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH b AS (
       SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty,
@@ -2160,7 +2160,7 @@ _SCD2_ASOF = "1995-06-01"
 
 @query(
     "scd2_asof_view",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH upd AS (
       SELECT o_custkey AS custkey, 'BIG SPENDER' AS segment,
@@ -2206,7 +2206,7 @@ q_scd2_asof_view.__doc__ = (q_scd2_asof_view.__doc__ or "").format(d=_SCD2_ASOF)
 
 @query(
     "trending_parts",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH weekly AS (
       SELECT l_partkey AS part,
@@ -2271,7 +2271,7 @@ def q_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scd2_temporal_join",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH upd AS (
       SELECT o_custkey AS custkey, 'BIG SPENDER' AS segment,
@@ -2355,7 +2355,7 @@ def _lpa_oracle() -> str:
 
 @query(
     "label_propagation_communities",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH e0 AS MATERIALIZED (
       SELECT l.a, l.b FROM (
@@ -2431,7 +2431,7 @@ q_label_propagation_communities.__doc__ = (
 
 @query(
     "corpus_diversity_report",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH toks AS (
       SELECT source, u.tok
@@ -2545,7 +2545,7 @@ def _dup_rate_oracle() -> str:
 
 @query(
     "dup_rate_by_source",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=None,  # assigned below — composes the corpus-LSH fragments
 )
 def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2596,7 +2596,7 @@ _install_dup_rate_oracle()
 
 @query(
     "order_to_ship_funnel_daily",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH li AS (
       SELECT l_orderkey,
@@ -2680,7 +2680,7 @@ _EWMA_NUM_DUCK, _EWMA_DEN_DUCK = _ewma_terms(
 
 @query(
     "ewma_daily_revenue",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH daily AS (
       SELECT CAST(datediff('day', DATE '1992-01-01',
@@ -2733,7 +2733,7 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hourly_seasonality",
-    # registered (round-5 slot): promoted per rotation policy — no driver row in r01–r04
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH tot AS (SELECT count(*) AS t FROM events)
     SELECT CAST(isodow(ts) AS INT) AS weekday,

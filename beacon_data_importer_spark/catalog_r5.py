@@ -27,7 +27,7 @@ from .sources.parquet import read_table
 
 @query(
     "cdc_apply",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH log AS (
       SELECT o_orderkey AS k, 0 AS seq, 'U' AS op,
@@ -125,7 +125,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "incremental_agg_merge",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT o_orderpriority AS priority,
            CAST(count(*) AS BIGINT) AS n_orders,
@@ -190,7 +190,7 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "gaps_islands",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH months AS (
       SELECT DISTINCT o_custkey AS custkey,
@@ -263,7 +263,7 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rolling_correlation",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH daily AS (
       SELECT CAST(year(o_orderdate) AS INT) AS yr,
@@ -369,7 +369,7 @@ def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "order_gap_features",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH seq AS (
       SELECT o_custkey AS custkey,
@@ -453,7 +453,7 @@ def q_order_gap_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "loo_target_encoding",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH seg AS (
       SELECT c_mktsegment AS segment,
@@ -517,7 +517,7 @@ _CUPED_SPLIT = "1996-01-01"
 
 @query(
     "cuped_adjustment",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH units AS MATERIALIZED (
       SELECT o_custkey AS custkey,
@@ -637,7 +637,7 @@ _SPLIT_T1 = "1997-01-31"  # 30-day embargo
 
 @query(
     "temporal_purged_split",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH tagged AS MATERIALIZED (
       SELECT o_custkey,
@@ -737,7 +737,7 @@ _NEG_K = 3
 
 @query(
     "negative_sampling",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH pos AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
@@ -859,7 +859,7 @@ _BLOOM_SEEDS = (21, 22)  # one hash per seed
 
 @query(
     "bloom_prune_audit",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH dim AS MATERIALIZED (
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -994,7 +994,7 @@ _CMS_TOPK = 20
 
 @query(
     "cms_frequency_audit",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH cells AS MATERIALIZED (
       SELECT d.d,
@@ -1110,7 +1110,7 @@ q_cms_frequency_audit.__doc__ = (q_cms_frequency_audit.__doc__ or "").format(
 
 @query(
     "sketch_reaggregation_audit",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
              AS ym,
@@ -1172,7 +1172,7 @@ def _qlr_oracle() -> str:
 
 @query(
     "score_calibration",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=None,  # assigned below — composes the quality_lr_score oracle
 )
 def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1268,7 +1268,7 @@ _VOCAB_K = 500
 
 @query(
     "vocab_coverage",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT source, u.tok
@@ -1349,7 +1349,7 @@ q_vocab_coverage.__doc__ = (q_vocab_coverage.__doc__ or "").format(
 
 @query(
     "readability_scores",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH per_doc AS MATERIALIZED (
       SELECT source,
@@ -1479,7 +1479,7 @@ def _entropy_oracle() -> str:
 
 @query(
     "column_entropy_profile",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=_entropy_oracle(),
 )
 def q_column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1571,7 +1571,7 @@ def _kcore_oracle() -> str:
 
 @query(
     "kcore_decomposition",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=_kcore_oracle(),
 )
 def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1656,7 +1656,7 @@ _WM_DELAY_US = 2 * 3600 * 1_000_000  # 2-hour watermark
 
 @query(
     "late_data_audit",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH arr AS (
       SELECT event_type, epoch_us(ts) AS es,
@@ -1734,7 +1734,7 @@ _ANOM_Z_MICRO = 2_000_000  # |z| >= 2
 
 @query(
     "rolling_anomaly_flags",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH daily AS (
       SELECT CAST(year(o_orderdate) AS INT) AS yr,
@@ -1896,7 +1896,7 @@ def _linkpred_oracle() -> str:
 
 @query(
     "link_prediction_scores",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle=_linkpred_oracle(),
 )
 def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1965,7 +1965,7 @@ q_link_prediction_scores.__doc__ = (
 
 @query(
     "distribution_drift_audit",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH es AS (
       SELECT event_type, epoch_us(ts) AS e FROM events
@@ -2060,7 +2060,7 @@ def q_distribution_drift_audit(
 
 @query(
     "max_drawdown",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH daily AS (
       SELECT CAST(year(o_orderdate) AS INT) AS yr,
@@ -2145,7 +2145,7 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "source_vocab_overlap",
-    # registered (round-5): new query, no driver row yet
+    registered=False,  # driver-proven green in CORRECTNESS_r05; slot rotated (see catalog.py docstring)
     oracle="""
     WITH toks AS MATERIALIZED (
       SELECT source, u.tok
@@ -2303,7 +2303,7 @@ def _mi_oracle() -> str:
 
 @query(
     "mutual_information",
-    registered=False,  # extra (round-5): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle=_mi_oracle(),
 )
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2372,7 +2372,7 @@ _ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
 
 @query(
     "last_touch_attribution",
-    registered=False,  # extra (round-5): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle=f"""
     WITH e AS (
       SELECT user_id, event_type, epoch_us(ts) AS es, event_id, value
@@ -2473,7 +2473,7 @@ def q_last_touch_attribution(
 
 @query(
     "embedding_drift_by_label",
-    registered=False,  # extra (round-5): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle="""
     WITH comp AS MATERIALIZED (
       SELECT label, pos, sum(q) AS s, count(*) AS nv FROM (
@@ -2570,7 +2570,7 @@ _LOR_TOPN = 30
 
 @query(
     "token_shift_lor",
-    registered=False,  # extra (round-5): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT lang, u.tok
@@ -2696,7 +2696,7 @@ def q_token_shift_lor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "theil_sen_trend",
-    registered=False,  # extra (round-5): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle="""
     WITH daily AS MATERIALIZED (
       SELECT CAST(year(o_orderdate) AS INT) AS yr,
@@ -2794,7 +2794,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "anova_oneway",
-    registered=False,  # extra (round-5): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle="""
     WITH obs AS (
       SELECT c.c_mktsegment AS seg,
@@ -2920,7 +2920,7 @@ _PF_DUCK_SH = (
 
 @query(
     "prefix_filter_jaccard_join",
-    registered=False,  # extra (round-5): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle=f"""
     WITH sh AS MATERIALIZED (
       SELECT doc_id, {_PF_DUCK_SH} AS s
@@ -3088,7 +3088,7 @@ def _clustering_oracle() -> str:
 
 @query(
     "clustering_coefficient",
-    registered=False,  # extra (round-5): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle=_clustering_oracle(),
 )
 def q_clustering_coefficient(
@@ -3157,7 +3157,7 @@ def q_clustering_coefficient(
 
 @query(
     "embedding_dim_health",
-    registered=False,  # extra (round-5): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle="""
     WITH comp AS MATERIALIZED (
       SELECT pos, q FROM (
@@ -3248,7 +3248,7 @@ _FDIV = "cast(({a} - pmod({a}, cast({b} as decimal(38,0)))) / {b} as decimal(38,
 
 @query(
     "ipw_treatment_effect",
-    registered=False,  # extra (round-5): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle="""
     WITH peru AS MATERIALIZED (
       SELECT user_id,
@@ -3374,7 +3374,7 @@ def q_ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "revenue_concentration",
-    registered=False,  # extra (round-5): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle="""
     WITH ranked AS MATERIALIZED (
       SELECT CAST(year(o_orderdate) AS INT) AS yr,

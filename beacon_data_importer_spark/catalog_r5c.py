@@ -637,7 +637,7 @@ _ENC_COLS_SQL = [
 
 @query(
     "encoding_advisor",
-    registered=False,  # extra (round-5c): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle=f"""
     WITH cells AS (
       {" UNION ALL ".join(

@@ -37,7 +37,7 @@ from .sources.parquet import read_table
 
 @query(
     "recursive_bom_rollup",
-    registered=False,  # extra (round-5h): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle=f"""
     WITH RECURSIVE walk(node, v) AS (
       SELECT p_partkey AS node,
@@ -153,7 +153,7 @@ def _rrf_duck_bm25_ranked() -> str:
 
 @query(
     "rrf_hybrid_search",
-    registered=False,  # extra (round-5h): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle=f"""
     WITH {_rrf_duck_bm25_ranked()},
     q AS (SELECT embedding AS qvec FROM embeddings

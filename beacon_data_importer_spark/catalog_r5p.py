@@ -61,7 +61,7 @@ _SHAP_SUBSETS_SQL = ", ".join(f"({s})" for s in range(8))
 
 @query(
     "shapley_attribution",
-    registered=False,  # extra (round-5p): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle=f"""
     WITH per_user AS (
       SELECT user_id,
@@ -202,7 +202,7 @@ _RDD_BANDWIDTHS = (50_000, 100_000)  # $500, $1000
 
 def _rdd_sql(h: int) -> str:
     return f"""
-      SELECT {h} AS bandwidth_cents,
+      SELECT CAST({h} AS BIGINT) AS bandwidth_cents,
              CAST(sum(CASE WHEN bal < 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_left,
              CAST(sum(CASE WHEN bal >= 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -232,7 +232,7 @@ def _rdd_sql(h: int) -> str:
 
 @query(
     "rdd_estimate",
-    registered=False,  # extra (round-5p): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle=" UNION ALL ".join(_rdd_sql(h) for h in _RDD_BANDWIDTHS),
 )
 def q_rdd_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,7 +318,7 @@ _PS_RATES_SQL = ", ".join(f"('{s}', {r})" for s, r in _PS_RATES)
 
 @query(
     "poststratification_estimate",
-    registered=False,  # extra (round-5p): rotation candidate for round 6
+    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
     oracle=f"""
     WITH rates AS (SELECT * FROM (VALUES {_PS_RATES_SQL}) AS r(seg, rate)),
     pop AS (

@@ -92,11 +92,7 @@ def main(argv: list[str] | None = None) -> int:
             _require_file(args.init_contacts, "contacts CSV")
 
     if args.command == "query":
-        from . import catalog as _cat
-        from . import (  # noqa: F401 (register queries)
-            catalog_ext, catalog_more, catalog_r2, catalog_r3,
-            catalog_r3b, catalog_r3c, catalog_r4, catalog_r5,
-        )
+        from . import all_catalogs as _cat  # imports every catalog module
 
         registry = {**_cat.QUERIES, **_cat.EXTRA_QUERIES}
         if args.list or not args.name:

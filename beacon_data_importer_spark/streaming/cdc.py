@@ -69,11 +69,17 @@ def collapse_last_writer(log: DataFrame) -> DataFrame:
 
 
 def _versions(target_dir: str) -> list[str]:
+    """Committed versions only: a snapshot counts once its Hadoop
+    ``_SUCCESS`` marker exists.  A crash mid-write leaves part files
+    but no marker, so the partial directory is invisible to readers
+    and to the next merge's prev-lookup — the 'crashed write never
+    corrupts readable state' contract (ADVICE r5 item 2)."""
     if not os.path.isdir(target_dir):
         return []
     return sorted(
         d for d in os.listdir(target_dir)
         if d.startswith("v") and d[1:].isdigit()
+        and os.path.isfile(os.path.join(target_dir, d, "_SUCCESS"))
     )
 
 
@@ -85,6 +91,44 @@ def current_snapshot(spark: SparkSession, target_dir: str) -> DataFrame:
         raise FileNotFoundError(f"no committed snapshot under {target_dir}")
     snap = spark.read.parquet(os.path.join(target_dir, vs[-1]))
     return snap.filter(F.col("op") == "U").drop("op")
+
+
+def merge_batch(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, target_dir: str
+) -> None:
+    """Merge ONE micro-batch into the versioned snapshot.
+
+    prev is keyed to the BATCH ID, not the highest version on disk:
+    batch N reads v{N} (written by batch N-1) and writes v{N+1}.
+    After a crash-after-write, the replayed batch N still reads v{N}
+    and rewrites v{N+1} idempotently — reading the highest version
+    would make replay read the very directory it then overwrites
+    (Spark refuses) and double-count n_changes (ADVICE r5 item 1)."""
+    compacted = collapse_last_writer(batch_df)
+    prev_name = f"v{batch_id:08d}"
+    if batch_id > 0:
+        if prev_name not in _versions(target_dir):
+            raise RuntimeError(
+                f"CDC merge: batch {batch_id} expects committed "
+                f"snapshot {prev_name} under {target_dir}; found "
+                f"{_versions(target_dir)}"
+            )
+        prev = spark.read.parquet(os.path.join(target_dir, prev_name))
+        merged = (
+            prev.unionByName(compacted)
+            .groupBy("key")
+            .agg(
+                F.max("seq").alias("seq"),
+                F.max_by("op", "seq").alias("op"),
+                F.max_by("cents", "seq").alias("cents"),
+                F.sum("n_changes").alias("n_changes"),
+            )
+        )
+    else:
+        merged = compacted
+    merged.write.mode("overwrite").parquet(
+        os.path.join(target_dir, f"v{batch_id + 1:08d}")
+    )
 
 
 def streaming_cdc_merge(
@@ -102,25 +146,7 @@ def streaming_cdc_merge(
     spark = changelog.sparkSession
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        compacted = collapse_last_writer(batch_df)
-        vs = _versions(target_dir)
-        if vs:
-            prev = spark.read.parquet(os.path.join(target_dir, vs[-1]))
-            merged = (
-                prev.unionByName(compacted)
-                .groupBy("key")
-                .agg(
-                    F.max("seq").alias("seq"),
-                    F.max_by("op", "seq").alias("op"),
-                    F.max_by("cents", "seq").alias("cents"),
-                    F.sum("n_changes").alias("n_changes"),
-                )
-            )
-        else:
-            merged = compacted
-        merged.write.mode("overwrite").parquet(
-            os.path.join(target_dir, f"v{batch_id + 1:08d}")
-        )
+        merge_batch(spark, batch_df, batch_id, target_dir)
 
     q = (
         changelog.writeStream.foreachBatch(sink)

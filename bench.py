@@ -320,6 +320,92 @@ HEADLINE += [
     "poststratification_estimate",
 ]
 
+# Round-6 widening (VERDICT r5 item 3): the remaining catalog queries
+# that were never in the headline list — mostly early-round shapes whose
+# operator coverage is subsumed by a later headline query, plus the two
+# r5q stats tests — so BENCH_r06+ carries a per-query time for EVERY
+# registered query (280/280).  Alphabetical; appended after the R5 sets
+# so every earlier frozen set keeps its cross-round comparability.
+HEADLINE += [
+    "anti_join",
+    "blamed_suppliers_q21",
+    "brand_bracket_revenue_q19",
+    "case_tristate",
+    "click_attribution",
+    "compose_body",
+    "cube_revenue",
+    "date_parse_null_on_error",
+    "distinct_count",
+    "doc_fingerprint",
+    "entity_components_star",
+    "entity_survivors",
+    "exact_quantiles",
+    "excess_share_suppliers_q20",
+    "exists_correlated",
+    "extend_provenance",
+    "filter_compound",
+    "flatmap_attempts_udtf",
+    "forecast_revenue_q6",
+    "fuzzy_name_pairs",
+    "fuzzy_pairs_blocked",
+    "grouped_zscore_pandas",
+    "grouping_sets_revenue",
+    "important_parts_q11",
+    "intersect_except",
+    "ivf_kmeans_search",
+    "json_extract_construct",
+    "json_payload_extract",
+    "kmeans_clusters",
+    "kruskal_wallis",
+    "lang_id",
+    "lang_profile_score",
+    "large_volume_customers_q18",
+    "late_lines_priority_q12",
+    "local_supplier_volume_q5",
+    "market_share_q8",
+    "max_order_per_customer",
+    "min_cost_supplier_agg",
+    "minhash_signatures",
+    "mixture_config_sample",
+    "near_dup_clusters",
+    "notin_distinct_suppliers",
+    "ntile_percentiles",
+    "order_count_distribution",
+    "pack_bins_balanced",
+    "pack_bins_bestfit",
+    "pack_utilization",
+    "pivot_events",
+    "pq_kmeans_search_rerank",
+    "pq_search",
+    "product_profit_q9",
+    "promo_revenue_q14",
+    "qa_left_joins",
+    "range_join_pairs",
+    "regex_extract_tokens",
+    "rename_project",
+    "returned_items_q10",
+    "rolling_30d_spend",
+    "rollup_revenue",
+    "running_totals",
+    "scd2_merge",
+    "semi_join",
+    "session_window_native",
+    "small_quantity_revenue",
+    "source_mix_report",
+    "spearman_rho",
+    "sq8_search",
+    "stratified_exact_sample",
+    "token_length_histogram",
+    "union_by_name",
+    "unpivot_metrics",
+    "waiting_customers_q22",
+    "window_rank_lag",
+]
+
+# Round-6's FULL headline set (280 queries — the whole catalog), frozen
+# for round-7+ per-query deltas.
+R6_SET = list(HEADLINE)
+
 
 def _bench_set(all_queries: dict) -> list[str]:
     """SPARK_GRAFT_BENCH_SET=full widens the run to EVERY catalog query
@@ -588,6 +674,9 @@ def main() -> None:
                 ),
                 "warm_total_r5_set": round(
                     sum(warm[n] for n in R5_SET if n in warm), 3
+                ),
+                "warm_total_r6_set": round(
+                    sum(warm[n] for n in R6_SET if n in warm), 3
                 ),
                 "warm_total": round(sum(warm.values()), 3),
                 "n_queries": len(warm),

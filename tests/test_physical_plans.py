@@ -347,3 +347,26 @@ def test_plan_audit_artifact_covers_whole_catalog():
         n for n, p in audit["plans"].items() if "error" in p
     )
     assert not errored, f"explain failed for: {errored}"
+
+
+def test_queries_md_index_is_fresh():
+    """QUERIES.md drift guard (VERDICT r5 items 1/4): the committed
+    provenance index must be byte-identical to a fresh
+    tools/gen_query_index.py run — stale counts or stale registration
+    flags fail here before they ship.  `python tools/presnapshot.py
+    --fix` regenerates everything this and the plan-audit guard check."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).parent.parent
+    fresh = subprocess.run(
+        [sys.executable, str(repo / "tools" / "gen_query_index.py")],
+        capture_output=True, text=True, check=True, cwd=repo,
+    ).stdout
+    current = (repo / "QUERIES.md").read_text()
+    assert current == fresh, (
+        "QUERIES.md is stale — regenerate with "
+        "`python tools/gen_query_index.py > QUERIES.md` "
+        "(or `python tools/presnapshot.py --fix`)"
+    )

@@ -645,6 +645,54 @@ def test_streaming_cdc_merge_matches_batch_snapshot(spark, sf_dir, tmp_path):
         assert r.key not in live_keys
 
 
+def test_cdc_merge_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Checkpoint-replay contract (ADVICE r5): re-running merge_batch
+    for the SAME batch id after its version was already written must
+    (a) not throw (prev is keyed to the batch id, never the directory
+    it is about to overwrite), (b) leave the snapshot byte-identical
+    including n_changes (no double-count), and (c) a crashed write —
+    a version directory without _SUCCESS — must be invisible to both
+    current_snapshot and the next merge's prev-lookup."""
+    from beacon_data_importer_spark.streaming.cdc import (
+        _versions,
+        changelog_from_events,
+        current_snapshot,
+        merge_batch,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    log = changelog_from_events(events)
+    b0 = log.filter(F.col("seq") % 2 == 0)
+    b1 = log.filter(F.col("seq") % 2 == 1)
+    target = str(tmp_path / "dim_replay")
+
+    merge_batch(spark, b0, 0, target)
+    merge_batch(spark, b1, 1, target)
+    after_once = {
+        tuple(r) for r in spark.read.parquet(target + "/v00000002").collect()
+    }
+
+    # Crash-after-write replay: batch 1 runs again against the same dir.
+    merge_batch(spark, b1, 1, target)
+    after_twice = {
+        tuple(r) for r in spark.read.parquet(target + "/v00000002").collect()
+    }
+    assert after_twice == after_once  # includes n_changes — no double-count
+
+    # Crashed (uncommitted) write: v3 without _SUCCESS is ignored.
+    part = os.path.join(target, "v00000003")
+    os.makedirs(part)
+    with open(os.path.join(part, "part-00000.parquet"), "wb") as f:
+        f.write(b"torn write")
+    assert _versions(target) == ["v00000001", "v00000002"]
+    live = current_snapshot(spark, target)
+    assert live.count() == len([r for r in after_once if r[2] == "U"])
+
+    # And batch 2 merges on top of v2, not the torn v3.
+    merge_batch(spark, b0.limit(0), 2, target)
+    assert "v00000003" in _versions(target)
+
+
 def test_streaming_session_timers_match_batch_sessionize(spark, sf_dir, tmp_path):
     """The EventTimeTimeout session featurizer over a 5-chunk
     time-ordered availableNow stream must equal the batch lag/running-
