@@ -637,7 +637,7 @@ _ENC_COLS_SQL = [
 
 @query(
     "encoding_advisor",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # yielded its round-6 slot to click_attribution_outer (VERDICT r5 item 6); rotation candidate for round 7
     oracle=f"""
     WITH cells AS (
       {" UNION ALL ".join(

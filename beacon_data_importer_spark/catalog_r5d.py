@@ -204,9 +204,14 @@ def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("prio"),
         cents(F.col("o_totalprice")).alias("x_c"),
     )
+    # CAST the conv() STRING to BIGINT *before* the modulo: string
+    # arithmetic coerces to DOUBLE, which quantizes the 60-bit hash to
+    # multiples of 128 — measured drift vs DuckDB's exact integers
+    # (round-6 audit; only the rarity of Poisson-threshold straddles
+    # made the drift invisible at small SF).
     u = (
-        "conv(substring(md5(concat(cast(o_orderkey as string), '|',"
-        " cast(b as string))), 1, 15), 16, 10) % 1000000000"
+        "CAST(conv(substring(md5(concat(cast(o_orderkey as string), '|',"
+        " cast(b as string))), 1, 15), 16, 10) AS BIGINT) % 1000000000"
     )
     exploded = o.select(
         "o_orderkey",

@@ -122,13 +122,20 @@ def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = edges.agg(F.min("a").alias("s"))
     dist = src.select(F.col("s").alias("v"), F.lit(0).alias("d"))
+    # Each round is MATERIALIZED (localCheckpoint), not left to lazy
+    # lineage: tools/sssp_probe.py measured the unrolled plan
+    # compounding catastrophically for this join-expansion shape
+    # (1×/sf0.1: 2.3 s at 6 rounds but 329 s at 12, vs flat
+    # ~0.2 s/round materialized) — the frontier EXPANDS for
+    # diameter-many rounds, so the CC doctrine's ~16-round switch
+    # point (operators/graph.py) does not transfer; SSSP's is ≤4.
     for _ in range(_SSSP_ROUNDS):
         expanded = dist.unionByName(
             dist.join(edges, dist["v"] == edges["a"]).select(
                 F.col("b").alias("v"), (F.col("d") + F.col("w")).alias("d")
             )
         )
-        dist = expanded.groupBy("v").agg(F.min("d").alias("d"))
+        dist = expanded.groupBy("v").agg(F.min("d").alias("d")).localCheckpoint()
     return dist.groupBy(F.col("d").cast("bigint").alias("dist")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )

@@ -190,3 +190,56 @@ def global_running_max(
         )
         .drop("__pid", "__prior")
     )
+
+
+def global_running_sum(
+    df: DataFrame, order_cols: list[str], value_col: str,
+    out_col: str = "__runsum",
+) -> DataFrame:
+    """Append ``sum(value_col) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)`` — the global prefix sum — WITHOUT a single-task
+    global window.
+
+    Same two-pass device as :func:`global_running_max`: range-partition
+    on the order columns, local prefix sum per partition (parallel),
+    broadcast each partition's total, and add the prefix-sum of all
+    EARLIER partitions' totals.  ``order_cols`` must be a total order
+    for a deterministic per-row result (the sum over any prefix that
+    doesn't split ties is order-insensitive; the tie-breaker makes
+    every prefix well-defined).
+
+    This is the distributed scan behind exact rank statistics —
+    Mann-Whitney/AUC, cumulative-distribution audits, Lorenz/Gini
+    curves — at 100 TB: one range exchange plus one broadcast of a
+    partition-count-sized table.
+    """
+    spark = df.sparkSession
+    shuffle_n = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200") or "200"
+    )
+    ranged = df.repartitionByRange(
+        shuffle_n, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    with_pid = ranged.select(
+        "*", F.spark_partition_id().alias("__pid")
+    ).localCheckpoint()  # pin boundaries: totals + final join both consume
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = with_pid.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    prior_w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__tot").over(prior_w), F.lit(0)).alias("__prior"),
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col, F.sum(value_col).over(local_w) + F.col("__prior")
+        )
+        .drop("__pid", "__prior")
+    )
