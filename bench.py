@@ -402,9 +402,32 @@ HEADLINE += [
     "window_rank_lag",
 ]
 
-# Round-6's FULL headline set (280 queries — the whole catalog), frozen
-# for round-7+ per-query deltas.
+# Round-6's FULL headline set (280 queries — the whole catalog at the
+# round-6 open), frozen for round-7+ per-query deltas.
 R6_SET = list(HEADLINE)
+
+# Post-freeze round-6 additions (kept out of R6_SET so its cross-round
+# deltas stay comparable; they still run and report per-query times).
+HEADLINE += [
+    # streaming-twin completion + rank/causal evaluation (catalog_r6)
+    "click_attribution_outer",
+    "auc_mann_whitney",
+    "l_diversity_audit",
+    "iv_wald_estimate",
+    "permutation_test_revenue",
+    # forecasting / reweighting / chunk planning (catalog_r6b)
+    "holt_linear_forecast",
+    "ipf_raking_weights",
+    "audio_chunk_plan",
+    # linkage / selection / mining (catalog_r6c)
+    "fellegi_sunter_em",
+    "dsir_importance_sample",
+    "hard_negative_mining",
+    # LSH tuning / decayed ranking / quantile eval (catalog_r6d)
+    "minhash_band_advisor",
+    "decayed_topk",
+    "pinball_quantile_eval",
+]
 
 
 def _bench_set(all_queries: dict) -> list[str]:
