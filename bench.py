@@ -427,6 +427,10 @@ HEADLINE += [
     "minhash_band_advisor",
     "decayed_topk",
     "pinball_quantile_eval",
+    # distribution / survival tests + LATERAL surface (catalog_r6e)
+    "ks_two_sample",
+    "logrank_test",
+    "lateral_topn_per_group",
 ]
 
 

@@ -75,14 +75,18 @@ def test_blocking_recall_reconciles_with_pair_queries(spark, sf_dir):
     close (both ≥ n_both; recall = n_both/n_truth; snm_only =
     n_snm − n_both)."""
     import beacon_data_importer_spark.catalog_r5j  # noqa: F401
+    # merged registry: slot rotation moves queries between QUERIES and
+    # EXTRA_QUERIES across rounds, so never look one up in a single dict
     from beacon_data_importer_spark.catalog import (
-        EXTRA_QUERIES as EQ_LIVE,
+        EXTRA_QUERIES,
+        QUERIES,
     )
     from beacon_data_importer_spark.plans.er import customer_fuzzy_pairs
 
+    live = {**QUERIES, **EXTRA_QUERIES}
     row = ALL_QUERIES["blocking_recall_audit"](spark, sf_dir).collect()[0]
     n_truth = customer_fuzzy_pairs(spark, sf_dir, k=2).count()
-    n_snm = EQ_LIVE["sorted_neighborhood_pairs"](spark, sf_dir).count()
+    n_snm = live["sorted_neighborhood_pairs"](spark, sf_dir).count()
     assert row["n_truth"] == n_truth
     assert row["n_snm"] == n_snm
     assert row["n_both"] <= min(n_truth, n_snm)
