@@ -479,7 +479,18 @@ def q_grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an oracle-checkable computation: per-customer mean-centering in
     exact integer cents (float ops on exact ints < 2^53 are bitwise
     portable).  Arrow-batched; one shuffle on the group key — the same
-    plan shape a JVM groupBy would get."""
+    plan shape a JVM groupBy would get.
+
+    BATCH-SIZING LESSON (measured, round 6): applyInPandas invokes
+    Python once PER GROUP, so grouping directly on the 15k-customer
+    key paid 15k tiny pandas calls — 33.5 s at sf0.1.  Grouping on a
+    COARSE bucket of the key (pmod(custkey, 64): every customer still
+    lands wholly in one group) and doing the per-customer centering
+    with a vectorized ``pdf.groupby(...).transform`` inside pandas
+    produces the identical rows in ~2 s — the pattern every
+    many-small-entities pandas operator should use at 100 TB: pick the
+    Arrow batch key for size, express the fine-grained grouping in
+    pandas."""
     from pyspark.sql.types import StructField, StructType
     import pyspark.sql.types as T
 
@@ -495,19 +506,25 @@ def q_grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def center(pdf):
-        import math
+        import numpy as np
 
-        mean = pdf["price_cents"].sum() / len(pdf)
+        # sum/count (exact ints < 2^53) then ONE float division — the
+        # same IEEE value the per-group form computed; pandas'
+        # transform("mean") may use a different summation order.
+        g = pdf.groupby("o_custkey")["price_cents"]
+        mean = g.transform("sum") / g.transform("count")
         out = pdf.assign(
-            centered_milli=[
-                math.floor((c - mean) * 1000) for c in pdf["price_cents"]
-            ]
+            centered_milli=np.floor(
+                (pdf["price_cents"] - mean) * 1000
+            ).astype("int64")
         )
         return out.rename(
             columns={"o_orderkey": "orderkey", "o_custkey": "custkey"}
         )[["orderkey", "custkey", "centered_milli"]]
 
-    return o.groupBy("o_custkey").applyInPandas(center, schema)
+    return o.groupBy(F.pmod("o_custkey", F.lit(64))).applyInPandas(
+        center, schema
+    )
 
 
 @query(

@@ -520,8 +520,14 @@ def q_permutation_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         " cast(o_orderkey as string))), 1, 15), 16, 10) AS BIGINT)"
         " % 1000000"
     )
+    # WIDTH PIN (measured): one small parquet file = one input split,
+    # so the ×K explode and its 9.6M md5 evaluations at sf0.1 ran on a
+    # single core (16.1 s cold / 8.4 s warm); repartitioning the
+    # 150k-row base BEFORE the fan-out spreads the CPU (→ ~1.5 s warm)
+    # — the narrow-row stage-key pin of resample_interpolate (PERF.md).
     relabeled = (
-        base.select(
+        base.repartition(32, "o_orderkey")
+        .select(
             "o_orderkey",
             "x_c",
             F.explode(F.sequence(F.lit(1), F.lit(_PERM_K))).alias("k"),

@@ -431,6 +431,9 @@ HEADLINE += [
     "ks_two_sample",
     "logrank_test",
     "lateral_topn_per_group",
+    # collation surface + autocorrelation (catalog_r6f)
+    "collated_distinct_audit",
+    "acf_daily_revenue",
 ]
 
 

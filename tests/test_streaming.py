@@ -801,3 +801,73 @@ def test_streaming_session_timers_match_batch_sessionize(spark, sf_dir, tmp_path
     assert any(r.closed_by == "timer" for r in got_rows), (
         "timer path never fired"
     )
+
+
+def test_streaming_hll_state_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """streaming/sketches.py: per-type distinct-user HLL state
+    maintained across REAL micro-batches (4 files, 1 per trigger) must
+    estimate exactly what one batch sketch pass estimates — HLL union
+    is register-wise max, so micro-batching cannot change the merged
+    sketch (the exactness CONTRACT the module states, verified here).
+    Also: estimates are within the lgK=12 error envelope of the exact
+    distinct counts, and a replayed batch leaves the snapshot
+    estimates unchanged (idempotency)."""
+    from beacon_data_importer_spark.streaming.sketches import (
+        batch_type_sketches,
+        current_estimates,
+        merge_batch,
+        sketch_estimates,
+        streaming_distinct_users,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "sketch_src")
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "hll_state")
+    streaming_distinct_users(stream, target)
+
+    got = {
+        r.event_type: r.n_distinct_est
+        for r in current_estimates(spark, target).collect()
+    }
+    want = {
+        r.event_type: r.n_distinct_est
+        for r in sketch_estimates(batch_type_sketches(events)).collect()
+    }
+    assert got == want and len(got) > 0
+
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, est in got.items():
+        assert abs(est - exact[t]) <= max(3, exact[t] // 10), (t, est)
+
+    # monotone idempotency: HLL union is register-wise max, so
+    # re-merging ALREADY-SEEN data (here: the whole stream, replayed
+    # as the final batch id — a superset of what batch N really held)
+    # rewrites v{N+1} with identical registers; estimates cannot move.
+    import os as _os
+
+    versions = sorted(
+        d for d in _os.listdir(target) if d.startswith("v")
+        and _os.path.isfile(_os.path.join(target, d, "_SUCCESS"))
+    )
+    last_batch = len(versions) - 1
+    before = {
+        r.event_type: r.n_distinct_est
+        for r in current_estimates(spark, target).collect()
+    }
+    merge_batch(spark, events, last_batch, target)
+    after = {
+        r.event_type: r.n_distinct_est
+        for r in current_estimates(spark, target).collect()
+    }
+    assert after == before
