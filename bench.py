@@ -434,6 +434,8 @@ HEADLINE += [
     # collation surface + autocorrelation (catalog_r6f)
     "collated_distinct_audit",
     "acf_daily_revenue",
+    # incremental view maintenance (catalog_r6g)
+    "join_view_delta_maintain",
 ]
 
 

@@ -60,3 +60,16 @@ def test_acf_matches_python_and_white_noise(spark, sf_dir):
         assert r.r_ppm == want, k
         # TPC-H dates are i.i.d. → white noise: |r| well under 0.1
         assert abs(r.r_ppm) < 100_000, k
+
+
+def test_join_view_delta_maintenance_algebra_closes(spark, sf_dir):
+    """Every nation's maintained view must equal the recompute (the
+    match flag is 1 everywhere), and the delta path must carry real
+    mass (the planted 10%/5% inserts touch every nation)."""
+    rows = _q("join_view_delta_maintain")(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.delta_matches == 1, r.nation
+        assert r.n_maintained == r.n_recomputed
+        assert r.rev_maintained_c == r.rev_recomputed_c
+        assert 0 < r.delta_share_ppm < 1_000_000, r.nation
