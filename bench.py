@@ -436,6 +436,10 @@ HEADLINE += [
     "acf_daily_revenue",
     # incremental view maintenance (catalog_r6g)
     "join_view_delta_maintain",
+    # LLM-evaluation estimators (catalog_r6h)
+    "pass_at_k_estimate",
+    "bradley_terry_rating",
+    "preference_cycle_audit",
 ]
 
 
