@@ -440,6 +440,10 @@ HEADLINE += [
     "pass_at_k_estimate",
     "bradley_terry_rating",
     "preference_cycle_audit",
+    # drift distance / tree splits / risk encoding (catalog_r6i)
+    "emd_drift_audit",
+    "best_split_finder",
+    "woe_iv_encoding",
 ]
 
 
