@@ -361,7 +361,8 @@ def _cycle_sql(dialect: str) -> str:
              CASE WHEN e3.i = t.a THEN 1 ELSE 0 END AS transitive
       FROM triads t
       JOIN oriented e3
-        ON (e3.i = t.c AND e3.j = t.a) OR (e3.i = t.a AND e3.j = t.c)
+        ON least(e3.i, e3.j) = least(t.a, t.c)
+       AND greatest(e3.i, e3.j) = greatest(t.a, t.c)
     ),
     -- a cyclic triangle is reached by a->b->c paths from every
     -- rotation, a transitive one only from its source vertex: dedup
@@ -403,9 +404,13 @@ def q_preference_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-dimensional, and no scalar rating will honor them.
 
     The walk is two self-joins over the ≤300-edge majority digraph
-    (25 nations), with a < c dedup so each unordered triad is
-    evaluated exactly once in exactly one direction — constant work
-    after the same bounded pair expansion BT shares.
+    (25 nations); the closing edge joins on the CANONICAL pair key
+    (least, greatest) so it stays an equi-join — the naive
+    OR-of-directions condition planned as a CartesianProduct, which
+    the whole-catalog plan guard (test_all_catalog_plans_stay_jvm_side)
+    rejected; harmless at 300 edges, a scale-killer on a real
+    preference graph.  Triads dedup on the unordered triple (a cyclic
+    triangle is reachable from every rotation).
 
     Reference parity: beyond-reference evaluation tier."""
     for t in ("lineitem", "supplier"):
