@@ -444,6 +444,10 @@ HEADLINE += [
     "emd_drift_audit",
     "best_split_finder",
     "woe_iv_encoding",
+    # missing-mass estimators + trend breaks (catalog_r6j)
+    "capture_recapture_estimate",
+    "chao1_unseen_vocab",
+    "chow_break_test",
 ]
 
 
