@@ -448,6 +448,8 @@ HEADLINE += [
     "capture_recapture_estimate",
     "chao1_unseen_vocab",
     "chow_break_test",
+    # experiment design (catalog_r6k)
+    "ab_power_analysis",
 ]
 
 

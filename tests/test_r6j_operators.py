@@ -109,3 +109,31 @@ def test_chow_matches_python(spark, sf_dir):
     )
     assert row.f_e6 == f_e6
     assert row.reject_05 == int(f_e6 > _CHOW_F_CRIT_E6)
+
+
+def test_ab_power_analysis_matches_python(spark, sf_dir):
+    """Python recomputation with exact integers, plus the textbook
+    float formula within the documented <=1-per-floor drift, plus
+    monotonicity (90% power needs more subjects than 80%)."""
+    from beacon_data_importer_spark.catalog_r6k import (
+        _PW_LIFT_PPM,
+        _PW_ZSUM_E6,
+    )
+
+    rows = {r.power_pct: r for r in _q("ab_power_analysis")(spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events").collect()
+    n_purch = sum(1 for e in ev if e.event_type == "purchase")
+    p1 = n_purch * 1_000_000 // len(ev)
+    p2 = p1 + p1 * _PW_LIFT_PPM // 1_000_000
+    for pct, z in _PW_ZSUM_E6.items():
+        num = z * z * (p1 * (1_000_000 - p1) + p2 * (1_000_000 - p2))
+        den = (p2 - p1) * (p2 - p1) * 1_000_000_000_000
+        want = (num + den - 1) // den
+        r = rows[pct]
+        assert (r.p1_ppm, r.p2_ppm, r.n_per_arm) == (p1, p2, want)
+        # textbook float formula agrees within flooring slack
+        fp1, fp2 = p1 / 1e6, p2 / 1e6
+        zf = z / 1e6
+        nf = zf * zf * (fp1 * (1 - fp1) + fp2 * (1 - fp2)) / (fp2 - fp1) ** 2
+        assert abs(want - math.ceil(nf)) <= 2
+    assert rows[90].n_per_arm > rows[80].n_per_arm
