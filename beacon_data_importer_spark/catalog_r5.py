@@ -2303,7 +2303,7 @@ def _mi_oracle() -> str:
 
 @query(
     "mutual_information",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=_mi_oracle(),
 )
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2372,7 +2372,7 @@ _ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
 
 @query(
     "last_touch_attribution",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=f"""
     WITH e AS (
       SELECT user_id, event_type, epoch_us(ts) AS es, event_id, value
@@ -2473,7 +2473,7 @@ def q_last_touch_attribution(
 
 @query(
     "embedding_drift_by_label",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle="""
     WITH comp AS MATERIALIZED (
       SELECT label, pos, sum(q) AS s, count(*) AS nv FROM (
@@ -2570,7 +2570,7 @@ _LOR_TOPN = 30
 
 @query(
     "token_shift_lor",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=f"""
     WITH toks AS MATERIALIZED (
       SELECT lang, u.tok
@@ -2696,7 +2696,7 @@ def q_token_shift_lor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "theil_sen_trend",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle="""
     WITH daily AS MATERIALIZED (
       SELECT CAST(year(o_orderdate) AS INT) AS yr,
@@ -2794,7 +2794,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "anova_oneway",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle="""
     WITH obs AS (
       SELECT c.c_mktsegment AS seg,
@@ -2920,7 +2920,7 @@ _PF_DUCK_SH = (
 
 @query(
     "prefix_filter_jaccard_join",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=f"""
     WITH sh AS MATERIALIZED (
       SELECT doc_id, {_PF_DUCK_SH} AS s
@@ -3088,7 +3088,7 @@ def _clustering_oracle() -> str:
 
 @query(
     "clustering_coefficient",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=_clustering_oracle(),
 )
 def q_clustering_coefficient(
@@ -3157,7 +3157,7 @@ def q_clustering_coefficient(
 
 @query(
     "embedding_dim_health",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle="""
     WITH comp AS MATERIALIZED (
       SELECT pos, q FROM (
@@ -3248,7 +3248,7 @@ _FDIV = "cast(({a} - pmod({a}, cast({b} as decimal(38,0)))) / {b} as decimal(38,
 
 @query(
     "ipw_treatment_effect",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle="""
     WITH peru AS MATERIALIZED (
       SELECT user_id,
@@ -3374,7 +3374,7 @@ def q_ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "revenue_concentration",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle="""
     WITH ranked AS MATERIALIZED (
       SELECT CAST(year(o_orderdate) AS INT) AS yr,

@@ -72,7 +72,7 @@ def _fd_sql(name: str, table: str, det: list[str], dep: str) -> str:
 
 @query(
     "fd_violation_audit",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=" UNION ALL ".join(_fd_sql(*fd) for fd in _FDS),
 )
 def q_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +137,7 @@ def _boot_w_sql(u: str) -> str:
 
 @query(
     "bootstrap_ci_revenue",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=f"""
     WITH reps AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b),
     weighted AS (
@@ -265,7 +265,7 @@ _QINI_DECILES = 10
 
 @query(
     "qini_uplift",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=f"""
     WITH spend AS (
       SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
@@ -402,7 +402,7 @@ q_qini_uplift.__doc__ = (q_qini_uplift.__doc__ or "").format(d=_QINI_DECILES)
 
 @query(
     "top_p_vocab",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle="""
     WITH toks AS MATERIALIZED (
       SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk

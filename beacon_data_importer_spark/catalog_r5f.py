@@ -65,7 +65,7 @@ def _duck_sssp_iter(prev: str, cur: str) -> str:
 
 @query(
     "weighted_sssp",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=f"""
     WITH cp AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
@@ -181,7 +181,7 @@ _BH_VALUES_SQL = ", ".join(f"({m}, {i}, {t})" for m, i, t in _BH_TABLE)
 
 @query(
     "fdr_bh_audit",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=f"""
     WITH per_order AS (
       SELECT o.o_orderkey, o.o_custkey,
@@ -379,7 +379,7 @@ _CONF_SHIFT = 100000
 
 @query(
     "conformal_interval_audit",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=f"""
     WITH subj AS (
       SELECT o.o_orderkey, o.o_orderpriority AS grp,
@@ -577,7 +577,7 @@ def _duck_busdays(col: str) -> str:
 
 @query(
     "business_day_latency",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=f"""
     WITH per_order AS (
       SELECT o.o_orderpriority AS priority,
@@ -676,7 +676,7 @@ _LL_VALUES_SQL = ", ".join(
 
 @query(
     "littles_law_audit",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=f"""
     WITH raw AS (
       SELECT CAST(datediff('day', DATE '1992-01-01',
@@ -810,7 +810,7 @@ _DP_SEED = 77
 
 @query(
     "dp_noisy_counts",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=f"""
     WITH counts AS (
       SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_true

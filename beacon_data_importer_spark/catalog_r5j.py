@@ -38,7 +38,7 @@ _SNM_LEV = 2  # verification threshold on the candidate pairs
 
 @query(
     "sorted_neighborhood_pairs",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=f"""
     WITH ranked AS (
       SELECT c_custkey, c_name,
@@ -125,7 +125,7 @@ q_sorted_neighborhood_pairs.__doc__ = (
 
 @query(
     "mase_forecast_audit",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle="""
     WITH monthly AS (
       SELECT year(CAST(o_orderdate AS DATE)) * 12

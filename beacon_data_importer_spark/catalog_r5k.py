@@ -52,7 +52,7 @@ _SEQ_MAX_WIDTH = 128
 
 @query(
     "sequential_purchase_rules",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=f"""
     WITH cp0 AS MATERIALIZED (
       SELECT o.o_custkey AS c, l.l_partkey AS p,
@@ -181,7 +181,7 @@ q_sequential_purchase_rules.__doc__ = (
 
 @query(
     "t_closeness_audit",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle="""
     WITH cells AS (
       SELECT c_nationkey AS nationkey, c_mktsegment AS seg,
@@ -287,7 +287,7 @@ _BRIER_LABEL_CHARS = 300  # outcome: document longer than this
 
 @query(
     "brier_decomposition",
-    # registered (round-6 slot): promoted per rotation policy — no driver row in r01–r05
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, n_chars, {_DUCK_NTOK} AS ntok FROM documents

@@ -52,7 +52,7 @@ _DEC = "decimal(38,0)"
 
 @query(
     "click_attribution_outer",
-    # registered (round-6 slot): batch twin of the streaming left-outer
+    registered=False,  # driver-proven green in CORRECTNESS_r06; slot rotated (see module docstring)
     # interval join — promoted so the outer-join semantics get a driver
     # CORRECTNESS row (VERDICT r5 item 6); encoding_advisor yielded the slot.
     oracle="""
@@ -112,7 +112,7 @@ def q_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "auc_mann_whitney",
-    registered=False,  # extra (round-6): rotation candidate for round 7
+    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
     oracle="""
     WITH labeled AS (
       SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS score,
@@ -198,7 +198,7 @@ def q_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l_diversity_audit",
-    registered=False,  # extra (round-6): rotation candidate for round 7
+    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
     oracle="""
     WITH joined AS (
       SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
@@ -289,7 +289,7 @@ _IV_U_DUCK = (
 
 @query(
     "iv_wald_estimate",
-    registered=False,  # extra (round-6): rotation candidate for round 7
+    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
     oracle=f"""
     WITH assigned AS (
       SELECT c.c_custkey,
@@ -413,7 +413,7 @@ _PERM_K = 64  # deterministic relabeled replicas
 
 @query(
     "permutation_test_revenue",
-    registered=False,  # extra (round-6): rotation candidate for round 7
+    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
     oracle=f"""
     WITH base AS (
       SELECT o_orderkey,

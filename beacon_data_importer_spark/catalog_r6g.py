@@ -111,7 +111,7 @@ def _ivm_sql(dialect: str) -> str:
 
 @query(
     "join_view_delta_maintain",
-    registered=False,  # extra (round-6): rotation candidate for round 7
+    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
     oracle=_ivm_sql("duck"),
 )
 def q_join_view_delta_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:

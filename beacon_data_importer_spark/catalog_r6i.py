@@ -82,7 +82,7 @@ def _emd_sql(dialect: str) -> str:
 
 @query(
     "emd_drift_audit",
-    registered=False,  # extra (round-6): rotation candidate for round 7
+    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
     oracle=_emd_sql("duck"),
 )
 def q_emd_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,7 +120,7 @@ _SPLIT_TOPN = 5
 
 @query(
     "best_split_finder",
-    registered=False,  # extra (round-6): rotation candidate for round 7
+    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
     oracle=f"""
     WITH labeled AS (
       SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS x,
@@ -308,7 +308,7 @@ def _woe_sql(dialect: str) -> str:
 
 @query(
     "woe_iv_encoding",
-    registered=False,  # extra (round-6): rotation candidate for round 7
+    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
     oracle=_woe_sql("duck"),
 )
 def q_woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -64,7 +64,7 @@ def _pw_sql(dialect: str) -> str:
 
 @query(
     "ab_power_analysis",
-    registered=False,  # extra (round-6): rotation candidate for round 7
+    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
     oracle=_pw_sql("duck"),
 )
 def q_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
