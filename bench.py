@@ -452,6 +452,30 @@ HEADLINE += [
     "ab_power_analysis",
 ]
 
+# Round-7's FULL headline set (310 queries — the whole catalog at the
+# round-7 open = R6_SET + the 30 post-freeze round-6 additions),
+# frozen for round-8+ per-query deltas (VERDICT r6 item 3).
+R7_SET = list(HEADLINE)
+
+# Post-freeze round-7 additions (kept out of R7_SET so its cross-round
+# deltas stay comparable; they still run and report per-query times).
+HEADLINE += [
+    # IVF-shape contrastive mining + its measured recall, and the
+    # streaming HLL state's batch twin (catalog_r7)
+    "hard_negative_mining_ivf",
+    "hard_negative_recall_audit",
+    "event_type_distinct_sketch",
+    # forensics / corpus health / causal matching / calibration /
+    # skyline / heavy hitters (catalog_r7b)
+    "benford_first_digit_audit",
+    "zipf_slope_audit",
+    "simpson_paradox_audit",
+    "isotonic_calibration",
+    "propensity_caliper_match",
+    "pareto_skyline",
+    "heavy_hitters_audit",
+]
+
 
 def _bench_set(all_queries: dict) -> list[str]:
     """SPARK_GRAFT_BENCH_SET=full widens the run to EVERY catalog query
@@ -723,6 +747,9 @@ def main() -> None:
                 ),
                 "warm_total_r6_set": round(
                     sum(warm[n] for n in R6_SET if n in warm), 3
+                ),
+                "warm_total_r7_set": round(
+                    sum(warm[n] for n in R7_SET if n in warm), 3
                 ),
                 "warm_total": round(sum(warm.values()), 3),
                 "n_queries": len(warm),
