@@ -244,9 +244,11 @@ def q_bradley_terry_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps precision), each iterate renormalized to a fixed total mass
     so ratings are comparable across engines and iterations — on the
     dense ≤25×25 nation matrix, i.e. CONSTANT work after the one
-    volume-bearing aggregate (the within-order pair expansion, ≤C(7,2)
-    pairs per order by TPC-H's line count, so the fan-out is bounded
-    per row exactly like sequential_purchase_rules' width cap).
+    volume-bearing aggregate (the within-order pair expansion, C(L,2)
+    pairs per order — L ≤ 17 in this testdata, and
+    tools/bt_width_probe.py measured the expansion safe through
+    L ≈ 500 with the O(L·N) running-count rewrite as the documented
+    escape hatch beyond; test_bt_pair_width_bound guards the band).
 
     EXECUTION NOTE (measured): the iterations run as DataFrame steps
     with the win matrix AND each 25-row iterate localCheckpointed —

@@ -370,3 +370,36 @@ def test_queries_md_index_is_fresh():
         "`python tools/gen_query_index.py > QUERIES.md` "
         "(or `python tools/presnapshot.py --fix`)"
     )
+
+
+def test_bt_pair_width_bound(spark, sf_dir):
+    """Mega-order width guard (VERDICT r6 item 5): bradley_terry_rating
+    and preference_cycle_audit expand C(L,2) duel pairs per order, so
+    their cost is linear in the max lines-per-order L at a fixed row
+    budget.  tools/bt_width_probe.py measured the band on this host:
+    the expansion stays interactive through L≈500 (600k rows: 3.5 s at
+    L=200, 12.6 s at L=1000, 49 s at L=4000) while the O(L·N_nations)
+    running-count rewrite stays flat (8.0 s at L=4000).  This guard
+    asserts the data is DEEP inside the quadratic-safe band; a dataset
+    that trips it needs the rewrite documented in PERF.md, not a
+    bigger timeout."""
+    from pyspark.sql import functions as F
+
+    from beacon_data_importer_spark.sources.parquet import read_table
+
+    max_lines = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    # Measured: 13 at sf0.01, 17 at sf0.1 — TPC-H proper caps at 7;
+    # this generator is looser but still orders of magnitude inside
+    # the ≈500 crossover.
+    assert max_lines <= 64, (
+        f"max lines/order = {max_lines}: approaching the C(L,2) duel "
+        "expansion's measured crossover (~500); switch bradley_terry/"
+        "preference_cycle to the O(L·N) running-count form "
+        "(tools/bt_width_probe.py linear_wall)"
+    )
