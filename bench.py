@@ -474,6 +474,17 @@ HEADLINE += [
     "propensity_caliper_match",
     "pareto_skyline",
     "heavy_hitters_audit",
+    # nonparametric / categorical test battery (catalog_r7c)
+    "mk_trend_test",
+    "runs_test",
+    "kendall_tau_cells",
+    "mcnemar_test",
+    "cramers_v",
+    "grubbs_outlier",
+    # experimentation plumbing (catalog_r7d)
+    "cuped_variance_reduction",
+    "srm_check",
+    "winsorized_mean_revenue",
 ]
 
 
@@ -671,6 +682,14 @@ def main() -> None:
         mq_recalls.append(len(set(exact_i) & set(got_i)) / max(len(exact_i), 1))
     pq_recall_mq = round(sum(mq_recalls) / max(len(mq_recalls), 1), 3)
 
+    # Hard-negative mining quality: agreement of the IVF cell-join
+    # variant's mined (pos, neg) pairs with the brute-exact truth —
+    # the recall row VERDICT r6 item 4 asked for.  One 1-row collect;
+    # the audit query itself does the per-query join.
+    hnm_row = qs["hard_negative_recall_audit"](spark, sf_dir).collect()[0]
+    hnm_pos_agree = round(hnm_row.pos_agree / max(hnm_row.n_queries, 1), 3)
+    hnm_neg_agree = round(hnm_row.neg_agree / max(hnm_row.n_queries, 1), 3)
+
     # Peak JVM heap across executors (single-JVM locally): the "does it
     # fit in executor memory at this SF" signal next to spill bytes.
     peak_heap = None
@@ -723,6 +742,8 @@ def main() -> None:
                     "ivfpq_recall_at_10": ivfpq_recall,
                     "ivfpq_residual_recall_at_10": ivfpqr_recall,
                     "pq_recall_at_10_3q_mean": pq_recall_mq,
+                    "hnm_ivf_pos_agree": hnm_pos_agree,
+                    "hnm_ivf_neg_agree": hnm_neg_agree,
                 },
                 "warm_total_r1_set": round(
                     sum(warm[n] for n in R1_SET if n in warm), 3

@@ -14,7 +14,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from beacon_data_importer_spark.session import get_spark
 
-    s = get_spark(app_name="tests", shuffle_partitions=4)
+    # local[8] (not the engine's local[32] default): at sf0.001 every
+    # stage is tiny, so per-job cost is task SCHEDULING, not compute —
+    # 32 threads schedule 32 no-op tasks per scan stage across the
+    # suite's ~2000 jobs.  8 threads keep genuine parallelism for the
+    # handful of heavier tests while cutting the fixed overhead
+    # (VERDICT r6 item 8: suite wall ≤ 10 min).  Results are
+    # partitioning-independent by construction (the oracle tests
+    # assert exactly that).
+    s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=1,
+                  extra_conf={"spark.ui.enabled": "false"})
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

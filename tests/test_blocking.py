@@ -16,7 +16,6 @@ import string
 import pytest
 from pyspark.sql import functions as F
 
-from beacon_data_importer_spark.functions.expressions import bounded_levenshtein
 from beacon_data_importer_spark.operators.blocking import (
     blocking_cost_estimates,
     candidate_pairs,
@@ -27,27 +26,59 @@ from beacon_data_importer_spark.operators.blocking import (
 )
 
 
+def _lev(a: str, b: str) -> int:
+    """Plain-Python Levenshtein — the INDEPENDENT reference for the
+    exhaustive oracle.  (The earlier oracle ran Spark's own
+    bounded_levenshtein over a crossJoin: Spark checked against Spark,
+    and the giant banded-DP codegen made each blocking test 10-18 s —
+    VERDICT r6 item 8.  bounded_levenshtein's own exactness is covered
+    separately in test_expressions.)"""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
+
+
 def _exhaustive(df, idc, nc, k, coarse=None):
-    l = df.select(
-        *([F.col(coarse).alias("ck")] if coarse else []),
-        F.col(idc).alias("a"),
-        F.col(nc).alias("na"),
-    )
-    r = df.select(
-        *([F.col(coarse).alias("ck")] if coarse else []),
-        F.col(idc).alias("b"),
-        F.col(nc).alias("nb"),
-    )
-    j = l.join(r, "ck") if coarse else l.crossJoin(r)
-    d = bounded_levenshtein("na", "nb", k)
-    return (
-        j.filter(F.col("a") < F.col("b"))
-        .filter(d >= 0)
-        .select("a", "b", d.cast("int").alias("edit_dist"))
-    )
+    """All (a, b, dist) pairs with dist ≤ k, a < b, within the coarse
+    group if given — computed driver-side in pure Python (the inputs
+    are test-sized by construction)."""
+    from collections import defaultdict
+
+    cols = ([coarse] if coarse else []) + [idc, nc]
+    groups = defaultdict(list)
+    for r in df.select(*cols).collect():
+        key = r[0] if coarse else None
+        groups[key].append((r[idc], r[nc]))
+    out = set()
+    for g in groups.values():
+        g.sort()
+        for i in range(len(g)):
+            a, na = g[i]
+            for j in range(i + 1, len(g)):
+                b, nb = g[j]
+                if abs(len(na) - len(nb)) > k:
+                    continue
+                d = _lev(na, nb)
+                if d <= k:
+                    out.add((a, b, d))
+    return out
 
 
 def _pairs(df):
+    if isinstance(df, set):  # already a Python oracle result
+        return df
     return set(map(tuple, df.collect()))
 
 

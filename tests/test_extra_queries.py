@@ -50,31 +50,18 @@ def duck():
 
 
 def _extra_names():
-    from beacon_data_importer_spark import catalog
-
-    import beacon_data_importer_spark.catalog_ext  # noqa: F401
-    import beacon_data_importer_spark.catalog_more  # noqa: F401
-    import beacon_data_importer_spark.catalog_r2  # noqa: F401
-    import beacon_data_importer_spark.catalog_r3  # noqa: F401
-    import beacon_data_importer_spark.catalog_r3b  # noqa: F401
-    import beacon_data_importer_spark.catalog_r3c  # noqa: F401
-    import beacon_data_importer_spark.catalog_r4  # noqa: F401
-    import beacon_data_importer_spark.catalog_r5  # noqa: F401
+    # all_catalogs is the single auto-discovery registry (ADVICE r5
+    # item 3) — the earlier hardcoded import list here froze the
+    # parametrization at the catalogs known in round 5, so every later
+    # tier's queries were silently missing from this file's CI and
+    # coverage depended on pytest's collection ORDER (round-7 find).
+    from beacon_data_importer_spark import all_catalogs as catalog
 
     return sorted(catalog.EXTRA_QUERIES)
 
 
 def test_registered_query_count_is_at_most_50():
-    from beacon_data_importer_spark import catalog
-
-    import beacon_data_importer_spark.catalog_ext  # noqa: F401
-    import beacon_data_importer_spark.catalog_more  # noqa: F401
-    import beacon_data_importer_spark.catalog_r2  # noqa: F401
-    import beacon_data_importer_spark.catalog_r3  # noqa: F401
-    import beacon_data_importer_spark.catalog_r3b  # noqa: F401
-    import beacon_data_importer_spark.catalog_r3c  # noqa: F401
-    import beacon_data_importer_spark.catalog_r4  # noqa: F401
-    import beacon_data_importer_spark.catalog_r5  # noqa: F401
+    from beacon_data_importer_spark import all_catalogs as catalog
 
     assert len(catalog.QUERIES) <= 50, (
         "driver gate checks the first 50 queries; demote the overflow to "
@@ -82,11 +69,48 @@ def test_registered_query_count_is_at_most_50():
     )
 
 
+@pytest.fixture(scope="module")
+def spark_results(spark):
+    """name → pandas frame (or the raised exception) for every extra
+    query, computed ONCE per module: plan construction runs serially
+    (queries may createOrReplaceTempView shared table names — catalog
+    mutation must not race — and spark.sql/DataFrame analysis resolves
+    views eagerly, so a built plan no longer reads the view registry),
+    then the embarrassingly-parallel EXECUTION fans out over 8 threads
+    (concurrent actions on one SparkSession are supported).  Halves
+    the suite's dominant cost block (VERDICT r6 item 8) while keeping
+    one pytest row per query."""
+    import concurrent.futures
+
+    from beacon_data_importer_spark import all_catalogs as catalog
+
+    built = {}
+    for n in _extra_names():
+        try:
+            built[n] = catalog.EXTRA_QUERIES[n](spark, SF_DIR)
+        except Exception as ex:  # surfaced by that query's own test
+            built[n] = ex
+
+    def run(n):
+        if isinstance(built[n], Exception):
+            return built[n]
+        try:
+            return built[n].toPandas()
+        except Exception as ex:
+            return ex
+
+    with concurrent.futures.ThreadPoolExecutor(8) as pool:
+        futs = {n: pool.submit(run, n) for n in built}
+        return {n: f.result() for n, f in futs.items()}
+
+
 @pytest.mark.parametrize("name", _extra_names())
-def test_extra_query_matches_oracle(spark, duck, name):
+def test_extra_query_matches_oracle(spark, duck, spark_results, name):
     from beacon_data_importer_spark import catalog
 
-    spdf = catalog.EXTRA_QUERIES[name](spark, SF_DIR).toPandas()
+    spdf = spark_results[name]
+    if isinstance(spdf, Exception):
+        raise spdf
     if name in catalog.ROWS_ONLY:
         # documented no-SQL-twin query (catalog.ROWS_ONLY): the oracle
         # compare is replaced by a dedicated invariant test elsewhere;

@@ -50,25 +50,54 @@ def duck():
 
 
 def _registered_names():
-    from beacon_data_importer_spark import catalog
-
-    import beacon_data_importer_spark.catalog_ext  # noqa: F401
-    import beacon_data_importer_spark.catalog_more  # noqa: F401
-    import beacon_data_importer_spark.catalog_r2  # noqa: F401
-    import beacon_data_importer_spark.catalog_r3  # noqa: F401
-    import beacon_data_importer_spark.catalog_r3b  # noqa: F401
-    import beacon_data_importer_spark.catalog_r3c  # noqa: F401
-    import beacon_data_importer_spark.catalog_r4  # noqa: F401
-    import beacon_data_importer_spark.catalog_r5  # noqa: F401
+    # all_catalogs auto-discovers every catalog module — the earlier
+    # hardcoded import list froze this parametrization at the round-5
+    # catalogs, and the round-7 rotation (which moved ALL registered
+    # queries into later tiers) would have left the registered set with
+    # ZERO per-query CI (round-7 find; same fix as test_extra_queries).
+    from beacon_data_importer_spark import all_catalogs as catalog
 
     return sorted(catalog.QUERIES)
 
 
+@pytest.fixture(scope="module")
+def spark_results(spark):
+    """name → pandas frame (or raised exception) for every registered
+    query, built serially / executed on 8 threads — the same
+    serial-analysis + parallel-execution split as
+    test_extra_queries.spark_results (see its docstring for why the
+    split is what makes the concurrency safe)."""
+    import concurrent.futures
+
+    from beacon_data_importer_spark import all_catalogs as catalog
+
+    built = {}
+    for n in _registered_names():
+        try:
+            built[n] = catalog.QUERIES[n](spark, SF_DIR)
+        except Exception as ex:
+            built[n] = ex
+
+    def run(n):
+        if isinstance(built[n], Exception):
+            return built[n]
+        try:
+            return built[n].toPandas()
+        except Exception as ex:
+            return ex
+
+    with concurrent.futures.ThreadPoolExecutor(8) as pool:
+        futs = {n: pool.submit(run, n) for n in built}
+        return {n: f.result() for n, f in futs.items()}
+
+
 @pytest.mark.parametrize("name", _registered_names())
-def test_registered_query_matches_oracle(spark, duck, name):
+def test_registered_query_matches_oracle(spark, duck, spark_results, name):
     from beacon_data_importer_spark import catalog
 
-    spdf = catalog.QUERIES[name](spark, SF_DIR).toPandas()
+    spdf = spark_results[name]
+    if isinstance(spdf, Exception):
+        raise spdf
     if name not in catalog.ORACLES:
         # Every registered query must carry an oracle: a driver slot
         # without one only gets the weak rows-only check, which is not

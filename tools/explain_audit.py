@@ -32,9 +32,11 @@ def features(txt: str) -> dict:
         ),
         "take_ordered": "TakeOrderedAndProject" in txt,
         "python_evals": txt.count("ArrowEvalPython")
+        + txt.count("BatchEvalPython")
         + txt.count("FlatMapGroupsInPandas")
         + txt.count("MapInPandas")
         + txt.count("EvalPythonUDTF"),
+        "cartesian_products": txt.count("CartesianProduct"),
         "whole_stage_codegen": "WholeStageCodegen" in txt or "codegen id" in txt,
     }
 
