@@ -485,6 +485,10 @@ HEADLINE += [
     "cuped_variance_reduction",
     "srm_check",
     "winsorized_mean_revenue",
+    # pairwise inference + supervised encoding (catalog_r7e)
+    "welch_t_test",
+    "target_encoding_loo",
+    "cohens_kappa",
 ]
 
 
