@@ -489,6 +489,9 @@ HEADLINE += [
     "welch_t_test",
     "target_encoding_loo",
     "cohens_kappa",
+    # physical layout + graph backbone (catalog_r7f)
+    "layout_skip_compare",
+    "k_core_decomposition",
 ]
 
 
