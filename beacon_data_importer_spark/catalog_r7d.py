@@ -270,8 +270,84 @@ def q_winsorized_mean_revenue(
     interpolating percentiles disagree at bin boundaries while a rank
     under a total order cannot.
 
-    The per-segment ranking window is the volume-bearing step (5
-    segments → range-partition by (seg, v) at cluster scale, the
-    global_rank device); cut rows broadcast back for the clamp."""
-    _views(spark, sf_dir, "orders", "customer")
-    return spark.sql(_winsor_sql("spark"))
+    Scale shape: per-segment rank = range-partitioned GLOBAL rank over
+    (seg, v, k) minus the broadcast count of rows in earlier segments
+    — the ``global_rank`` operator's one range exchange, never a
+    ``PARTITION BY segment`` window (5 segments would mean 5
+    single-thread tasks each scanning n/5 rows at cluster scale).
+    The oracle keeps the textbook per-segment window; ranks are
+    identical because (seg, v, k) is a total order and segments are
+    contiguous under it."""
+    from pyspark.sql import Window
+
+    from .operators.order import global_rank
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    rows = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    ranked = global_rank(rows, ["seg", "v", "k"], out_col="__g")
+    seg_n = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.orderBy("seg").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = F.broadcast(
+        seg_n.withColumn(
+            "__off", F.coalesce(F.sum("n").over(w), F.lit(0))
+        )
+    )
+    rn = (
+        ranked.join(offsets, "seg")
+        .withColumn("rn", (F.col("__g") - F.col("__off")).cast("bigint"))
+    )
+    cuts = (
+        rn.filter(
+            (F.col("rn") == F.expr("(5 * n + 99) div 100"))
+            | (F.col("rn") == F.expr("(95 * n) div 100 + 1"))
+        )
+        .groupBy("seg")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(5 * n + 99) div 100"),
+                    F.col("v"),
+                )
+            ).alias("lo"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(95 * n) div 100 + 1"),
+                    F.col("v"),
+                )
+            ).alias("hi"),
+            F.max("n").alias("n"),
+        )
+    )
+    clamped = rows.join(F.broadcast(cuts), "seg").select(
+        "seg",
+        "n",
+        "lo",
+        "hi",
+        F.when(F.col("v") < F.col("lo"), F.col("lo"))
+        .when(F.col("v") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("v"))
+        .alias("wv"),
+        "v",
+    )
+    return clamped.groupBy("seg", "n", "lo", "hi").agg(
+        F.expr("CAST((sum(wv) * 10000) div max(n) AS BIGINT)").alias(
+            "winsorized_mean_microdollars"
+        ),
+        F.expr("CAST((sum(v) * 10000) div max(n) AS BIGINT)").alias(
+            "raw_mean_microdollars"
+        ),
+    ).select(
+        F.col("seg").alias("mktsegment"),
+        F.col("n").alias("n_orders"),
+        F.col("lo").alias("lo_cents"),
+        F.col("hi").alias("hi_cents"),
+        "winsorized_mean_microdollars",
+        "raw_mean_microdollars",
+    )

@@ -492,6 +492,11 @@ HEADLINE += [
     # physical layout + graph backbone (catalog_r7f)
     "layout_skip_compare",
     "k_core_decomposition",
+    # seasonal decomposition + remaining test batteries (catalog_r7g)
+    "stl_decomposition_lite",
+    "holm_bonferroni",
+    "levene_test",
+    "friedman_test",
 ]
 
 
