@@ -123,7 +123,9 @@ def _hnm_ivf_scored_ctes() -> str:
     )"""
 
 
-def _hnm_ivf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hnm_ivf_triples(
+    spark: SparkSession, sf_dir: str, nprobe: int = _HNM_NPROBE
+) -> DataFrame:
     """Spark side of the IVF-mined triples (shared by the registered
     query and the recall audit).
 
@@ -184,7 +186,7 @@ def _hnm_ivf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "__probe",
-            F.slice(F.array_sort("__scored"), 1, _HNM_NPROBE),
+            F.slice(F.array_sort("__scored"), 1, nprobe),
         )
         .select(
             "query_id",
