@@ -1,0 +1,254 @@
+"""Round-7 catalog tier (h): corpus-growth and word-dispersion
+diagnostics — with zipf_slope_audit and chao1_unseen_vocab these
+complete the vocabulary-statistics triad a crawl pipeline consults
+(is the text natural?  is the crawl saturating?  is growth still
+producing vocabulary?).
+
+* ``heaps_law_fit`` — Heaps'-law exponent β from V(n) ≈ K·n^β: OLS of
+  ln(cumulative vocabulary) on ln(cumulative tokens) over the
+  document-ordered corpus prefix series.  Natural corpora sit at
+  β ≈ 0.4–0.6; this generator's 31-word vocabulary saturates in the
+  first documents and the fit says so (β ≈ 0) — the audit measures,
+  never assumes.  The prefix series rides the packed dual-counter
+  ``global_running_sum`` (tokens and new-vocabulary counts in ONE
+  range exchange — the ks_two_sample device).
+* ``word_burstiness_audit`` — index of dispersion (variance/mean of
+  per-document counts, zeros included) for the top-20 words:
+  Poisson scatter gives ≈ 1·1e6 ppm; real content words are bursty
+  (≫ 1) because a document that mentions a topic mentions it
+  repeatedly, while function words sit near Poisson.  Uniform
+  synthetic text shows sub-Poisson regularity — again a measured
+  corpus-health gauge, and per-word evidence for stopword lists and
+  TF saturation choices (BM25's k1).
+
+Reference parity: beyond-reference text-analytics tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import query
+from .sources.parquet import read_table
+
+# ---------------------------------------------------------------------------
+# heaps_law_fit
+# ---------------------------------------------------------------------------
+
+_HEAPS_PACK = 1 << 31  # tokens ride the high half, new-vocab the low
+
+
+def _heaps_oracle() -> str:
+    return """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+      FROM words WHERE w <> '' GROUP BY doc_id
+    ),
+    firsts AS (
+      SELECT min(doc_id) AS doc_id FROM words WHERE w <> '' GROUP BY w
+    ),
+    newv AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY doc_id
+    ),
+    series AS (
+      SELECT t.doc_id,
+        CAST(sum(t.n_tok) OVER (ORDER BY t.doc_id) AS BIGINT) AS cum_tok,
+        CAST(sum(coalesce(v.n_new, 0)) OVER (ORDER BY t.doc_id)
+             AS BIGINT) AS cum_voc
+      FROM tok t LEFT JOIN newv v ON v.doc_id = t.doc_id
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(cum_tok) * 1e6) AS BIGINT) AS x,
+             CAST(floor(ln(cum_voc) * 1e6) AS BIGINT) AS y
+      FROM series WHERE cum_voc > 0
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+        CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        CAST(sum(x * y) AS HUGEINT) AS sxy,
+        CAST(sum(x * x) AS HUGEINT) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+      CAST(((n * sxy - sx * sy) * 1000000)
+           // (n * sxx - sx * sx) AS BIGINT) AS beta_ppm,
+      (SELECT max(cum_voc) FROM series) AS vocab_size,
+      (SELECT max(cum_tok) FROM series) AS n_tokens
+    FROM s
+    """
+
+
+@query(
+    "heaps_law_fit",
+    registered=False,  # extra (round-7): rotation candidate for round 8
+    oracle=_heaps_oracle(),
+)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent: ln V vs ln N OLS over the document-ordered
+    prefix series (V = distinct vocabulary seen, N = tokens seen).
+    New-vocabulary attribution is exact — a word belongs to the
+    MIN(doc_id) that first contains it — so the series is a
+    deterministic function of the corpus, not of scan order.  β_ppm
+    lands near 0 here because the generator's 31-word vocabulary
+    saturates instantly; a natural crawl shows β ≈ 0.4–0.6, and a
+    FALLING β across crawl snapshots is the diminishing-returns
+    signal chao1_unseen_vocab estimates from the other direction.
+
+    Scale shape: both cumulative counters ride ONE packed
+    ``global_running_sum`` pass (tokens·2³¹ + new-vocab, unpacked by
+    div/mod — the ks_two_sample device; low half bounded by vocabulary
+    per doc, high half by corpus tokens < 2³¹ at audit scale, with
+    dyadic sampling the documented path beyond).  The word→min-doc
+    aggregation is the only vocabulary-wide shuffle; ln floors per
+    term (psi device); OLS moments in DECIMAL(38,0)/HUGEINT."""
+    from .operators.order import global_running_sum
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tok = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    newv = (
+        words.groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    packed = (
+        tok.join(newv, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("n_tok") * F.lit(_HEAPS_PACK)
+                + F.coalesce(F.col("n_new"), F.lit(0))
+            ).alias("__pk"),
+        )
+    )
+    series = global_running_sum(packed, ["doc_id"], "__pk").select(
+        "doc_id",
+        F.expr(f"__runsum div {_HEAPS_PACK}").cast("bigint").alias("cum_tok"),
+        (F.col("__runsum") % _HEAPS_PACK).cast("bigint").alias("cum_voc"),
+    )
+    pts = series.filter(F.col("cum_voc") > 0).select(
+        F.floor(F.log(F.col("cum_tok")) * 1e6).cast("bigint").alias("x"),
+        F.floor(F.log(F.col("cum_voc")) * 1e6).cast("bigint").alias("y"),
+    )
+    big = "DECIMAL(38,0)"
+    s = pts.agg(
+        F.expr(f"CAST(count(*) AS {big})").alias("n"),
+        F.expr(f"CAST(sum(x) AS {big})").alias("sx"),
+        F.expr(f"CAST(sum(y) AS {big})").alias("sy"),
+        F.expr(f"CAST(sum(CAST(x AS {big}) * y) AS {big})").alias("sxy"),
+        F.expr(f"CAST(sum(CAST(x AS {big}) * x) AS {big})").alias("sxx"),
+    )
+    tots = F.broadcast(
+        series.agg(
+            F.max("cum_voc").alias("vocab_size"),
+            F.max("cum_tok").alias("n_tokens"),
+        )
+    )
+    return s.crossJoin(tots).select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.expr(
+            "CAST(((n * sxy - sx * sy) * 1000000)"
+            " div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("beta_ppm"),
+        "vocab_size",
+        "n_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
+# word_burstiness_audit
+# ---------------------------------------------------------------------------
+
+_BURST_TOPK = 20
+
+
+@query(
+    "word_burstiness_audit",
+    registered=False,  # extra (round-7): rotation candidate for round 8
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    per_doc AS (
+      SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM words WHERE w <> '' GROUP BY w, doc_id
+    ),
+    d AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+          FROM documents),
+    stats AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_present,
+        CAST(sum(c) AS BIGINT) AS s,
+        CAST(sum(c * c) AS BIGINT) AS q
+      FROM per_doc GROUP BY w
+    ),
+    ranked AS (
+      SELECT s.*, d.nd,
+        row_number() OVER (ORDER BY s.s DESC, s.w) AS rn
+      FROM stats s CROSS JOIN d
+    )
+    SELECT w AS word, n_present AS n_docs_present, s AS n_occurrences,
+      CAST(((nd * q - s * s) * 1000000) // (s * (nd - 1)) AS BIGINT)
+        AS dispersion_ppm
+    FROM ranked WHERE rn <= {_BURST_TOPK}
+    """,
+)
+def q_word_burstiness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean, zeros included) for the
+    top-{k} words by total count: D·Σc² − S² over S·(D−1) in ppm —
+    the zero-count documents enter through D without ever being
+    materialized as rows (the per-(word, doc) table only holds
+    presences; the algebra supplies the zeros).  Poisson scatter ⇒
+    1e6; topical words run far above (burstiness — a doc that says a
+    word says it again); uniform synthetic text runs below.  Next to
+    zipf_slope_audit and heaps_law_fit this is the third
+    corpus-naturalness gauge, and per-word dispersion is the evidence
+    behind stopword and BM25-k1 choices.
+
+    One (word, doc) aggregation (map-side combinable), one word-level
+    rollup, a 1-row doc-count broadcast; the ranking window runs over
+    vocabulary-bounded rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    per_doc = words.groupBy("w", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nd = F.broadcast(
+        docs.agg(F.count_distinct("doc_id").cast("bigint").alias("nd"))
+    )
+    stats = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    from pyspark.sql import Window
+
+    ranked = stats.crossJoin(nd).withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("s").desc(), "w")),
+    )
+    return ranked.filter(F.col("rn") <= _BURST_TOPK).select(
+        F.col("w").alias("word"),
+        F.col("n_present").alias("n_docs_present"),
+        F.col("s").alias("n_occurrences"),
+        F.expr(
+            "CAST(((nd * q - s * s) * 1000000) div (s * (nd - 1))"
+            " AS BIGINT)"
+        ).alias("dispersion_ppm"),
+    )
+
+
+q_word_burstiness_audit.__doc__ = (
+    q_word_burstiness_audit.__doc__ or ""
+).format(k=_BURST_TOPK)

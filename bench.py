@@ -497,6 +497,9 @@ HEADLINE += [
     "holm_bonferroni",
     "levene_test",
     "friedman_test",
+    # corpus growth + word dispersion (catalog_r7h)
+    "heaps_law_fit",
+    "word_burstiness_audit",
 ]
 
 
