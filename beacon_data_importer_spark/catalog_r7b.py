@@ -1,11 +1,13 @@
 """Round-7 catalog tier (b): data-quality forensics, corpus health,
 causal matching, calibration, and multi-objective ranking —
 
-* ``benford_first_digit_audit`` — first-significant-digit census of
+* ``benford_second_digit_audit`` — SECOND-significant-digit census of
   order totals vs Benford's law with per-digit chi-square terms: the
-  classic fraud/synthetic-data forensic.  Expected shares are
-  Python-computed literals (the S-curve-literal doctrine); everything
-  data-dependent is one integer aggregation.
+  escalation step after the first-digit screen
+  (catalog_r4.benford_digit_audit) — fabricated data tuned to the
+  first-digit law rarely matches the flatter second-digit one.
+  Expected shares are Python-computed literals (the S-curve-literal
+  doctrine); everything data-dependent is one integer aggregation.
 * ``zipf_slope_audit`` — OLS slope of ln(freq) on ln(rank) over the
   corpus vocabulary: a natural-language corpus sits near −1; a flat
   slope exposes synthetic/templated text.  Per-term floored ln (the
@@ -15,7 +17,9 @@ causal matching, calibration, and multi-objective ranking —
   the pooled sign is a Simpson flip, the canonical aggregation trap.
 * ``isotonic_calibration`` — PAV isotonic fit of return rate on
   discount bins via the minimax identity fit(i) = max_{j≤i} min_{k≥i}
-  rate(j..k), exact over floored interval rates (bin count fixed and
+  rate(j..k): catalog_r5.score_calibration DIAGNOSES miscalibration
+  (the reliability table); this FITS the monotone correction a
+  scorer would apply — exact over floored interval rates (bin count fixed and
   tiny, so the O(B³) identity beats an iterative pool-merge in both
   engines and needs no recursion).
 * ``propensity_caliper_match`` — nearest-neighbor caliper matching of
@@ -25,10 +29,15 @@ causal matching, calibration, and multi-objective ranking —
 * ``pareto_skyline`` — the skyline (Pareto frontier) of customers on
   (total spend, order count): dominated points eliminated without any
   global sort of the full table (bucket-partitioned prefix maxima +
-  a broadcast per-bucket summary).
+  a broadcast per-bucket summary).  The DISTRIBUTED replacement for
+  catalog_r3c.pareto_frontier's textbook one-sort algorithm — same
+  dominance semantics, proven equal to the single-window form the
+  oracle keeps.
 * ``heavy_hitters_audit`` — Spark 4's ``approx_top_k`` (DataSketches
   frequent-items) vs the exact top-10 vocabulary, audited as boolean
-  containment + count agreement (the hll_distinct_audit device: the
+  containment + count agreement; the top-k sketch complement of
+  catalog_r5.cms_frequency_audit (count-min answers point-frequency
+  lookups, frequent-items answers "which items are heavy") (the hll_distinct_audit device: the
   sketch is the 100 TB product, the exact pass is the audit-scale
   referee).
 
@@ -49,10 +58,19 @@ from .sources.parquet import read_table
 # benford_first_digit_audit
 # ---------------------------------------------------------------------------
 
-#: floor(log10(1 + 1/d) * 1e6) for d = 1..9 — Python-computed literals,
-#: so neither engine's log10 enters the comparison surface.
+#: floor(1e6 · Σ_{k=1..9} log10(1 + 1/(10k + d))) for d = 0..9 — the
+#: SECOND-digit Benford expectation, Python-computed literals so
+#: neither engine's log10 enters the comparison surface.  (The
+#: first-digit test lives in catalog_r4.benford_digit_audit; second
+#: digit is the standard escalation — fabricators who learn to fake
+#: the first digit rarely fake the flatter second-digit law, and a
+#: column can pass one test while failing the other.)
 _BENFORD_PPM = {
-    d: math.floor(math.log10(1.0 + 1.0 / d) * 1e6) for d in range(1, 10)
+    d: math.floor(
+        sum(math.log10(1.0 + 1.0 / (10 * k + d)) for k in range(1, 10))
+        * 1e6
+    )
+    for d in range(0, 10)
 }
 _BENFORD_CASE = (
     "CASE digit "
@@ -62,16 +80,18 @@ _BENFORD_CASE = (
 
 
 def _benford_sql(dialect: str) -> str:
-    """Shared text: cents → first digit via integer-to-string (identical
-    in both engines; float formatting is not), then integer ppm shares
-    and chi-square terms with identical truncation placement."""
+    """Shared text: cents → second significant digit via
+    integer-to-string (identical in both engines; float formatting is
+    not), then integer ppm shares and chi-square terms with identical
+    truncation placement."""
     div = " div " if dialect == "spark" else " // "
     str_t = "STRING" if dialect == "spark" else "VARCHAR"
     return f"""
     WITH d AS (
       SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                               AS {str_t}), 1, 1) AS INT) AS digit
+                               AS {str_t}), 2, 1) AS INT) AS digit
       FROM orders
+      WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 10
     ),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
     per AS (
@@ -89,23 +109,27 @@ def _benford_sql(dialect: str) -> str:
 
 
 @query(
-    "benford_first_digit_audit",
+    "benford_second_digit_audit",
     registered=True,  # round-7 slot: new this round
     oracle=_benford_sql("duck"),
 )
-def q_benford_first_digit_audit(
+def q_benford_second_digit_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Benford's-law forensic over order totals: per first digit 1–9,
-    the observed ppm share next to floor(log10(1+1/d)·1e6) and the
-    integer chi-square term ((obs−exp)²/exp in ppm) — large terms
-    localize WHICH digit deviates (synthetic or fabricated amounts
-    cluster in specific leading digits).  The digit comes from the
-    integer cents' decimal string, not floor(log10(x)), because
-    int→string is bit-identical across engines while log10 at power-of-
-    ten boundaries is not.
+    """Second-digit Benford forensic over order totals: per second
+    significant digit 0–9, the observed ppm share next to
+    floor(1e6·Σₖ log10(1+1/(10k+d))) and the integer chi-square term
+    ((obs−exp)²/exp in ppm) — large terms localize WHICH digit
+    deviates.  Escalation partner of the FIRST-digit test
+    (catalog_r4.benford_digit_audit, r04 driver-proven): fabricated
+    amounts tuned to pass the first-digit law rarely match the much
+    flatter second-digit distribution (11.97% for 0 down to 8.50% for
+    9), and price-point columns (…99) fail here while passing there.
+    The digit comes from the integer cents' decimal string, not
+    floor(log10(x)), because int→string is bit-identical across
+    engines while log10 at power-of-ten boundaries is not.
 
-    One map-side-combinable aggregation over orders plus a 9-row
+    One map-side-combinable aggregation over orders plus a 10-row
     broadcast of the total; at 100 TB it is a single scan."""
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_benford_sql("spark"))

@@ -22,6 +22,9 @@ batteries over the order/lineitem series —
 * ``cramers_v`` — chi-square association + Cramér's V² for the
   returnflag × linestatus contingency, exact integers via the
   (O·n − r·c)² form (no per-cell expected-value division).
+  catalog_r4.chi_square_independence reports per-cell TEST
+  contributions; V² is the normalized EFFECT SIZE comparable across
+  tables of different shape and n.
 * ``grubbs_outlier`` — max-studentized-deviation outlier scan of
   daily revenue with a 4σ cross-multiplied flag; the argmax day is
   surfaced so the flagged point is auditable.

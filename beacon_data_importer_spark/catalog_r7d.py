@@ -8,7 +8,10 @@
   reach significance on a fraction of the traffic; completes this
   repo's experiment loop (ab_power_analysis designs the sample size →
   CUPED shrinks the variance that size depends on → interim_analysis
-  monitors → srm_check guards validity).
+  monitors → srm_check guards validity).  Companion of
+  catalog_r5.cuped_adjustment, which reports the ADJUSTED ARM MEANS:
+  this query reports the DESIGN quantities (θ, the ρ² variance
+  fraction removed, naive-vs-adjusted delta) a planner consumes.
 * ``srm_check`` — sample-ratio-mismatch guard: a deterministic 50/50
   hash assignment's observed split chi-squared against its design;
   SRM is the #1 silent invalidator of online experiments, and the
@@ -268,7 +271,10 @@ def q_winsorized_mean_revenue(
     ((5n+99) div 100)-th and ((95n) div 100 + 1)-th values under the
     total (value, key) order per segment — because engines'
     interpolating percentiles disagree at bin boundaries while a rank
-    under a total order cannot.
+    under a total order cannot.  Both points deliberately contrast
+    with catalog_r3c.winsorized_mean (interpolated quantile_cont
+    cutoffs, per-nation window): rank cutoffs are portable at exact
+    equality, and the ranking here is distributed.
 
     Scale shape: per-segment rank = range-partitioned GLOBAL rank over
     (seg, v, k) minus the broadcast count of rows in earlier segments

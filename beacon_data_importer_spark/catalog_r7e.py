@@ -8,12 +8,6 @@ engineering —
   expensive; Welch is THE default two-group mean test).  t² assembled
   from staged integer divisions (the cuped doctrine: every quotient
   fits int64), verdict at the large-sample z² literal.
-* ``target_encoding_loo`` — leave-one-out target encoding of
-  l_partkey against the return label, summarized as a decile
-  reliability table: the supervised categorical encoding every
-  tabular-ML pipeline ships, in its leakage-safe LOO form ((Σy − y_i)
-  / (n − 1) — a row never sees its own label, which is what separates
-  this from plain mean encoding and target leakage).
 * ``cohens_kappa`` — chance-corrected agreement between two
   deterministic order classifiers (price-threshold "expensive" vs
   priority-derived "urgent"): the inter-rater statistic that exposes
@@ -115,62 +109,6 @@ def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     One join + one 2-row aggregation, all map-side combinable."""
     _views(spark, sf_dir, "orders", "customer")
     return spark.sql(_welch_sql("spark"))
-
-
-# ---------------------------------------------------------------------------
-# target_encoding_loo
-# ---------------------------------------------------------------------------
-
-
-def _te_sql(dialect: str) -> str:
-    div = " div " if dialect == "spark" else " // "
-    return f"""
-    WITH rows_ AS (
-      SELECT l_partkey AS cat,
-        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
-      FROM lineitem
-    ),
-    per_cat AS (
-      SELECT cat, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
-      FROM rows_ GROUP BY cat
-    ),
-    encoded AS (
-      SELECT r.y,
-        CASE WHEN c.n <= 1 THEN 333333  -- singleton: global prior would
-             -- leak nothing, but a FIXED literal keeps both engines'
-             -- fallback identical without a second pass (333333 ppm ≈
-             -- the known ~1/3 'R' share of this generator)
-             ELSE ((c.s - r.y) * 1000000){div}(c.n - 1) END AS loo_ppm
-      FROM rows_ r JOIN per_cat c ON c.cat = r.cat
-    )
-    SELECT CAST(loo_ppm{div}100000 AS INT) AS loo_decile,
-      CAST(count(*) AS BIGINT) AS n_rows,
-      CAST(sum(y) AS BIGINT) AS n_returned,
-      CAST((sum(y) * 1000000){div}count(*) AS BIGINT) AS actual_rate_ppm
-    FROM encoded GROUP BY CAST(loo_ppm{div}100000 AS INT)
-    """
-
-
-@query(
-    "target_encoding_loo",
-    registered=False,  # extra (round-7): rotation candidate for round 8
-    oracle=_te_sql("duck"),
-)
-def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leave-one-out target encoding of part key against the return
-    label — encode(row) = (Σy_category − y_row) / (n_category − 1), so
-    no row's feature contains its own label (the leakage-safe form;
-    plain mean encoding memorizes singletons and inflates offline
-    metrics) — summarized as a decile reliability table: rows bucketed
-    by their LOO score vs the actual return rate inside each bucket.
-    A well-calibrated encoding shows actual ≈ bucket score; this
-    output IS that audit.
-
-    One aggregation to the category table + one shuffle join back on
-    the category key (both map-side combinable / AQE-skew-safe); the
-    decile summary bounds the output regardless of row count."""
-    _views(spark, sf_dir, "lineitem")
-    return spark.sql(_te_sql("spark"))
 
 
 # ---------------------------------------------------------------------------

@@ -467,7 +467,7 @@ HEADLINE += [
     "event_type_distinct_sketch",
     # forensics / corpus health / causal matching / calibration /
     # skyline / heavy hitters (catalog_r7b)
-    "benford_first_digit_audit",
+    "benford_second_digit_audit",
     "zipf_slope_audit",
     "simpson_paradox_audit",
     "isotonic_calibration",
@@ -487,11 +487,7 @@ HEADLINE += [
     "winsorized_mean_revenue",
     # pairwise inference + supervised encoding (catalog_r7e)
     "welch_t_test",
-    "target_encoding_loo",
     "cohens_kappa",
-    # physical layout + graph backbone (catalog_r7f)
-    "layout_skip_compare",
-    "k_core_decomposition",
     # seasonal decomposition + remaining test batteries (catalog_r7g)
     "stl_decomposition_lite",
     "holm_bonferroni",
@@ -500,6 +496,8 @@ HEADLINE += [
     # corpus growth + word dispersion (catalog_r7h)
     "heaps_law_fit",
     "word_burstiness_audit",
+    # theta-sketch set algebra (catalog_r7i)
+    "theta_set_ops_audit",
 ]
 
 

@@ -18,6 +18,15 @@ happens under --fix and only when the key set actually drifted):
    (registration flags, proof provenance, and counts all live there).
 3. The registered-slot count is exactly 50 and every registered query
    has an oracle (the driver gate's shape).
+4. No two catalog queries collide on a NORMALIZED name (underscores
+   stripped / token multiset).  Round 7 shipped `k_core_decomposition`
+   next to round-5's `kcore_decomposition` and `target_encoding_loo`
+   next to `loo_target_encoding` — same computation, different
+   spelling, caught only by a human re-reading bench.py.  Both classes
+   normalize identically, so this check makes the mistake impossible
+   to commit.  (Semantic near-duplicates under DIFFERENT names still
+   need the grep-the-catalog-first discipline — with the full output,
+   not `| head`.)
 """
 
 from __future__ import annotations
@@ -82,6 +91,22 @@ def main() -> int:
     )
     if no_oracle:
         problems.append(f"registered queries without oracle: {no_oracle}")
+
+    # 4. normalized-name collisions (k_core vs kcore, reordered tokens)
+    by_norm: dict[tuple, list[str]] = {}
+    for n in names:
+        for key in (
+            ("flat", n.replace("_", "")),
+            ("toks", tuple(sorted(n.split("_")))),
+        ):
+            by_norm.setdefault(key, []).append(n)
+    dupes = sorted(
+        {tuple(sorted(v)) for v in by_norm.values() if len(set(v)) > 1}
+    )
+    if dupes:
+        problems.append(
+            f"normalized-name collisions (likely duplicate queries): {dupes}"
+        )
 
     if problems:
         print("PRESNAPSHOT DRIFT:" if not fix else "PRESNAPSHOT (fixed):")
