@@ -498,6 +498,8 @@ HEADLINE += [
     "word_burstiness_audit",
     # theta-sketch set algebra (catalog_r7i)
     "theta_set_ops_audit",
+    # Markov removal-effect attribution (catalog_r7j)
+    "markov_removal_attribution",
 ]
 
 
