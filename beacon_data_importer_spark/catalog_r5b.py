@@ -94,7 +94,7 @@ _BPE_TOKENIZE_ORACLE = f"""
 
 @query(
     "bpe_tokenize",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_BPE_TOKENIZE_ORACLE,
 )
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +198,7 @@ def _merge_audit_oracle() -> str:
 
 @query(
     "bpe_merge_audit",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_merge_audit_oracle(),
 )
 def q_bpe_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,7 +270,7 @@ def q_bpe_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fifo_allocation",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle="""
     WITH inv AS (
       SELECT o_custkey AS c,
@@ -379,7 +379,7 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "revenue_recognition",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle="""
     WITH span AS (
       SELECT o.o_orderkey,
@@ -466,7 +466,7 @@ def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "kaplan_meier",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle="""
     WITH subj AS (
       SELECT date_diff('day', o.o_orderdate, s.first_ship) AS t,

@@ -112,7 +112,7 @@ def q_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "auc_mann_whitney",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle="""
     WITH labeled AS (
       SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS score,
@@ -198,7 +198,7 @@ def q_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l_diversity_audit",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle="""
     WITH joined AS (
       SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
@@ -289,7 +289,7 @@ _IV_U_DUCK = (
 
 @query(
     "iv_wald_estimate",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH assigned AS (
       SELECT c.c_custkey,
@@ -413,7 +413,7 @@ _PERM_K = 64  # deterministic relabeled replicas
 
 @query(
     "permutation_test_revenue",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH base AS (
       SELECT o_orderkey,

@@ -130,7 +130,7 @@ _HOLT_BASE_SQL = """
 
 @query(
     "holt_linear_forecast",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_holt_duck_sql(),
 )
 def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,7 +231,7 @@ def _ipf_sql(dialect: str) -> str:
 
 @query(
     "ipf_raking_weights",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_ipf_sql("duck"),
 )
 def q_ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,7 +276,7 @@ _CHUNK_HOP = 2048  # 50% overlap
 
 @query(
     "audio_chunk_plan",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=f"""
     SELECT d.doc_id,
            CAST(k.k AS BIGINT) AS chunk_idx,

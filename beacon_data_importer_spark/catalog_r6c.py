@@ -151,7 +151,7 @@ def _fs_sql(dialect: str) -> str:
 
 @query(
     "fellegi_sunter_em",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_fs_sql("duck"),
 )
 def q_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,7 +268,7 @@ def _dsir_sql(dialect: str) -> str:
 
 @query(
     "dsir_importance_sample",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_dsir_sql("duck"),
 )
 def q_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,7 +313,7 @@ _HNM_QUERY_MOD = 20  # vec_id % 20 == 0 → 5% of vectors are queries
 
 @query(
     "hard_negative_mining",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel

@@ -110,7 +110,7 @@ def _mba_oracle() -> str:
 
 @query(
     "minhash_band_advisor",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_mba_oracle(),
 )
 def q_minhash_band_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +156,7 @@ _DECAY_TOPK = 20
 
 @query(
     "decayed_topk",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH per_cust AS (
       SELECT o_custkey,
@@ -284,7 +284,7 @@ def _pinball_duck() -> str:
 
 @query(
     "pinball_quantile_eval",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_pinball_duck(),
 )
 def q_pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,7 +43,7 @@ _VARIANT_SQL = (
 
 @query(
     "collated_distinct_audit",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH v AS (SELECT {_VARIANT_SQL} AS name FROM part)
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -140,7 +140,7 @@ def _acf_sql(dialect: str) -> str:
 
 @query(
     "acf_daily_revenue",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_acf_sql("duck"),
 )
 def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

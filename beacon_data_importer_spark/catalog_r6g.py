@@ -111,7 +111,7 @@ def _ivm_sql(dialect: str) -> str:
 
 @query(
     "join_view_delta_maintain",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_ivm_sql("duck"),
 )
 def q_join_view_delta_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:

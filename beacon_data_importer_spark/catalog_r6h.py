@@ -80,7 +80,7 @@ def _pak_sql(dialect: str) -> str:
 
 @query(
     "pass_at_k_estimate",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_pak_sql("duck"),
 )
 def q_pass_at_k_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,7 +231,7 @@ def _bt_sql(dialect: str) -> str:
 
 @query(
     "bradley_terry_rating",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_bt_sql("duck"),
 )
 def q_bradley_terry_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,7 +391,7 @@ def _cycle_sql(dialect: str) -> str:
 
 @query(
     "preference_cycle_audit",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_cycle_sql("duck"),
 )
 def q_preference_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,7 +82,7 @@ def _emd_sql(dialect: str) -> str:
 
 @query(
     "emd_drift_audit",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_emd_sql("duck"),
 )
 def q_emd_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,7 +120,7 @@ _SPLIT_TOPN = 5
 
 @query(
     "best_split_finder",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH labeled AS (
       SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS x,
@@ -308,7 +308,7 @@ def _woe_sql(dialect: str) -> str:
 
 @query(
     "woe_iv_encoding",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_woe_sql("duck"),
 )
 def q_woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -83,7 +83,7 @@ def _cr_sql(dialect: str) -> str:
 
 @query(
     "capture_recapture_estimate",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_cr_sql("duck"),
 )
 def q_capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,7 +146,7 @@ def _chao_sql(dialect: str) -> str:
 
 @query(
     "chao1_unseen_vocab",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_chao_sql("duck"),
 )
 def q_chao1_unseen_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,7 +256,7 @@ def _chow_sql(dialect: str) -> str:
 
 @query(
     "chow_break_test",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_chow_sql("duck"),
 )
 def q_chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -64,7 +64,7 @@ def _pw_sql(dialect: str) -> str:
 
 @query(
     "ab_power_analysis",
-    registered=True,  # round-7 slot: promoted by the r7 rotation (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_pw_sql("duck"),
 )
 def q_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -110,7 +110,7 @@ def _benford_sql(dialect: str) -> str:
 
 @query(
     "benford_second_digit_audit",
-    registered=True,  # round-7 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_benford_sql("duck"),
 )
 def q_benford_second_digit_audit(
@@ -181,7 +181,7 @@ def _zipf_sql(dialect: str) -> str:
 
 @query(
     "zipf_slope_audit",
-    registered=True,  # round-7 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_zipf_sql("duck"),
 )
 def q_zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,7 +259,7 @@ def _simpson_sql(dialect: str) -> str:
 
 @query(
     "simpson_paradox_audit",
-    registered=True,  # round-7 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_simpson_sql("duck"),
 )
 def q_simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,7 +323,7 @@ def _isotonic_sql(dialect: str) -> str:
 
 @query(
     "isotonic_calibration",
-    registered=True,  # round-7 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=_isotonic_sql("duck"),
 )
 def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,7 +354,7 @@ _CALIPER_C = 10_000  # match window: |price difference| ≤ $100, in cents
 
 @query(
     "propensity_caliper_match",
-    registered=True,  # round-7 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH sc AS (
       SELECT o_orderkey AS k,
@@ -442,7 +442,7 @@ _SKY_BUCKET_C = 1_000_000  # spend bucket width for the partitioned pass
 
 @query(
     "pareto_skyline",
-    registered=True,  # round-7 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle="""
     WITH agg AS (
       SELECT o_custkey,
@@ -528,7 +528,7 @@ _HH_MAX_TRACKED = 10_000
 
 @query(
     "heavy_hitters_audit",
-    registered=True,  # round-7 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r07; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH words AS (
       SELECT unnest(string_split(text, ' ')) AS w FROM documents

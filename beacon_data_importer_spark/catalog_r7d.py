@@ -129,7 +129,7 @@ def _cuped_sql(dialect: str) -> str:
 
 @query(
     "cuped_variance_reduction",
-    registered=False,  # extra (round-7): rotation candidate for round 8
+    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
     oracle=_cuped_sql("duck"),
 )
 def q_cuped_variance_reduction(
@@ -196,7 +196,7 @@ def _srm_sql(dialect: str) -> str:
 
 @query(
     "srm_check",
-    registered=False,  # extra (round-7): rotation candidate for round 8
+    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
     oracle=_srm_sql("duck"),
 )
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,7 +257,7 @@ def _winsor_sql(dialect: str) -> str:
 
 @query(
     "winsorized_mean_revenue",
-    registered=False,  # extra (round-7): rotation candidate for round 8
+    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
     oracle=_winsor_sql("duck"),
 )
 def q_winsorized_mean_revenue(

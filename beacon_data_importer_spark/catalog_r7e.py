@@ -92,7 +92,7 @@ def _welch_sql(dialect: str) -> str:
 
 @query(
     "welch_t_test",
-    registered=False,  # extra (round-7): rotation candidate for round 8
+    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
     oracle=_welch_sql("duck"),
 )
 def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +156,7 @@ def _kappa_sql(dialect: str) -> str:
 
 @query(
     "cohens_kappa",
-    registered=False,  # extra (round-7): rotation candidate for round 8
+    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
     oracle=_kappa_sql("duck"),
 )
 def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:

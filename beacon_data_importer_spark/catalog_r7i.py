@@ -33,7 +33,7 @@ from .sources.parquet import read_table
 
 @query(
     "theta_set_ops_audit",
-    registered=False,  # extra (round-7): rotation candidate for round 8
+    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
     oracle="""
     WITH cust AS (
       SELECT o_custkey,

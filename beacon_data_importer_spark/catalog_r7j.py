@@ -169,7 +169,7 @@ def _mra_oracle() -> str:
 
 @query(
     "markov_removal_attribution",
-    registered=False,  # extra (round-7): rotation candidate for round 8
+    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
     oracle=_mra_oracle(),
 )
 def q_markov_removal_attribution(
