@@ -83,11 +83,16 @@ def _hnm_triples_sql(source: str) -> str:
     """
 
 
-def _hnm_ivf_scored_ctes() -> str:
+def _hnm_ivf_scored_ctes(nprobe_sql: str = str(_HNM_NPROBE)) -> str:
     """DuckDB CTE chain up to the IVF candidate scores: deterministic
     centroids (vec_id % {cent} = 0) → nearest-cell assignment →
     per-query top-{np} probe cells → cell-join candidates.  Same
-    cosine association as ``ivf_search``'s oracle."""
+    cosine association as ``ivf_search``'s oracle.
+
+    ``nprobe_sql`` is the SQL expression bounding the probe rank —
+    a literal for the fixed-count variant, or the exact-integer
+    ratio form (``(4·nlist + 4) // 5``, nlist via scalar subquery)
+    for the doctrine-scaled variant in catalog_r8."""
     cos_ec = _DUCK_COS.format(a="e.embedding", b="c.cvec")
     cos_qc = _DUCK_COS.format(a="q.qvec", b="c.cvec")
     cos_eq = _DUCK_COS.format(a="e.embedding", b="q.qvec")
@@ -110,7 +115,7 @@ def _hnm_ivf_scored_ctes() -> str:
                row_number() OVER (PARTITION BY q.query_id
                  ORDER BY {cos_qc} DESC, c.cell_id) AS rn
         FROM q CROSS JOIN cent c
-      ) t WHERE rn <= {_HNM_NPROBE}
+      ) t WHERE rn <= {nprobe_sql}
     ),
     scored AS (
       SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label,
@@ -124,7 +129,10 @@ def _hnm_ivf_scored_ctes() -> str:
 
 
 def _hnm_ivf_triples(
-    spark: SparkSession, sf_dir: str, nprobe: int = _HNM_NPROBE
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = _HNM_NPROBE,
+    nprobe_ratio: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Spark side of the IVF-mined triples (shared by the registered
     query and the recall audit).
@@ -145,6 +153,16 @@ def _hnm_ivf_triples(
          tools/ann_scale_probe.py).
       4. Per-(query, same-label) top-1 via window — map-side partial
          top-k then one shuffle keyed on query_id.
+
+    ``nprobe_ratio=(num, den)`` overrides the fixed count with
+    nprobe = max(1, ceil(num·nlist/den)) computed as EXACT integer
+    arithmetic ``(num·nlist + den − 1) div den`` — the PERF-doctrine
+    fix for the fixed-capacity-parameter failure (a constant nprobe
+    covers a shrinking fraction as nlist scales √n; a ratio holds the
+    scanned fraction, hence the recall, at any corpus size).  Float
+    ``ceil(0.8·nlist)`` is deliberately avoided: 0.8·20 =
+    16.000000000000004 in IEEE, and ceil would silently read 17 on
+    one engine and 16 on another.
     """
     e = read_table(spark, sf_dir, "embeddings")
     centroids = e.filter(F.col("vec_id") % _HNM_CENT_MOD == 0).select(
@@ -186,7 +204,20 @@ def _hnm_ivf_triples(
         )
         .withColumn(
             "__probe",
-            F.slice(F.array_sort("__scored"), 1, nprobe),
+            F.slice(
+                F.array_sort("__scored"),
+                F.lit(1),
+                F.lit(nprobe)
+                if nprobe_ratio is None
+                else F.greatest(
+                    F.lit(1),
+                    F.expr(
+                        f"(size(__scored) * {nprobe_ratio[0]}"
+                        f" + {nprobe_ratio[1]} - 1)"
+                        f" div {nprobe_ratio[1]}"
+                    ),
+                ).cast("int"),
+            ),
         )
         .select(
             "query_id",

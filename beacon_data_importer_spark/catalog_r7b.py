@@ -403,7 +403,10 @@ def q_propensity_caliper_match(
         .alias("s"),
         (F.col("o_orderpriority") == "1-URGENT").alias("treated"),
     )
-    bucket = (F.col("s") / _CALIPER_C).cast("bigint")  # s ≥ 0: trunc = floor
+    # integer `div`, not double-divide-then-cast: a double quotient can
+    # round across a bucket boundary once s nears 2^53, silently
+    # diverging from the oracle's exact `//` (ADVICE r7)
+    bucket = F.expr(f"s div {_CALIPER_C}")  # s ≥ 0: trunc = floor
     t = sc.filter("treated").select(
         F.col("k").alias("treated_key"),
         F.col("s").alias("ts"),
@@ -490,8 +493,10 @@ def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         )
     )
+    # integer `div` for bucket ids (ADVICE r7): exact at any magnitude,
+    # matching the oracle's `//` even past 2^53
     pts = agg.select("spend_c", "n_orders").distinct().withColumn(
-        "__b", (F.col("spend_c") / _SKY_BUCKET_C).cast("bigint")
+        "__b", F.expr(f"spend_c div {_SKY_BUCKET_C}")
     )
     # (b) cross-bucket: max n per bucket, then the running max over
     # strictly-higher buckets — a bounded summary table (spend range /

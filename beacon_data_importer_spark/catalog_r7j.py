@@ -199,6 +199,20 @@ def q_markov_removal_attribution(
     tmat = spark.sql(
         "WITH " + _mra_matrix_sql("spark") + " SELECT * FROM tmat"
     ).collect()
+    # Schema-drift guard (ADVICE r7): the state space is a SCHEMA
+    # constant baked into both this loop and the oracle's VALUES
+    # tables.  An event_type outside it would previously KeyError
+    # here while the oracle silently dropped the transitions — the
+    # two sides failing DIFFERENTLY.  Fail loudly and identically.
+    observed = {r.src for r in tmat} | {r.dst for r in tmat}
+    unknown = observed - {"START", "CONV", "NULL", *_MRA_CHANNELS}
+    if unknown:
+        raise ValueError(
+            f"markov_removal_attribution: event_type(s) {sorted(unknown)} "
+            f"outside the schema state space {_MRA_CHANNELS} + purchase — "
+            "update _MRA_CHANNELS (Spark and oracle share it) for the "
+            "new schema"
+        )
     t_ch: dict[str, dict[str, int]] = {}
     t_conv: dict[str, int] = {}
     for r in tmat:

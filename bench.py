@@ -704,6 +704,10 @@ def main() -> None:
     hnm_row = qs["hard_negative_recall_audit"](spark, sf_dir).collect()[0]
     hnm_pos_agree = round(hnm_row.pos_agree / max(hnm_row.n_queries, 1), 3)
     hnm_neg_agree = round(hnm_row.neg_agree / max(hnm_row.n_queries, 1), 3)
+    # Ratio-scaled variant (VERDICT r7 item 4): must hold ≥0.9.
+    hnms_row = qs["hard_negative_scaled_recall_audit"](spark, sf_dir).collect()[0]
+    hnms_pos_agree = round(hnms_row.pos_agree / max(hnms_row.n_queries, 1), 3)
+    hnms_neg_agree = round(hnms_row.neg_agree / max(hnms_row.n_queries, 1), 3)
 
     # Peak JVM heap across executors (single-JVM locally): the "does it
     # fit in executor memory at this SF" signal next to spill bytes.
@@ -759,6 +763,8 @@ def main() -> None:
                     "pq_recall_at_10_3q_mean": pq_recall_mq,
                     "hnm_ivf_pos_agree": hnm_pos_agree,
                     "hnm_ivf_neg_agree": hnm_neg_agree,
+                    "hnm_scaled_pos_agree": hnms_pos_agree,
+                    "hnm_scaled_neg_agree": hnms_neg_agree,
                 },
                 "warm_total_r1_set": round(
                     sum(warm[n] for n in R1_SET if n in warm), 3

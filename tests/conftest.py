@@ -31,3 +31,22 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture()
+def shuffle4(spark):
+    """Multi-partition shuffle for the global-order operator tests.
+
+    ADVICE r7: the session default shuffle_partitions=1 (suite-wall
+    device) means global_rank / global_running_sum / global_ntile —
+    which derive their range-partition count from this conf — would
+    run single-partition everywhere, leaving their cross-partition
+    offset/prefix-sum machinery (the code they exist for) untested
+    between driver rounds.  The dedicated operator tests take this
+    fixture so that machinery keeps per-commit CI at 4 partitions."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -258,10 +258,12 @@ def test_all_catalog_plans_stay_jvm_side():
 
     Reads PLAN_AUDIT.json instead of re-explaining all 300+ plans
     live (which cost 94 s of every suite run — VERDICT r6 item 8):
-    the audit is regenerated by `tools/presnapshot.py --fix` before
-    every snapshot commit, test_plan_audit_covers_catalog pins its
-    name set to the catalog exactly, and explain_audit.py counts the
-    same markers this test used to grep (BatchEvalPython and
+    `tools/presnapshot.py --fix` regenerates the artifact whenever the
+    query-name set OR the plan-shaping source hash drifts (the
+    source_sha field — ADVICE r7 closed the edit-an-existing-query
+    staleness gap), test_plan_audit_artifact_covers_whole_catalog pins
+    its name set to the catalog exactly, and explain_audit.py counts
+    the same markers this test used to grep (BatchEvalPython and
     CartesianProduct included)."""
     import json
     import pathlib
@@ -355,6 +357,71 @@ def test_plan_audit_artifact_covers_whole_catalog():
         n for n, p in audit["plans"].items() if "error" in p
     )
     assert not errored, f"explain failed for: {errored}"
+
+
+def test_no_single_partition_windows():
+    """VERDICT r7 item 3's mechanical bar: an ordered window with an
+    EMPTY partition spec (``global_order_windows`` in PLAN_AUDIT,
+    counted from windowspecdefinition args) forces an Exchange
+    SinglePartition and sorts its whole frame on ONE task.
+    word_burstiness_audit had this over a vocabulary-sized frame and
+    was rewritten to ``orderBy().limit()`` (TakeOrderedAndProject).
+
+    The guard is a RATCHET, not a blanket ban: global-order windows
+    over frames BOUNDED by construction are a legitimate device the
+    catalog uses deliberately (per-day grids ≤ a few thousand rows,
+    distinct-value rank maps — see _spark_rank2's docstring, bucket
+    summaries like pareto_skyline's, per-cell shortlists).  Every
+    query below was audited bounded-frame at round-8 open; a NEW
+    query that introduces a global-order window fails here until its
+    frame-boundedness is reviewed and the name is added."""
+    import json
+    import pathlib
+
+    BOUNDED_FRAME_AUDITED = {
+        # rank maps on distinct values / tie-averaged rank machinery
+        "spearman_rho", "kruskal_wallis", "auc_mann_whitney",
+        "ks_two_sample", "logrank_test", "runs_test", "grubbs_outlier",
+        "winsorized_mean_revenue", "emd_drift_audit", "chow_break_test",
+        "best_split_finder", "isotonic_calibration",
+        # per-day / per-period grids (calendar-bounded)
+        "yoy_growth", "ewma_daily_revenue", "acf_daily_revenue",
+        "holt_linear_forecast", "stl_decomposition_lite",
+        "cusum_changepoints", "max_concurrent_orders", "late_data_audit",
+        "conversion_hazard", "kaplan_meier", "nelson_aalen_hazard",
+        "mase_forecast_audit", "interim_analysis_audit",
+        # bounded statistic / summary tables
+        "holm_bonferroni", "fdr_bh_audit", "neyman_allocation",
+        "score_calibration", "brier_decomposition", "qini_uplift",
+        "equidepth_histogram", "psi_drift_audit", "heaps_law_fit",
+        "zipf_slope_audit", "heavy_hitters_audit", "pinball_quantile_eval",
+        "pareto_frontier", "pareto_skyline", "rfm_segments",
+        "lang_profile_score", "t_closeness_audit", "chi_square_independence",
+        "ipf_raking_weights", "shapley_attribution", "blocking_recall_audit",
+        "sorted_neighborhood_pairs", "decayed_topk",
+        # per-query ANN shortlists (k-bounded) / layout keys
+        "ivf_search", "ivf_kmeans_search", "ivfpq_search",
+        "ivfpq_residual_search", "rrf_hybrid_search", "ann_ndcg_audit",
+        "zorder_layout", "zonemap_skip_audit", "surrogate_returning",
+        "source_top_terms", "temperature_mixture_sample", "region_share",
+        "last_touch_attribution",
+    }
+    audit = json.loads(
+        (pathlib.Path(__file__).parent.parent / "PLAN_AUDIT.json").read_text()
+    )
+    offenders = sorted(
+        n
+        for n, p in audit["plans"].items()
+        if "error" not in p
+        and n not in BOUNDED_FRAME_AUDITED
+        and p.get("global_order_windows", 0) > 0
+    )
+    assert not offenders, (
+        f"NEW global-order windows (sort the whole frame on ONE task): "
+        f"{offenders} — use orderBy().limit() / partitionBy / the "
+        f"operators/order.py range-partitioned devices, or document "
+        f"frame-boundedness and add to BOUNDED_FRAME_AUDITED"
+    )
 
 
 def test_queries_md_index_is_fresh():

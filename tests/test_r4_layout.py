@@ -118,9 +118,11 @@ def test_zorder_prunes_where_linear_sort_cannot(spark, sf_dir):
     assert z_scanned <= x_scanned, (z_scanned, x_scanned)
 
 
-def test_global_ntile_matches_window_ntile(spark):
+def test_global_ntile_matches_window_ntile(shuffle4, spark):
     """operators/order.py global_ntile must equal ntile() OVER for
-    divisible and non-divisible totals, under any input order."""
+    divisible and non-divisible totals, under any input order.  Runs
+    at 4 shuffle partitions (shuffle4 fixture) so the cross-partition
+    boundary math is the path under test."""
     from beacon_data_importer_spark.operators.order import global_ntile
     from pyspark.sql import Window
 

@@ -12,9 +12,11 @@ from beacon_data_importer_spark.catalog import EXTRA_QUERIES, QUERIES
 ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 
-def test_global_rank_is_the_exact_permutation(spark, sf_dir):
+def test_global_rank_is_the_exact_permutation(shuffle4, spark, sf_dir):
     """global_rank must equal row_number() over the same total order —
-    a contiguous 1..n permutation in sorted-key order."""
+    a contiguous 1..n permutation in sorted-key order.  Runs at 4
+    shuffle partitions (shuffle4 fixture) so the cross-partition
+    offset path is the one under test."""
     from beacon_data_importer_spark.operators.order import global_rank
     from beacon_data_importer_spark.sources.parquet import read_table
 

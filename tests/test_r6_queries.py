@@ -21,9 +21,11 @@ def _q(name):
     return {**cat.QUERIES, **cat.EXTRA_QUERIES}[name]
 
 
-def test_global_running_sum_matches_single_task_window(spark, sf_dir):
+def test_global_running_sum_matches_single_task_window(shuffle4, spark, sf_dir):
     """The distributed prefix sum must equal the textbook global window
-    on a frame small enough to run both."""
+    on a frame small enough to run both.  Runs at 4 shuffle partitions
+    (shuffle4 fixture) so the cross-partition prefix-offset path is the
+    one under test."""
     from beacon_data_importer_spark.operators.order import global_running_sum
 
     df = (

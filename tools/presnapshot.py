@@ -48,15 +48,27 @@ def main() -> int:
     names = set(entry.queries())
     problems: list[str] = []
 
-    # 1. plan-audit key-set equality
+    # 1. plan-audit freshness: key set == catalog AND the stored
+    # source hash matches the current plan-shaping sources.  The hash
+    # check closes ADVICE r7's gap: a regression edited into an
+    # EXISTING query leaves the key set unchanged, but its source
+    # content (and therefore the sha) drifts, forcing a regen.
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from explain_audit import source_sha
+
     with open("PLAN_AUDIT.json") as f:
-        plans = set(json.load(f)["plans"])
+        audit = json.load(f)
+    plans = set(audit["plans"])
+    drift_msgs = []
     if plans != names:
-        missing = sorted(names - plans)
-        stale = sorted(plans - names)
-        problems.append(
-            f"PLAN_AUDIT.json drift: missing={missing} stale={stale}"
+        drift_msgs.append(
+            f"key drift: missing={sorted(names - plans)}"
+            f" stale={sorted(plans - names)}"
         )
+    if audit.get("source_sha") != source_sha():
+        drift_msgs.append("source drift: plan-shaping .py changed since audit")
+    if drift_msgs:
+        problems.append("PLAN_AUDIT.json drift: " + "; ".join(drift_msgs))
         if fix:
             sf = os.environ.get("SPARK_GRAFT_AUDIT_SF", "/root/testdata/sf0.01")
             with open("PLAN_AUDIT.json", "w") as out:
