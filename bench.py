@@ -502,6 +502,21 @@ HEADLINE += [
     "markov_removal_attribution",
 ]
 
+# Round-8's FULL headline set (339 queries — the whole catalog at the
+# round-8 open = R7_SET + the 29 post-freeze round-7 additions),
+# frozen for round-9+ per-query deltas (VERDICT r7 item 1).
+R8_SET = list(HEADLINE)
+
+# Post-freeze round-8 additions (kept out of R8_SET so its cross-round
+# deltas stay comparable; they still run and report per-query times).
+HEADLINE += [
+    # scale-posture closures (catalog_r8): capped caliper twin +
+    # ratio-scaled hard-negative miner and its recall audit
+    "propensity_caliper_match_capped",
+    "hard_negative_mining_ivf_scaled",
+    "hard_negative_scaled_recall_audit",
+]
+
 
 def _bench_set(all_queries: dict) -> list[str]:
     """SPARK_GRAFT_BENCH_SET=full widens the run to EVERY catalog query
@@ -792,6 +807,9 @@ def main() -> None:
                 ),
                 "warm_total_r7_set": round(
                     sum(warm[n] for n in R7_SET if n in warm), 3
+                ),
+                "warm_total_r8_set": round(
+                    sum(warm[n] for n in R8_SET if n in warm), 3
                 ),
                 "warm_total": round(sum(warm.values()), 3),
                 "n_queries": len(warm),

@@ -871,3 +871,63 @@ def test_streaming_hll_state_equals_batch_sketch(spark, sf_dir, tmp_path):
         for r in current_estimates(spark, target).collect()
     }
     assert after == before
+
+
+def test_streaming_theta_state_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """streaming/sketches.py round-8 theta path: per-type distinct-user
+    THETA state maintained across real micro-batches must estimate
+    exactly what one batch sketch pass estimates (theta union is
+    associative/commutative over the retained-hash sets), and the
+    set-algebra surface (theta_overlap) must agree between the
+    streamed state and the batch sketches — the capability that
+    justifies theta next to HLL."""
+    from beacon_data_importer_spark.streaming.sketches import (
+        batch_type_theta_sketches,
+        current_theta_estimates,
+        theta_estimates,
+        theta_overlap,
+    )
+    from beacon_data_importer_spark.streaming.sketches import (
+        streaming_distinct_users_theta,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "theta_src")
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "theta_state")
+    streaming_distinct_users_theta(stream, target)
+
+    got = {
+        r.event_type: r.n_distinct_est
+        for r in current_theta_estimates(spark, target).collect()
+    }
+    want = {
+        r.event_type: r.n_distinct_est
+        for r in theta_estimates(
+            batch_type_theta_sketches(events)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # the set-algebra surface: streamed state and batch sketches must
+    # produce identical overlap rows
+    import os as _os
+
+    versions = sorted(
+        d for d in _os.listdir(target) if d.startswith("v")
+        and _os.path.isfile(_os.path.join(target, d, "_SUCCESS"))
+    )
+    streamed = spark.read.parquet(_os.path.join(target, versions[-1]))
+    ov_stream = theta_overlap(streamed, "view", "purchase").collect()[0]
+    ov_batch = theta_overlap(
+        batch_type_theta_sketches(events), "view", "purchase"
+    ).collect()[0]
+    assert ov_stream.asDict() == ov_batch.asDict()
+    # sanity: algebra is internally consistent on exact-mode sketches
+    assert ov_stream.union_est >= max(ov_stream.a_est, ov_stream.b_est)
+    assert ov_stream.overlap_est <= min(ov_stream.a_est, ov_stream.b_est)
