@@ -82,7 +82,8 @@ def _tukey_sql(dialect: str) -> str:
              AS {big}) AS ssw
       FROM g
     )
-    SELECT a.grp AS region_a, b.grp AS region_b,
+    SELECT {"/*+ BROADCAST(b), BROADCAST(w) */" if spark else ""}
+      a.grp AS region_a, b.grp AS region_b,
       a.n AS n_a, b.n AS n_b,
       CAST((a.s * 1000000){div}a.n - (b.s * 1000000){div}b.n AS BIGINT)
         AS mean_diff_e6,

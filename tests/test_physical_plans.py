@@ -382,11 +382,15 @@ def test_no_single_partition_windows():
         # rank maps on distinct values / tie-averaged rank machinery
         "spearman_rho", "kruskal_wallis", "auc_mann_whitney",
         "ks_two_sample", "logrank_test", "runs_test", "grubbs_outlier",
+        # r8c: cumsum over DISTINCT $1000-buckets (price-range-bounded)
+        # and over DISTINCT latency days (calendar-bounded ~120 rows)
+        "mood_median_test", "weibull_survival_fit",
         "winsorized_mean_revenue", "emd_drift_audit", "chow_break_test",
         "best_split_finder", "isotonic_calibration",
         # per-day / per-period grids (calendar-bounded)
         "yoy_growth", "ewma_daily_revenue", "acf_daily_revenue",
-        "holt_linear_forecast", "stl_decomposition_lite",
+        "holt_linear_forecast", "holt_winters_seasonal",
+        "stl_decomposition_lite",
         "cusum_changepoints", "max_concurrent_orders", "late_data_audit",
         "conversion_hazard", "kaplan_meier", "nelson_aalen_hazard",
         "mase_forecast_audit", "interim_analysis_audit",
