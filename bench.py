@@ -515,6 +515,23 @@ HEADLINE += [
     "propensity_caliper_match_capped",
     "hard_negative_mining_ivf_scaled",
     "hard_negative_scaled_recall_audit",
+    # tier 2 (catalog_r8b): seasonal recursion + theta-sketch batch twin
+    "holt_winters_seasonal",
+    "event_type_theta_overlap",
+    # tier 3 (catalog_r8c): post-hoc / location / trend / dispersion /
+    # parametric-survival statistics
+    "tukey_hsd",
+    "mood_median_test",
+    "cochran_armitage_trend",
+    "negative_binomial_overdispersion",
+    "weibull_survival_fit",
+    # tier 4 (catalog_r8d): regression diagnostics, serial correlation,
+    # ordered trend, semi-parametric survival
+    "cox_ph_binary",
+    "ljung_box_test",
+    "durbin_watson_test",
+    "breusch_pagan_test",
+    "jonckheere_terpstra",
 ]
 
 
