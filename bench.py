@@ -532,6 +532,13 @@ HEADLINE += [
     "durbin_watson_test",
     "breusch_pagan_test",
     "jonckheere_terpstra",
+    # tier 5 (catalog_r8e): compressed-vector retrieval, JL sketching,
+    # Bayesian A/B, randomized response
+    "binary_quantize_search",
+    "binary_rerank_recall_audit",
+    "jl_projection_recall_audit",
+    "bayes_ab_prob_superiority",
+    "rappor_freq_estimate",
 ]
 
 
