@@ -539,6 +539,13 @@ HEADLINE += [
     "jl_projection_recall_audit",
     "bayes_ab_prob_superiority",
     "rappor_freq_estimate",
+    # tier 6 (catalog_r8f): corpus LM scoring, rank changepoint,
+    # intermittent demand, normality, ordered repeated measures
+    "bigram_lm_perplexity",
+    "pettitt_changepoint",
+    "croston_intermittent",
+    "jarque_bera_test",
+    "page_trend_test",
 ]
 
 

@@ -391,6 +391,9 @@ def test_no_single_partition_windows():
         "yoy_growth", "ewma_daily_revenue", "acf_daily_revenue",
         "holt_linear_forecast", "holt_winters_seasonal",
         "stl_decomposition_lite",
+        # r8f: U_t cumsum over calendar days + midranks over the
+        # distinct daily-revenue values (both calendar-bounded)
+        "pettitt_changepoint",
         "cusum_changepoints", "max_concurrent_orders", "late_data_audit",
         "conversion_hazard", "kaplan_meier", "nelson_aalen_hazard",
         "mase_forecast_audit", "interim_analysis_audit",
