@@ -546,6 +546,14 @@ HEADLINE += [
     "croston_intermittent",
     "jarque_bera_test",
     "page_trend_test",
+    # tier 7 (catalog_r8g): link analysis, rank post-hocs, dispersion,
+    # seasonal trend, influence, forecast skill
+    "hits_hub_authority",
+    "dunn_posthoc",
+    "ansari_bradley",
+    "seasonal_mk_trend",
+    "cooks_distance_outliers",
+    "theil_u2_forecast_audit",
 ]
 
 

@@ -385,6 +385,8 @@ def test_no_single_partition_windows():
         # r8c: cumsum over DISTINCT $1000-buckets (price-range-bounded)
         # and over DISTINCT latency days (calendar-bounded ~120 rows)
         "mood_median_test", "weibull_survival_fit",
+        # r8g: midrank maps over DISTINCT $10-bucket frames
+        "dunn_posthoc", "ansari_bradley",
         "winsorized_mean_revenue", "emd_drift_audit", "chow_break_test",
         "best_split_finder", "isotonic_calibration",
         # per-day / per-period grids (calendar-bounded)
