@@ -554,6 +554,12 @@ HEADLINE += [
     "seasonal_mk_trend",
     "cooks_distance_outliers",
     "theil_u2_forecast_audit",
+    # tier 8 (catalog_r8h): post-slot extras, round-9 promotion pool
+    "mmr_diversified_rerank",
+    "fisher_exact_2x2",
+    "hurst_exponent",
+    "partial_correlation_triples",
+    "bartlett_test",
 ]
 
 

@@ -396,6 +396,9 @@ def test_no_single_partition_windows():
         # r8f: U_t cumsum over calendar days + midranks over the
         # distinct daily-revenue values (both calendar-bounded)
         "pettitt_changepoint",
+        # r8h: row_number index over the calendar-day frame feeding
+        # the R/S block grid
+        "hurst_exponent",
         "cusum_changepoints", "max_concurrent_orders", "late_data_audit",
         "conversion_hazard", "kaplan_meier", "nelson_aalen_hazard",
         "mase_forecast_audit", "interim_analysis_audit",
