@@ -560,6 +560,12 @@ HEADLINE += [
     "hurst_exponent",
     "partial_correlation_triples",
     "bartlett_test",
+    # tier 9 (catalog_r8i): stratified/panel categorical tests,
+    # stationarity, PACF
+    "cochran_q_test",
+    "mantel_haenszel_cmh",
+    "kpss_stationarity",
+    "pacf_durbin_levinson",
 ]
 
 

@@ -399,6 +399,8 @@ def test_no_single_partition_windows():
         # r8h: row_number index over the calendar-day frame feeding
         # the R/S block grid
         "hurst_exponent",
+        # r8i: KPSS partial-sum cumsum over the calendar-day frame
+        "kpss_stationarity",
         "cusum_changepoints", "max_concurrent_orders", "late_data_audit",
         "conversion_hazard", "kaplan_meier", "nelson_aalen_hazard",
         "mase_forecast_audit", "interim_analysis_audit",
