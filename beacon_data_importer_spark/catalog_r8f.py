@@ -85,9 +85,9 @@ def _lm_sql(dialect: str) -> str:
             "CAST(floor(1000000 * ln((u.c1 + v.v)::DOUBLE"
             " / (bc.cb + 1)::DOUBLE)) AS BIGINT)"
         )
-    return f"""
-    WITH tok AS (SELECT doc_id, {words} AS ws FROM documents),
-    barr AS (SELECT doc_id, {bigs} AS bgs FROM tok),
+    tok_sql = f"SELECT doc_id, {words} AS ws FROM documents"
+    rest = f"""
+    WITH barr AS (SELECT doc_id, {bigs} AS bgs FROM tok),
     big AS ({explode_b}),
     bc AS (
       SELECT split_part(bg, ' ', 1) AS w1, bg,
@@ -110,12 +110,20 @@ def _lm_sql(dialect: str) -> str:
       nll_e6{div}n_bigrams AS avg_nll_e6
     FROM scored
     """
+    return tok_sql, rest
+
+
+_LM_DUCK_TOK, _LM_DUCK_REST = _lm_sql("duck")
 
 
 @query(
     "bigram_lm_perplexity",
     registered=True,  # round-8 slot: new this round
-    oracle=_lm_sql("duck"),
+    oracle=_LM_DUCK_REST.replace(
+        "WITH barr AS (",
+        f"WITH tok AS ({_LM_DUCK_TOK}),\n    barr AS (",
+        1,
+    ),
 )
 def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document negative log-likelihood under an add-one-smoothed
@@ -135,7 +143,22 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog_ext import _docs_parallel
 
     _docs_parallel(spark, sf_dir).createOrReplaceTempView("documents")
-    return spark.sql(_lm_sql("spark"))
+    tok_sql, rest = _lm_sql("spark")
+    # The token-array frame feeds the bigram stream TWICE (LM training
+    # groupBys + per-doc scoring join) and the vocab count once: left
+    # as a CTE, Catalyst re-inlines it and the regex tokenization runs
+    # 3× (measured 14 s warm at sf0.1 → ~5 s cached).  Cache the
+    # previous call's handle out first so back-to-back runs don't
+    # stack storage.
+    global _LM_TOK_CACHE
+    if _LM_TOK_CACHE is not None:
+        _LM_TOK_CACHE.unpersist()
+    _LM_TOK_CACHE = spark.sql(tok_sql).persist()
+    _LM_TOK_CACHE.createOrReplaceTempView("tok")
+    return spark.sql(rest)
+
+
+_LM_TOK_CACHE = None
 
 
 # ---------------------------------------------------------------------------
