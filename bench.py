@@ -566,6 +566,13 @@ HEADLINE += [
     "mantel_haenszel_cmh",
     "kpss_stationarity",
     "pacf_durbin_levinson",
+    # tier 10 (catalog_r8j): literal-table spectral audit,
+    # distribution-free median CI
+    "seasonal_periodogram_audit",
+    "median_ci_order_stat",
+    # tier 11 (catalog_r8k + streaming/topk.py): Misra-Gries
+    # mergeable-summary algebra, streaming twin in test_streaming
+    "heavy_hitters_merge_audit",
 ]
 
 

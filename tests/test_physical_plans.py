@@ -401,6 +401,8 @@ def test_no_single_partition_windows():
         "hurst_exponent",
         # r8i: KPSS partial-sum cumsum over the calendar-day frame
         "kpss_stationarity",
+        # r8j: cumulative histogram over the DISTINCT $10-bucket frame
+        "median_ci_order_stat",
         "cusum_changepoints", "max_concurrent_orders", "late_data_audit",
         "conversion_hazard", "kaplan_meier", "nelson_aalen_hazard",
         "mase_forecast_audit", "interim_analysis_audit",

@@ -931,3 +931,77 @@ def test_streaming_theta_state_equals_batch_sketch(spark, sf_dir, tmp_path):
     # sanity: algebra is internally consistent on exact-mode sketches
     assert ov_stream.union_est >= max(ov_stream.a_est, ov_stream.b_est)
     assert ov_stream.overlap_est <= min(ov_stream.a_est, ov_stream.b_est)
+
+
+def test_mg_state_contract_equals_catalog_fold(spark, sf_dir, tmp_path):
+    """streaming/topk.py round-8 Misra-Gries path, part 1: driving the
+    foreachBatch contract (merge_batch_mg at batch ids 0..3) over the
+    SAME event_id%4 slice sequence the catalog query folds must yield
+    the IDENTICAL summary — stream == fold over the same sequence is
+    the strongest true claim for an order-dependent mergeable summary
+    (the docstring states why stream == one-pass is not asserted)."""
+    import pyspark.sql.functions as F
+
+    from beacon_data_importer_spark.streaming.topk import (
+        current_heavy_hitters,
+        merge_batch_mg,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    target = str(tmp_path / "mg_state")
+    for i in range(4):
+        merge_batch_mg(
+            spark, events.filter(F.col("event_id") % 4 == i), i, target
+        )
+    got = {
+        (r.user_id, r.cnt_lo, r.cnt_hi)
+        for r in current_heavy_hitters(spark, target).collect()
+    }
+    import __spark_entry__ as entry
+
+    want = {
+        (r.user_id, r.cnt_lo, r.cnt_hi)
+        for r in entry.queries()["heavy_hitters_merge_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_mg_streaming_bound_holds_and_state_is_k_bounded(
+    spark, sf_dir, tmp_path
+):
+    """streaming/topk.py part 2: a REAL availableNow stream (4-file
+    source, maxFilesPerTrigger=1) maintains a ≤ K-row snapshot whose
+    MG bound cnt_lo ≤ true ≤ cnt_hi holds for every surviving item —
+    the order-free guarantees, asserted without assuming file order."""
+    from beacon_data_importer_spark.streaming.topk import (
+        K,
+        current_heavy_hitters,
+        streaming_heavy_hitters,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "mg_src")
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "mg_hh")
+    streaming_heavy_hitters(stream, target)
+
+    import pyspark.sql.functions as F
+
+    hh = current_heavy_hitters(spark, target)
+    rows = hh.collect()
+    assert 0 < len(rows) <= K
+    exact = {
+        r.user_id: r.true_cnt
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert r.cnt_lo <= exact[r.user_id] <= r.cnt_hi
