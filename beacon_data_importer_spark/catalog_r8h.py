@@ -166,12 +166,13 @@ def q_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: relevance is the brute query-broadcast scan (bounded query
     set); everything after runs on Q×20 shortlist rows and their Q×380
-    pairwise sims — the Spark side materializes BOTH once (persist +
-    local collect of per-query-bounded frames would also work, but the
-    frames scale with Q, so they are cached, not collected); the
-    greedy unroll would otherwise re-inline the shortlist subtree
-    2× per step (the hits_hub_authority lesson)."""
-    from pyspark.sql import functions as F  # noqa: F401
+    pairwise sims — the Spark side materializes BOTH once (persist),
+    and each greedy pick is materialized as Q output-class rows before
+    the next step sees it: the single-statement unroll re-inlines the
+    sel chain 2× per step (2⁴ copies of the windowed stages — measured
+    15 s warm at sf0.1 vs ~2 s materialized; the hits_hub_authority
+    lesson, step-level this time)."""
+    from pyspark.sql import functions as F
 
     _views(spark, sf_dir, "embeddings")
     sl, ps = _mmr_base_sql("spark")
@@ -179,12 +180,61 @@ def q_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     short.createOrReplaceTempView("short")
     psim = spark.sql(ps).persist()
     psim.createOrReplaceTempView("psim")
-    out = spark.sql(_mmr_steps_sql("spark"))
-    # materialize while the caches are alive, then release them
-    rows = out.collect()
+    lam = _MMR_LAMBDA10
+
+    picked = [
+        (r.query_id, 1, r.vec_id, (lam * r.rel_e6) // 10)
+        for r in spark.sql(
+            """
+            SELECT query_id, vec_id, rel_e6 FROM (
+              SELECT query_id, vec_id, rel_e6,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rel_e6 DESC, vec_id) AS rn
+              FROM short) s WHERE rn = 1
+            """
+        ).collect()
+    ]
+    for step in range(2, _MMR_PICKS + 1):
+        spark.createDataFrame(
+            [(q, v) for q, _, v, _ in picked],
+            "query_id bigint, vec_id bigint",
+        ).createOrReplaceTempView("sel")
+        picks = spark.sql(
+            f"""
+            SELECT query_id, vec_id,
+              CAST(({lam} * rel_e6 - {10 - lam} * maxsim_e6) div 10
+                   AS BIGINT) AS sc
+            FROM (
+              SELECT c.query_id, c.vec_id, c.rel_e6, c.maxsim_e6,
+                row_number() OVER (PARTITION BY c.query_id
+                  ORDER BY ({lam} * c.rel_e6
+                            - {10 - lam} * c.maxsim_e6) div 10 DESC,
+                           c.vec_id) AS rn
+              FROM (
+                SELECT s.query_id, s.vec_id, s.rel_e6,
+                  max(p.sim_e6) AS maxsim_e6
+                FROM short s
+                JOIN psim p ON p.query_id = s.query_id
+                  AND p.id_a = s.vec_id
+                JOIN sel l ON l.query_id = s.query_id
+                  AND l.vec_id = p.id_b
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM sel x
+                  WHERE x.query_id = s.query_id
+                    AND x.vec_id = s.vec_id)
+                GROUP BY s.query_id, s.vec_id, s.rel_e6
+              ) c
+            ) r WHERE rn = 1
+            """
+        ).collect()
+        picked += [(r.query_id, step, r.vec_id, r.sc) for r in picks]
     short.unpersist()
     psim.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return spark.createDataFrame(
+        picked,
+        "query_id bigint, pick_rank bigint, neighbor_id bigint,"
+        " mmr_score_e6 bigint",
+    )
 
 
 # ---------------------------------------------------------------------------
