@@ -573,6 +573,9 @@ HEADLINE += [
     # tier 11 (catalog_r8k + streaming/topk.py): Misra-Gries
     # mergeable-summary algebra, streaming twin in test_streaming
     "heavy_hitters_merge_audit",
+    # tier 12 (catalog_r8l): proportion interval + sequential testing
+    "wilson_score_interval",
+    "sprt_boundary_crossing",
 ]
 
 

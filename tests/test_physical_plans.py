@@ -403,6 +403,8 @@ def test_no_single_partition_windows():
         "kpss_stationarity",
         # r8j: cumulative histogram over the DISTINCT $10-bucket frame
         "median_ci_order_stat",
+        # r8l: LLR cumulative walk over the calendar-day frame
+        "sprt_boundary_crossing",
         "cusum_changepoints", "max_concurrent_orders", "late_data_audit",
         "conversion_hazard", "kaplan_meier", "nelson_aalen_hazard",
         "mase_forecast_audit", "interim_analysis_audit",
