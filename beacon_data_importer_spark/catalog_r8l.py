@@ -187,3 +187,119 @@ def q_sprt_boundary_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over it (BOUNDED_FRAME_AUDITED class), two LIMIT-1 picks."""
     _views(spark, sf_dir, "orders")
     return spark.sql(_sprt_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# breslow_day_homogeneity
+# ---------------------------------------------------------------------------
+
+#: floor(1e6 · χ²(df=4, α=0.05)) — 5 strata ⇒ df 4
+_BD_CHI2_DF4_E6 = 9_487_729
+
+
+def _bd_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    big = "DECIMAL(38,0)" if spark else "HUGEINT"
+    div = " div " if spark else " // "
+    return f"""
+    WITH o AS (
+      SELECT r.r_name AS stratum,
+        CASE WHEN ord.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x,
+        CASE WHEN CAST(round(ord.o_totalprice * 100) AS BIGINT)
+             > 30000000 THEN 1 ELSE 0 END AS y
+      FROM orders ord
+      JOIN customer c ON c.c_custkey = ord.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    s AS (
+      SELECT stratum,
+        CAST(sum(x * y) AS BIGINT) AS a,
+        CAST(sum(x * (1 - y)) AS BIGINT) AS b,
+        CAST(sum((1 - x) * y) AS BIGINT) AS c,
+        CAST(sum((1 - x) * (1 - y)) AS BIGINT) AS d,
+        CAST(count(*) AS BIGINT) AS n
+      FROM o GROUP BY stratum
+    ),
+    mh AS (
+      SELECT
+        CAST(sum((CAST(a AS {big}) * d * 1000000){div}n) AS {big})
+          AS num_e6,
+        CAST(sum((CAST(b AS {big}) * c * 1000000){div}n) AS {big})
+          AS den_e6
+      FROM s
+    ),
+    -- ψ as a double from the two exact integer sums (one division)
+    psi AS (
+      SELECT CAST(num_e6 AS DOUBLE) / CAST(den_e6 AS DOUBLE) AS p
+      FROM mh
+    ),
+    -- per-stratum expected count ã under common ψ: the in-range root
+    -- of (1−ψ)ã² + (n−r1−c1+ψ(r1+c1))ã − ψ·r1·c1 = 0; every input to
+    -- the quadratic is an exact integer margin, the ops run in a
+    -- fixed order, sqrt is correctly rounded — doubles match bitwise
+    q AS (
+      SELECT s.stratum, s.a, s.n,
+        CAST(s.a + s.b AS DOUBLE) AS r1, CAST(s.a + s.c AS DOUBLE) AS c1,
+        CAST(s.n AS DOUBLE) AS nn, psi.p AS p
+      FROM s CROSS JOIN psi
+    ),
+    roots AS (
+      SELECT stratum, a, n, r1, c1, nn, p,
+        (1 - p) AS qa,
+        (nn - r1 - c1 + p * (r1 + c1)) AS qb,
+        (-p * r1 * c1) AS qc
+      FROM q
+    ),
+    atil AS (
+      SELECT stratum, a, r1, c1, nn,
+        CASE
+          WHEN abs(qa) < 1e-12 THEN -qc / qb
+          WHEN ((-qb + sqrt(qb * qb - 4 * qa * qc)) / (2 * qa))
+               BETWEEN CASE WHEN r1 + c1 - nn > 0
+                        THEN r1 + c1 - nn ELSE 0 END
+               AND CASE WHEN r1 < c1 THEN r1 ELSE c1 END
+          THEN (-qb + sqrt(qb * qb - 4 * qa * qc)) / (2 * qa)
+          ELSE (-qb - sqrt(qb * qb - 4 * qa * qc)) / (2 * qa)
+        END AS at
+      FROM roots
+    ),
+    terms AS (
+      SELECT stratum,
+        -- per-stratum χ² contribution floored to ppm BEFORE the sum
+        -- (a 5-double sum would be partition-order-dependent)
+        CAST(floor(1000000 * (CAST(a AS DOUBLE) - at)
+                   * (CAST(a AS DOUBLE) - at)
+          * (1/at + 1/(r1 - at) + 1/(c1 - at)
+             + 1/(nn - r1 - c1 + at))) AS BIGINT) AS t_e6
+      FROM atil
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      CAST((SELECT (num_e6 * 1000000){div}den_e6 FROM mh) AS BIGINT)
+        AS or_mh_ppm,
+      CAST(sum(t_e6) AS BIGINT) AS bd_chi2_ppm,
+      sum(t_e6) <= {_BD_CHI2_DF4_E6} AS or_homogeneous
+    FROM terms
+    """
+
+
+@query(
+    "breslow_day_homogeneity",
+    registered=False,  # post-slot round-8 extra (round-9 promotion)
+    oracle=_bd_sql("duck"),
+)
+def q_breslow_day_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breslow-Day homogeneity test for the stratified odds ratios:
+    BEFORE trusting ``mantel_haenszel_cmh``'s common OR, check the
+    strata actually share one — per stratum, the expected cell ã under
+    the common ψ is the in-range root of the Breslow-Day quadratic
+    (every coefficient an exact integer margin, one correctly-rounded
+    sqrt, fixed op order), the χ² contribution (a−ã)²·(1/ã + 1/(r₁−ã)
+    + 1/(c₁−ã) + 1/(d̃)) is floored to ppm PER STRATUM (distributed
+    double sums are order-dependent; integer sums are not), and the
+    total gates on χ²₄.
+
+    Scale: one aggregation to 5 stratum rows behind broadcast dim
+    joins; the quadratic/χ² stage is 5-row arithmetic."""
+    _views(spark, sf_dir, "orders", "customer", "nation", "region")
+    return spark.sql(_bd_sql("spark"))

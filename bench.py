@@ -574,8 +574,10 @@ HEADLINE += [
     # mergeable-summary algebra, streaming twin in test_streaming
     "heavy_hitters_merge_audit",
     # tier 12 (catalog_r8l): proportion interval + sequential testing
+    # + the homogeneity gate for the MH common OR
     "wilson_score_interval",
     "sprt_boundary_crossing",
+    "breslow_day_homogeneity",
 ]
 
 

@@ -43,3 +43,16 @@ def test_sprt_decision_is_consistent_with_the_walk(spark):
     else:
         assert r.lower_e6 < r.llr_e6 < r.upper_e6
         assert r.decision_day >= r.n_days - 1  # last observed day
+
+
+def test_breslow_day_consistency_with_mh(spark):
+    rows = entry.queries()["breslow_day_homogeneity"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_strata == 5
+    assert r.or_mh_ppm > 0
+    assert r.bd_chi2_ppm >= 0
+    assert r.or_homogeneous == (r.bd_chi2_ppm <= 9_487_729)
+    # the common OR this audit gates must equal mantel_haenszel_cmh's
+    (mh,) = entry.queries()["mantel_haenszel_cmh"](spark, SF).collect()
+    assert r.or_mh_ppm == mh.or_mh_ppm
