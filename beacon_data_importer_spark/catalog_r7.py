@@ -280,6 +280,12 @@ def q_hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query are bounded by nprobe × cell population; with √n-scaled
     nlist (tools/ann_scale_probe.py) that bound is ~nprobe·√n.
 
+    DEMO CONFIG — fixed nprobe=2 here measures 0.36/0.38 pos/neg
+    agreement vs exact truth (PERF.md r8).  The PRODUCTION default is
+    ``hard_negative_mining_ivf_scaled`` (catalog_r8.py), which holds
+    nprobe as a RATIO of nlist and measures 0.96/0.96; this fixed-count
+    form stays registered as the doctrine's counterexample.
+
     Misses relative to the exact truth (a true positive/negative living
     outside the probed cells) are the measured subject of
     ``hard_negative_recall_audit`` — approximation with a recorded

@@ -389,7 +389,7 @@ def _hurst_sql(dialect: str) -> str:
     ),
     rs AS (
       SELECT w, b,
-        CAST(floor(1000000 * (max(cd) - min(cd)) * sqrt(CAST(w AS DOUBLE))
+        CAST(floor(1000000 * (max(cd) - min(cd))
           / sqrt(CAST(max(q) * w - CAST(max(s) AS {big}) * max(s)
                       AS DOUBLE))) AS BIGINT) AS rs_e6
       FROM cum GROUP BY w, b
@@ -428,9 +428,13 @@ def _hurst_sql(dialect: str) -> str:
 def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hurst exponent of daily revenue by R/S analysis: for each
     dyadic window size w ∈ {16..128}, full blocks of w consecutive
-    days get their rescaled range R/S = range(cumdev)·√w/√(w·Σy²−S²)
-    (one sqrt per block — sqrt is IEEE correctly-rounded, and the
-    radicands are EXACT integers), floored to ppm PER BLOCK before the
+    days get their rescaled range R/S = range(cumdev)/√(w·Σy²−S²)
+    — range(cumdev) carries the cross-multiplied deviations w·y−S, so
+    it equals w·R, and √(w·Σy²−S²) = w·σ: the w factors cancel and the
+    quotient is the classic R/σ (a spurious extra √w here would bias
+    the ln-ln slope to H+½ — ADVICE r8, fixed at source).  One sqrt per
+    block — sqrt is IEEE correctly-rounded and the radicands are EXACT
+    integers — floored to ppm PER BLOCK before the
     cross-block mean (float accumulation across partitions is
     order-dependent; integer sums are not), then H = the exact-integer
     OLS slope of floored ln(mean R/S) on ln(w).

@@ -406,7 +406,8 @@ def _pacf_sql(dialect: str) -> str:
       FROM rk
     ),
     {chain}
-    SELECT lag, CAST(floor(1000000 * {phi_at}) AS BIGINT) AS pacf_e6
+    SELECT CAST(lag AS BIGINT) AS lag,
+      CAST(floor(1000000 * {phi_at}) AS BIGINT) AS pacf_e6
     FROM ({explode_out}) f
     """
 

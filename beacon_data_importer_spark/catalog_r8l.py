@@ -39,8 +39,9 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
 # wilson_score_interval
 # ---------------------------------------------------------------------------
 
-#: z²·1e6 at 95% two-sided (1.959964²)
-_Z2_E6 = 3_841_459
+#: z²·1e6 at 95% two-sided (1.959964²), floored — matches the
+#: floor(1e6·...) literal convention of catalog_r8d/r8g/r8i (ADVICE r8).
+_Z2_E6 = 3_841_458
 
 
 def _wilson_sql(dialect: str) -> str:
