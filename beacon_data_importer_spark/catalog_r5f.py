@@ -234,7 +234,7 @@ _BH_VALUES_SQL = ", ".join(f"({m}, {i}, {t})" for m, i, t in _BH_TABLE)
         ON b.m = r.m_tests AND b.i = r.p_rank
     )
     SELECT nationkey, n_a, c_a, n_b, c_b, z_abs_e6, p_rank, m_tests,
-           thr_e6,
+           CAST(thr_e6 AS BIGINT) AS thr_e6,
            CAST(CASE WHEN p_rank <= max(ok_i) OVER () THEN 1 ELSE 0 END
                 AS INT) AS rejected
     FROM flagged

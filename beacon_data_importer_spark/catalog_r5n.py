@@ -259,7 +259,7 @@ def q_interim_analysis_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_all = Window.partitionBy()  # ≤7-look frame: sanctioned
     looks = yearly.select(
-        F.col("yr").alias("look_year"),
+        F.col("yr").cast("bigint").alias("look_year"),
         F.sum("ya").over(w_cum).cast("bigint").alias("n_a"),
         F.sum("yca").over(w_cum).cast("bigint").alias("c_a"),
         F.sum("yb").over(w_cum).cast("bigint").alias("n_b"),

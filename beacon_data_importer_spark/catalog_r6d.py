@@ -270,7 +270,7 @@ def _pinball_duck() -> str:
       SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS y
       FROM orders WHERE o_orderdate >= DATE '{_PINBALL_CUTOFF}'
     )
-    SELECT p.q_ppm AS q_ppm,
+    SELECT CAST(p.q_ppm AS BIGINT) AS q_ppm,
            CAST(p.pred_c AS BIGINT) AS pred_c,
            CAST(count(*) AS BIGINT) AS n_post,
            CAST(sum(CASE WHEN post.y >= p.pred_c

@@ -217,7 +217,7 @@ def _bt_sql(dialect: str) -> str:
       ) t GROUP BY i
     ),
     r0 AS (SELECT nat, CAST(1000000 AS BIGINT) AS r FROM teams),{chain}
-    SELECT t.nat AS nation,
+    SELECT CAST(t.nat AS BIGINT) AS nation,
            t.wins,
            CAST(sum(g.games) AS BIGINT) AS games,
            rf.r AS rating_ppm
@@ -322,7 +322,7 @@ def q_bradley_terry_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
     r.createOrReplaceTempView("__bt_final")
     return spark.sql(
         """
-        SELECT t.nat AS nation, t.wins,
+        SELECT CAST(t.nat AS BIGINT) AS nation, t.wins,
                CAST(sum(g.games) AS BIGINT) AS games,
                rf.r AS rating_ppm
         FROM __bt_teams t

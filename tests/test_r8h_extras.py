@@ -29,8 +29,11 @@ def test_mmr_picks_are_distinct_and_scores_nonincreasing_after_first(spark):
         # candidate pool only shrinks and maxsim only grows.
         tail = [r.mmr_score_e6 for r in ranked[1:]]
         assert tail == sorted(tail, reverse=True)
-        # pick 1 is pure relevance (λ·rel), the largest λ-scaled rel
-        assert ranked[0].mmr_score_e6 >= tail[0]
+        # Pick 1 is pure relevance (λ·rel) with NO diversity bonus,
+        # while pick 2 can gain up to (10−λ)·1e6 div 10 from a NEGATIVE
+        # max-sim (anti-similar shortlist members — observed with the
+        # IVF-fed shortlist), so pick1 ≥ pick2 only up to that bonus.
+        assert ranked[0].mmr_score_e6 >= tail[0] - 300_000
 
 
 def test_fisher_exact_matches_lgamma_reference(spark):
