@@ -94,7 +94,7 @@ def _mk_sql(dialect: str) -> str:
 
 @query(
     "mk_trend_test",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_mk_sql("duck"),
 )
 def q_mk_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,7 +162,7 @@ def _runs_sql(dialect: str) -> str:
 
 @query(
     "runs_test",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_runs_sql("duck"),
 )
 def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +223,7 @@ def _kendall_sql(dialect: str) -> str:
 
 @query(
     "kendall_tau_cells",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_kendall_sql("duck"),
 )
 def q_kendall_tau_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,7 +282,7 @@ def _mcnemar_sql(dialect: str) -> str:
 
 @query(
     "mcnemar_test",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_mcnemar_sql("duck"),
 )
 def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,7 +340,7 @@ def _cramers_sql(dialect: str) -> str:
 
 @query(
     "cramers_v",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_cramers_sql("duck"),
 )
 def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,7 +402,7 @@ def _grubbs_sql(dialect: str) -> str:
 
 @query(
     "grubbs_outlier",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_grubbs_sql("duck"),
 )
 def q_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -129,7 +129,7 @@ def _cuped_sql(dialect: str) -> str:
 
 @query(
     "cuped_variance_reduction",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_cuped_sql("duck"),
 )
 def q_cuped_variance_reduction(
@@ -196,7 +196,7 @@ def _srm_sql(dialect: str) -> str:
 
 @query(
     "srm_check",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_srm_sql("duck"),
 )
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,7 +257,7 @@ def _winsor_sql(dialect: str) -> str:
 
 @query(
     "winsorized_mean_revenue",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_winsor_sql("duck"),
 )
 def q_winsorized_mean_revenue(

@@ -92,7 +92,7 @@ def _welch_sql(dialect: str) -> str:
 
 @query(
     "welch_t_test",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_welch_sql("duck"),
 )
 def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +156,7 @@ def _kappa_sql(dialect: str) -> str:
 
 @query(
     "cohens_kappa",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_kappa_sql("duck"),
 )
 def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:

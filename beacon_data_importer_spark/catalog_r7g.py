@@ -98,7 +98,7 @@ def _stl_sql(dialect: str) -> str:
 
 @query(
     "stl_decomposition_lite",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_stl_sql("duck"),
 )
 def q_stl_decomposition_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,7 +221,7 @@ def _holm_sql() -> str:
 
 @query(
     "holm_bonferroni",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_holm_sql(),
 )
 def q_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +306,7 @@ def _levene_sql(dialect: str) -> str:
 
 @query(
     "levene_test",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_levene_sql("duck"),
 )
 def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,7 +377,7 @@ def _friedman_sql(dialect: str) -> str:
 
 @query(
     "friedman_test",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_friedman_sql("duck"),
 )
 def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:

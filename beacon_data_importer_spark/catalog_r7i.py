@@ -33,7 +33,7 @@ from .sources.parquet import read_table
 
 @query(
     "theta_set_ops_audit",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle="""
     WITH cust AS (
       SELECT o_custkey,

@@ -169,7 +169,7 @@ def _mra_oracle() -> str:
 
 @query(
     "markov_removal_attribution",
-    registered=True,  # round-8 slot: promoted rotation candidate (never driver-proven before)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_mra_oracle(),
 )
 def q_markov_removal_attribution(

@@ -30,7 +30,7 @@ _CTRL_CAP = 64       # max controls kept per bucket (probe-backed)
 
 @query(
     "propensity_caliper_match_capped",
-    registered=True,  # round-8 slot: new this round (VERDICT r7 item 2)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH sc AS (
       SELECT o_orderkey AS k,
@@ -184,7 +184,7 @@ def _hnm_scaled_oracle() -> str:
 
 @query(
     "hard_negative_mining_ivf_scaled",
-    registered=True,  # round-8 slot: new this round (VERDICT r7 item 4)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_hnm_scaled_oracle(),
 )
 def q_hard_negative_mining_ivf_scaled(
@@ -243,7 +243,7 @@ def _hnm_scaled_audit_oracle() -> str:
 
 @query(
     "hard_negative_scaled_recall_audit",
-    registered=True,  # round-8 slot: new this round (VERDICT r7 item 4)
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_hnm_scaled_audit_oracle(),
 )
 def q_hard_negative_scaled_recall_audit(

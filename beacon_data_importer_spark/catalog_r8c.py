@@ -102,7 +102,7 @@ def _tukey_sql(dialect: str) -> str:
 
 @query(
     "tukey_hsd",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_tukey_sql("duck"),
 )
 def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,7 +192,7 @@ def _mood_sql(dialect: str) -> str:
 
 @query(
     "mood_median_test",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_mood_sql("duck"),
 )
 def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,7 +265,7 @@ def _ca_sql(dialect: str) -> str:
 
 @query(
     "cochran_armitage_trend",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_ca_sql("duck"),
 )
 def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,7 +330,7 @@ def _nb_sql(dialect: str) -> str:
 
 @query(
     "negative_binomial_overdispersion",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_nb_sql("duck"),
 )
 def q_negative_binomial_overdispersion(
@@ -409,7 +409,7 @@ def _weibull_sql(dialect: str) -> str:
 
 @query(
     "weibull_survival_fit",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_weibull_sql("duck"),
 )
 def q_weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -184,7 +184,7 @@ _COX_DUCK_DAYS, _COX_DUCK_NEWTON = _cox_sql("duck")
 
 @query(
     "cox_ph_binary",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=f"WITH {_COX_DUCK_DAYS},\n    {_COX_DUCK_NEWTON}",
 )
 def q_cox_ph_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,7 +274,7 @@ def _lb_sql(dialect: str) -> str:
 
 @query(
     "ljung_box_test",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_lb_sql("duck"),
 )
 def q_ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,7 +353,7 @@ def _dw_sql(dialect: str) -> str:
 
 @query(
     "durbin_watson_test",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_dw_sql("duck"),
 )
 def q_durbin_watson_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,7 +407,7 @@ def _bp_sql(dialect: str) -> str:
 
 @query(
     "breusch_pagan_test",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_bp_sql("duck"),
 )
 def q_breusch_pagan_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,7 +486,7 @@ def _jt_sql(dialect: str) -> str:
 
 @query(
     "jonckheere_terpstra",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_jt_sql("duck"),
 )
 def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -162,7 +162,7 @@ def _bq_sql(dialect: str) -> str:
 
 @query(
     "binary_quantize_search",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_bq_sql("duck"),
 )
 def q_binary_quantize_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,7 +239,7 @@ def _bqr_sql(dialect: str) -> str:
 
 @query(
     "binary_rerank_recall_audit",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_bqr_sql("duck"),
 )
 def q_binary_rerank_recall_audit(
@@ -339,7 +339,7 @@ def _jl_sql(dialect: str) -> str:
 
 @query(
     "jl_projection_recall_audit",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_jl_sql("duck"),
 )
 def q_jl_projection_recall_audit(
@@ -448,7 +448,7 @@ def _bayes_sql(dialect: str) -> str:
 
 @query(
     "bayes_ab_prob_superiority",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_bayes_sql("duck"),
 )
 def q_bayes_ab_prob_superiority(
@@ -523,7 +523,7 @@ def _rappor_sql(dialect: str) -> str:
 
 @query(
     "rappor_freq_estimate",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_rappor_sql("duck"),
 )
 def q_rappor_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:

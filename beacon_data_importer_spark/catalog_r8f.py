@@ -118,7 +118,7 @@ _LM_DUCK_TOK, _LM_DUCK_REST = _lm_sql("duck")
 
 @query(
     "bigram_lm_perplexity",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_LM_DUCK_REST.replace(
         "WITH barr AS (",
         f"WITH tok AS ({_LM_DUCK_TOK}),\n    barr AS (",
@@ -207,7 +207,7 @@ def _pettitt_sql(dialect: str) -> str:
 
 @query(
     "pettitt_changepoint",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_pettitt_sql("duck"),
 )
 def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,7 +319,7 @@ def _croston_sql(dialect: str) -> str:
 
 @query(
     "croston_intermittent",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_croston_sql("duck"),
 )
 def q_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,7 +398,7 @@ def _jb_sql(dialect: str) -> str:
 
 @query(
     "jarque_bera_test",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_jb_sql("duck"),
 )
 def q_jarque_bera_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,7 +480,7 @@ def _page_sql(dialect: str) -> str:
 
 @query(
     "page_trend_test",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_page_sql("duck"),
 )
 def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,7 +113,7 @@ def _hits_sql(dialect: str) -> str:
 
 @query(
     "hits_hub_authority",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_hits_sql("duck"),
 )
 def q_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,7 +263,7 @@ def _dunn_sql(dialect: str) -> str:
 
 @query(
     "dunn_posthoc",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_dunn_sql("duck"),
 )
 def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,7 +351,7 @@ def _ab_sql(dialect: str) -> str:
 
 @query(
     "ansari_bradley",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_ab_sql("duck"),
 )
 def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,7 +409,7 @@ def _smk_sql(dialect: str) -> str:
 
 @query(
     "seasonal_mk_trend",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_smk_sql("duck"),
 )
 def q_seasonal_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,7 +478,7 @@ def _cook_sql(dialect: str) -> str:
 
 @query(
     "cooks_distance_outliers",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_cook_sql("duck"),
 )
 def q_cooks_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,7 +533,7 @@ def _u2_sql(dialect: str) -> str:
 
 @query(
     "theil_u2_forecast_audit",
-    registered=True,  # round-8 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
     oracle=_u2_sql("duck"),
 )
 def q_theil_u2_forecast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -566,7 +566,7 @@ def _fisher_sql(dialect: str) -> str:
 
 @query(
     "fisher_exact_2x2",
-    registered=False,  # post-slot round-8 extra (round-9 promotion)
+    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
     oracle=_fisher_sql("duck"),
 )
 def q_fisher_exact_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,7 +665,7 @@ def _hurst_sql(dialect: str) -> str:
 
 @query(
     "hurst_exponent",
-    registered=False,  # post-slot round-8 extra (round-9 promotion)
+    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
     oracle=_hurst_sql("duck"),
 )
 def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,7 +782,7 @@ def _pcorr_sql(dialect: str) -> str:
 
 @query(
     "partial_correlation_triples",
-    registered=False,  # post-slot round-8 extra (round-9 promotion)
+    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
     oracle=_pcorr_sql("duck"),
 )
 def q_partial_correlation_triples(
@@ -864,7 +864,7 @@ def _bartlett_sql(dialect: str) -> str:
 
 @query(
     "bartlett_test",
-    registered=False,  # post-slot round-8 extra (round-9 promotion)
+    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
     oracle=_bartlett_sql("duck"),
 )
 def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:

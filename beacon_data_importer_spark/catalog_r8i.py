@@ -89,7 +89,7 @@ def _cq_sql(dialect: str) -> str:
 
 @query(
     "cochran_q_test",
-    registered=False,  # post-slot round-8 extra (round-9 promotion)
+    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
     oracle=_cq_sql("duck"),
 )
 def q_cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +169,7 @@ def _mh_sql(dialect: str) -> str:
 
 @query(
     "mantel_haenszel_cmh",
-    registered=False,  # post-slot round-8 extra (round-9 promotion)
+    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
     oracle=_mh_sql("duck"),
 )
 def q_mantel_haenszel_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +251,7 @@ def _kpss_sql(dialect: str) -> str:
 
 @query(
     "kpss_stationarity",
-    registered=False,  # post-slot round-8 extra (round-9 promotion)
+    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
     oracle=_kpss_sql("duck"),
 )
 def q_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,7 +414,7 @@ def _pacf_sql(dialect: str) -> str:
 
 @query(
     "pacf_durbin_levinson",
-    registered=False,  # post-slot round-8 extra (round-9 promotion)
+    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
     oracle=_pacf_sql("duck"),
 )
 def q_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -86,7 +86,7 @@ def _hhm_oracle() -> str:
 
 @query(
     "heavy_hitters_merge_audit",
-    registered=False,  # post-slot round-8 extra (round-9 promotion)
+    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
     oracle=_hhm_oracle(),
 )
 def q_heavy_hitters_merge_audit(
