@@ -507,6 +507,9 @@ def _hl_sql(dialect: str) -> str:
     spark = dialect == "spark"
     big = "DECIMAL(38,0)" if spark else "HUGEINT"
     div = " div " if spark else " // "
+    # the diff cross is bounded (B×B histogram buckets) — broadcast the
+    # smaller histogram so the plan is a BNL join, not a CartesianProduct
+    hint = "/*+ BROADCAST(h2) */ " if spark else ""
     return f"""
     WITH ov AS (
       SELECT CAST(round(o.o_totalprice * 100) AS BIGINT){div}100000 AS b,
@@ -519,7 +522,7 @@ def _hl_sql(dialect: str) -> str:
     h2 AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM ov
            WHERE seg = '{_BM_SEG_B}' GROUP BY b),
     diffs AS (
-      SELECT h1.b - h2.b AS d,
+      SELECT {hint}h1.b - h2.b AS d,
         CAST(sum(CAST(h1.c AS {big}) * h2.c) AS {big}) AS w
       FROM h1 CROSS JOIN h2
       GROUP BY h1.b - h2.b

@@ -127,6 +127,8 @@ def _ebshrink_sql(dialect: str) -> str:
     spark = dialect == "spark"
     big = "DECIMAL(38,0)" if spark else "HUGEINT"
     div = " div " if spark else " // "
+    # kap is ONE row — broadcast it so the cross is a BNL join
+    hint = "/*+ BROADCAST(kap) */ " if spark else ""
     return f"""
     WITH s AS (
       SELECT n.n_name AS nation,
@@ -160,7 +162,7 @@ def _ebshrink_sql(dialect: str) -> str:
                {div}v_e12 - 1000000 AS BIGINT)) AS kappa_e6
       FROM vv
     )
-    SELECT p.nation, p.n, p.a, p.p_ppm AS raw_ppm,
+    SELECT {hint}p.nation, p.n, p.a, p.p_ppm AS raw_ppm,
       CAST(((CAST(kap.m_ppm AS {big}) * kap.kappa_e6){div}1000000
             + p.a * 1000000) * 1000000
            {div}(kap.kappa_e6 + p.n * 1000000) AS BIGINT)

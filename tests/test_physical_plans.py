@@ -405,6 +405,27 @@ def test_no_single_partition_windows():
         "median_ci_order_stat",
         # r8l: LLR cumulative walk over the calendar-day frame
         "sprt_boundary_crossing",
+        # r9a: ≤12-row distinct-|d| rank frame (wilcoxon); row_number /
+        # offset indexes over the calendar-day frame (cox_stuart,
+        # turning_points); strictly-less cumulatives over the DISTINCT
+        # $10-bucket frame (brunner_munzel, cliffs_delta — the
+        # dunn/ansari class); cumulative over the bounded distinct-diff
+        # frame of the $1000-bucket histogram cross (hodges_lehmann)
+        "wilcoxon_signed_rank", "cox_stuart_trend",
+        "turning_points_test", "brunner_munzel", "cliffs_delta_effect",
+        "hodges_lehmann_shift",
+        # r9b: calendar-day-frame walks — error cumulatives
+        # (tracking_signal), ordinal-pattern index (permutation_entropy),
+        # 7-lag EWMA window (ewma_control_chart), ≤252 distinct
+        # same-month slopes (sen_slope_seasonal)
+        "tracking_signal_audit", "permutation_entropy",
+        "ewma_control_chart", "sen_slope_seasonal",
+        # r9d: cumulatives over the DISTINCT $1000-bucket frame (gini)
+        # and the octave×8 sketch-bucket / distinct-value frames
+        # (ddsketch — price-range-bounded)
+        "gini_lorenz_audit", "ddsketch_quantile_audit",
+        # r9e: cell rank over the nlist-bounded centroid frame
+        "ivf_nprobe_recall_curve",
         "cusum_changepoints", "max_concurrent_orders", "late_data_audit",
         "conversion_hazard", "kaplan_meier", "nelson_aalen_hazard",
         "mase_forecast_audit", "interim_analysis_audit",
