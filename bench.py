@@ -635,6 +635,12 @@ HEADLINE += [
     "trigram_novelty_curve",
     "shingle_containment_pairs",
     "tokenizer_fertility_by_source",
+    # tier 7 (catalog_r9g): post-slot extras, round-10 promotion pool
+    "anderson_darling_2sample",
+    "page_hinkley_drift",
+    "theil_sen_ci",
+    "kendall_tau_b",
+    "median_polish_lite",
 ]
 
 

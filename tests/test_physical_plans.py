@@ -426,6 +426,12 @@ def test_no_single_partition_windows():
         "gini_lorenz_audit", "ddsketch_quantile_audit",
         # r9e: cell rank over the nlist-bounded centroid frame
         "ivf_nprobe_recall_curve",
+        # r9g: AD strata over the DISTINCT $10-bucket frame (the
+        # brunner/cliffs class); Page-Hinkley cumulative walks over the
+        # calendar-day frame; Theil-Sen CI order statistics over the
+        # ≤C(n_months,2) distinct-slope frame + month row_number
+        "anderson_darling_2sample", "page_hinkley_drift",
+        "theil_sen_ci",
         "cusum_changepoints", "max_concurrent_orders", "late_data_audit",
         "conversion_hazard", "kaplan_meier", "nelson_aalen_hazard",
         "mase_forecast_audit", "interim_analysis_audit",
