@@ -641,6 +641,12 @@ HEADLINE += [
     "theil_sen_ci",
     "kendall_tau_b",
     "median_polish_lite",
+    # tier 8 (catalog_r9h): modern dependence, combined tests, EVT
+    "chatterjee_xi",
+    "lepage_test",
+    "quade_test",
+    "gumbel_block_maxima",
+    "pot_mean_excess",
 ]
 
 

@@ -432,6 +432,12 @@ def test_no_single_partition_windows():
         # ≤C(n_months,2) distinct-slope frame + month row_number
         "anderson_darling_2sample", "page_hinkley_drift",
         "theil_sen_ci",
+        # r9h: calendar-index sequences + distinct-value cumulative
+        # rank maps (chatterjee); $10-bucket histogram moments
+        # (lepage); bounded month-range rank (quade); distinct-value
+        # threshold cumulative (pot)
+        "chatterjee_xi", "lepage_test", "quade_test",
+        "pot_mean_excess",
         "cusum_changepoints", "max_concurrent_orders", "late_data_audit",
         "conversion_hazard", "kaplan_meier", "nelson_aalen_hazard",
         "mase_forecast_audit", "interim_analysis_audit",
