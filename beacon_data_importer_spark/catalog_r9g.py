@@ -190,7 +190,10 @@ def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per day identically in both engines.  ``pettitt_changepoint``
     finds WHERE the shift was after the fact; Page-Hinkley is the
     one-pass monitor that would have fired DURING — the streaming
-    drift primitive, replayed as batch for the oracle.
+    drift primitive, replayed as batch for the oracle.  The LIVE form
+    is ``streaming/drift.py`` (per-micro-batch volume PH state,
+    versioned snapshots, stream == scalar-fold parity in
+    tests/test_streaming.py — the Misra-Gries state doctrine).
 
     Scale: three cumulative windows over the calendar-day frame
     (BOUNDED_FRAME_AUDITED class); 1 row out.

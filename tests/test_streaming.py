@@ -1005,3 +1005,63 @@ def test_mg_streaming_bound_holds_and_state_is_k_bounded(
     }
     for r in rows:
         assert r.cnt_lo <= exact[r.user_id] <= r.cnt_hi
+
+
+def test_ph_state_contract_equals_scalar_fold(spark, sf_dir, tmp_path):
+    """streaming/drift.py round-9 Page-Hinkley path, part 1: driving
+    the foreachBatch contract (merge_batch_ph at batch ids 0..3) over
+    the event_id%4 slice sequence must equal the pure-Python ph_step
+    fold over the same slice counts BIT-FOR-BIT (the state is all
+    integers, so equality is literal — the MG stream==fold doctrine)."""
+    import pyspark.sql.functions as F
+
+    from beacon_data_importer_spark.streaming.drift import (
+        current_drift_state,
+        merge_batch_ph,
+        ph_step,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    target = str(tmp_path / "ph_state")
+    state = None
+    for i in range(4):
+        sl = events.filter(F.col("event_id") % 4 == i)
+        merge_batch_ph(spark, sl, i, target)
+        state = ph_step(state, sl.count())
+    got = current_drift_state(spark, target).collect()[0]
+    assert (
+        got.n_batches, got.sum_x, got.m_e6, got.m_min_e6,
+        got.ph_e6, got.lambda_e6, got.n_alarms, got.last_x,
+    ) == state
+    assert got.n_batches == 4
+    assert got.sum_x == events.count()
+
+
+def test_ph_streaming_invariants_hold(spark, sf_dir, tmp_path):
+    """streaming/drift.py part 2: a REAL availableNow stream (4-file
+    source, maxFilesPerTrigger=1) maintains a ONE-ROW snapshot whose
+    order-free invariants hold: PH = m − min(m) ≥ 0, min ≤ m, the
+    volume total is exact, and λ was fixed by the first batch."""
+    from beacon_data_importer_spark.streaming.drift import (
+        current_drift_state,
+        streaming_drift_monitor,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ph_src")
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "ph_mon")
+    streaming_drift_monitor(stream, target)
+
+    r = current_drift_state(spark, target).collect()[0]
+    assert r.n_batches >= 1
+    assert r.sum_x == events.count()
+    assert r.m_min_e6 <= r.m_e6
+    assert r.ph_e6 == r.m_e6 - r.m_min_e6 >= 0
+    assert r.lambda_e6 > 0
+    assert 0 <= r.n_alarms < r.n_batches
