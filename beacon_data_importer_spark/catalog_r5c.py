@@ -689,35 +689,68 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``import_csv.py`` S4/S5); this measures exactly what a columnar
     landing of the same cells should have done instead."""
     li = read_table(spark, sf_dir, "lineitem")
-    stack_args = ", ".join(
-        f"'{name}', {expr.replace('VARCHAR', 'STRING')}"
-        for name, expr in _ENC_COLS_SQL
-    )
-    cells = li.select(
+    # Single-shuffle formulation (round-9 perf fix; was 5x): project
+    # the five value columns ONCE, then run five lag windows that all
+    # PARTITION BY l_orderkey — Catalyst reuses one Exchange for every
+    # same-partitioned window and only adds per-column sorts, so the
+    # shuffle carries lineitem once instead of the 5x-unpivoted cell
+    # stream (measured 11.3 s -> see PERF.md).  Per-column sort keys
+    # stay (l_linenumber, val_i): (l_orderkey, l_linenumber) is NOT
+    # unique in the synthetic table, and val in the sort key makes the
+    # run structure invariant to tie resolution on both engines.
+    wide = li.select(
         "l_orderkey",
         "l_linenumber",
-        F.expr(
-            f"stack({len(_ENC_COLS_SQL)}, {stack_args}) AS (col_name, val)"
-        ),
+        *[
+            F.expr(expr.replace("VARCHAR", "STRING")).alias(f"__v{i}")
+            for i, (_, expr) in enumerate(_ENC_COLS_SQL)
+        ],
     )
-    # (l_orderkey, l_linenumber) is NOT unique in the synthetic table —
-    # val joins the sort key so any residual tie carries an EQUAL value,
-    # making the run structure invariant to tie resolution on both engines.
-    lag_w = Window.partitionBy("col_name", "l_orderkey").orderBy(
-        "l_linenumber", "val"
+    runs = wide
+    for i in range(len(_ENC_COLS_SQL)):
+        w_i = Window.partitionBy("l_orderkey").orderBy(
+            "l_linenumber", f"__v{i}"
+        )
+        runs = runs.withColumn(
+            f"__r{i}",
+            F.when(
+                ~F.lag(f"__v{i}").over(w_i).eqNullSafe(F.col(f"__v{i}")),
+                1,
+            ).otherwise(0),
+        )
+    # Two INDEPENDENT 1-row aggregates, cross-joined: the 5-way
+    # distinct expand runs on the plain scan (no window upstream) and
+    # the run sums on the windowed frame — combining them in one agg
+    # made the expand re-process the windowed output (measured ~2x the
+    # split form).
+    run_agg = runs.agg(
+        *[
+            F.sum(f"__r{i}").cast("bigint").alias(f"runs{i}")
+            for i in range(len(_ENC_COLS_SQL))
+        ],
     )
-    runs = cells.select(
-        "col_name",
-        "val",
-        F.when(
-            ~F.lag("val").over(lag_w).eqNullSafe(F.col("val")), 1
-        ).otherwise(0).alias("run_start"),
-    )
-    prof = runs.groupBy("col_name").agg(
+    ndv_agg = wide.agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct("val").alias("ndv"),
-        F.sum("run_start").cast("bigint").alias("n_runs"),
-        F.sum(F.length("val")).cast("bigint").alias("total_chars"),
+        *[
+            a
+            for i in range(len(_ENC_COLS_SQL))
+            for a in (
+                F.countDistinct(f"__v{i}").alias(f"ndv{i}"),
+                F.sum(F.length(f"__v{i}")).cast("bigint").alias(f"chars{i}"),
+            )
+        ],
+    )
+    agg = ndv_agg.crossJoin(run_agg)
+    stack = ", ".join(
+        f"'{name}', ndv{i}, runs{i}, chars{i}"
+        for i, (name, _) in enumerate(_ENC_COLS_SQL)
+    )
+    prof = agg.select(
+        "n",
+        F.expr(
+            f"stack({len(_ENC_COLS_SQL)}, {stack})"
+            " AS (col_name, ndv, n_runs, total_chars)"
+        ),
     )
     return prof.select(
         "col_name",
