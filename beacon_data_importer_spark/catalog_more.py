@@ -1101,9 +1101,13 @@ def q_lang_profile_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     train→score pair is the canonical two-job shape for corpus statistics
     at 100 TB: the model (bounded vocab) is the only cross-job state.
     Exact integer outputs — no cross-engine float-aggregation hazard."""
+    from .catalog_ext import _docs_parallel
     from .operators.text import score_against_profile, train_trigram_profile
 
-    d = read_table(spark, sf_dir, "documents")
+    # round-9 perf fix: the single-file documents scan serialized BOTH
+    # trigram explodes onto one core (the _docs_parallel gotcha);
+    # repartition once, reuse for train and score.
+    d = _docs_parallel(spark, sf_dir)
     profile = train_trigram_profile(d, "text", top_k=500)
     return score_against_profile(d, profile, "text", "doc_id")
 
