@@ -232,8 +232,8 @@ def _cox_stuart_sql(dialect: str) -> str:
       SELECT a.y AS y1, b.y AS y2
       FROM idx a
       JOIN n ON true
-      JOIN idx b ON b.i = a.i + n.n{div}2
-      WHERE a.i <= n.n - n.n{div}2
+      JOIN idx b ON b.i = a.i + (n.n + 1){div}2
+      WHERE a.i <= n.n{div}2
     ),
     s AS (
       SELECT CAST(sum(CASE WHEN y2 <> y1 THEN 1 ELSE 0 END) AS BIGINT)

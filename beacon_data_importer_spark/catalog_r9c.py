@@ -248,7 +248,8 @@ def _ratio_ci_sql(dialect: str) -> str:
               + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
                 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
                 * CAST(cyy AS DOUBLE), 0e0)
-            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+               * CAST(n AS DOUBLE)))
           / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
           * 1e2) AS BIGINT) AS half_c
       FROM d

@@ -76,8 +76,8 @@ def _ad2_sql(dialect: str) -> str:
       WHERE cn < t.n1 + t.n2
     ),
     a2 AS (
-      SELECT CAST(((t.n1 + t.n2) * sum(term_e6))
-                  {div}(CAST(t.n1 AS {big}) * t.n2 * t.n1 * t.n2)
+      SELECT CAST(sum(term_e6)
+                  {div}(CAST(t.n1 AS {big}) * t.n2)
                   AS BIGINT) AS a2_e6
       FROM terms CROSS JOIN tot t
       GROUP BY t.n1, t.n2

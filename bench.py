@@ -753,13 +753,22 @@ def main() -> None:
                     for sid, s in stats.items()
                     if sid not in before and s["status"] == "COMPLETE"
                 ]
-                shuffle_b[name] = sum(
-                    s.get("shuffleWriteBytes", 0) for s in new_complete
+                # The stage snapshot brackets ALL `reps` executions and
+                # each rep runs identical stages, so normalize by reps —
+                # otherwise REPEAT=3 artifacts report 3× the shuffle of
+                # REPEAT=1 rounds and cross-round comparison breaks
+                # (ADVICE r9).
+                shuffle_b[name] = (
+                    sum(s.get("shuffleWriteBytes", 0) for s in new_complete)
+                    // reps
                 )
-                spill_b[name] = sum(
-                    s.get("memoryBytesSpilled", 0)
-                    + s.get("diskBytesSpilled", 0)
-                    for s in new_complete
+                spill_b[name] = (
+                    sum(
+                        s.get("memoryBytesSpilled", 0)
+                        + s.get("diskBytesSpilled", 0)
+                        for s in new_complete
+                    )
+                    // reps
                 )
             except Exception:
                 pass

@@ -56,7 +56,7 @@ def test_ad2_brute(spark, con):
         total += (
             c * (m * ca - n * cb) ** 2 * 1_000_000
         ) // (cn * (big_n - cn))
-    a2 = (big_n * total) // (n * m * n * m)
+    a2 = total // (n * m)
     r = _one(spark, "anderson_darling_2sample")
     assert (r.n1, r.n2) == (n, m)
     assert r.a2_e6 == a2
