@@ -1,0 +1,577 @@
+"""Round-10 catalog, tier 1 — robust location/scale/outlier
+estimators over the daily-revenue frame and the two-segment order
+histogram.  The classical moments family (``welch_t_test``,
+``anova_oneway``, sample variance) breaks down at a single wild value;
+this tier adds the high-breakdown replacements, each from the shared
+bounded-frame devices:
+
+* ``qn_scale_estimator`` — Rousseeuw-Croux Qn: the k-th order
+  statistic of the C(n,2) pairwise gaps |yᵢ−yⱼ|, k = C(h,2),
+  h = ⌊n/2⌋+1.  50% breakdown AND 82% Gaussian efficiency — the
+  estimator that dominates the MAD (37% efficiency) without assuming
+  symmetry.
+* ``sn_scale_estimator`` — the Sn sibling: lowmed_i himed_j |yᵢ−yⱼ|.
+  The nested-median form that needs only per-i medians (a PARTITIONED
+  window) before one bounded global median.
+* ``biweight_midvariance`` — Tukey's BWMV with the 9·MAD tuning
+  radius, fully integer: one ppm floor for u², then exact
+  Σa²w⁴ / (Σwv)² arithmetic — the e24 scale factors cancel between
+  numerator and squared denominator.
+* ``trimean_bowley_skew`` — Tukey's trimean (Q1+2M+Q3)/4 and Bowley's
+  quartile skewness, both from exact hinge order statistics.
+* ``medcouple_skew_lite`` — the robust skewness medcouple: the median
+  of the kernel h(xᵢ,xⱼ) = ((xⱼ−M)−(M−xᵢ))/(xⱼ−xᵢ) over pairs
+  straddling the median (ties AT the median excluded — the "lite"
+  convention, see docstring).
+* ``hampel_outlier_flags`` — the Hampel identifier: rolling ±7-day
+  window median and MAD, flag |y−med| > 3·1.4826·MAD.  The robust
+  twin of ``rolling_anomaly_flags``'s mean/stddev z-score.
+* ``repeated_median_slope`` — Siegel's repeated median regression:
+  med_i med_j slope(i,j).  50% breakdown vs Theil-Sen's 29%, from the
+  SAME pairwise-slope device (``theil_sen_trend``), with the outer
+  median over per-i PARTITIONED medians.
+* ``yuen_trimmed_t`` — Yuen-Welch two-sample test on 20%-trimmed
+  means with winsorized variances, computed entirely from the
+  r9a $10-bucket two-group histogram (no per-row ranks).
+
+Reference parity: beyond-reference statistics tier (the reference
+ships no analytics; SURVEY §2 X-series is covered by catalog.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import query
+from .catalog_r8d import _day_sql
+from .catalog_r9a import _two_group_hist_sql
+from .sources.parquet import read_table
+
+#: floor(1e6 · d) for Qn's asymptotic Gaussian consistency factor
+#: d = 2.21914 (Rousseeuw & Croux 1993); finite-sample corrections
+#: deliberately omitted (documented asymptotic form).
+_QN_D_E6 = 2_219_140
+#: floor(1e6 · c) for Sn's factor c = 1.1926 (same paper).
+_SN_C_E6 = 1_192_600
+#: floor(1e4 · 3 · 1.4826) — the Hampel 3-sigma gate in MAD units.
+_HAMPEL_K_E4 = 44_478
+#: floor(1e6 · z₀.₉₇₅) — asymptotic two-sided 5% gate for Yuen's t
+#: (df > 100 at every SF, where t ≈ z; documented approximation).
+_Z975_E6 = 1_959_963
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# qn_scale_estimator
+# ---------------------------------------------------------------------------
+
+
+def _qn_sql(dialect: str) -> str:
+    div = " div " if dialect == "spark" else " // "
+    return f"""
+    WITH {_day_sql(dialect)},
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM day),
+    pairs AS (
+      SELECT abs(a.y - b.y) AS d
+      FROM day a JOIN day b ON b.t > a.t
+    ),
+    ranked AS (
+      SELECT d, row_number() OVER (ORDER BY d) AS r FROM pairs
+    ),
+    k AS (
+      SELECT n,
+        ((n{div}2 + 1) * (n{div}2)){div}2 AS k
+      FROM n
+    )
+    SELECT k.n AS n_days, k.k AS k_order,
+      r.d AS qn_raw,
+      CAST(({_QN_D_E6} * r.d){div}1000000 AS BIGINT) AS qn_scaled
+    FROM ranked r CROSS JOIN k WHERE r.r = k.k
+    """
+
+
+@query("qn_scale_estimator", oracle=_qn_sql("duck"))
+def q_qn_scale_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rousseeuw-Croux Qn scale of daily revenue: the k-th smallest of
+    the C(n,2) pairwise absolute gaps, k = C(⌊n/2⌋+1, 2), scaled by
+    the asymptotic consistency factor d = 2.21914 (one ppm literal,
+    one truncating division).  Unlike the MAD it needs no location
+    estimate and keeps 82% efficiency at the Gaussian while holding
+    the 50% breakdown point — the production scale estimate for
+    control limits over contaminated series.
+
+    Scale: the pair expansion is C(days, 2) — CALENDAR-bounded (~7.3k
+    rows for the 121-day frame; ~2.7M for a 10-year daily series),
+    never data-sized; the global-order rank runs on that bounded
+    frame (BOUNDED_FRAME_AUDITED).  The only volume-bearing exchange
+    is the daily aggregate, which map-side combines.
+
+    Reference parity: beyond-reference statistics tier."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_qn_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# sn_scale_estimator
+# ---------------------------------------------------------------------------
+
+
+def _sn_sql(dialect: str) -> str:
+    div = " div " if dialect == "spark" else " // "
+    return f"""
+    WITH {_day_sql(dialect)},
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM day),
+    pairs AS (
+      SELECT a.t AS i, abs(a.y - b.y) AS d
+      FROM day a JOIN day b ON b.t <> a.t
+    ),
+    per_i AS (
+      SELECT i, d,
+        row_number() OVER (PARTITION BY i ORDER BY d) AS r,
+        count(*) OVER (PARTITION BY i) AS m
+      FROM pairs
+    ),
+    himed AS (
+      SELECT i, d AS hm FROM per_i WHERE r = m{div}2 + 1
+    ),
+    outer_rank AS (
+      SELECT hm, row_number() OVER (ORDER BY hm) AS r FROM himed
+    )
+    SELECT n.n AS n_days, o.hm AS sn_raw,
+      CAST(({_SN_C_E6} * o.hm){div}1000000 AS BIGINT) AS sn_scaled
+    FROM outer_rank o CROSS JOIN n WHERE o.r = (n.n + 1){div}2
+    """
+
+
+@query("sn_scale_estimator", oracle=_sn_sql("duck"))
+def q_sn_scale_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rousseeuw-Croux Sn scale of daily revenue: the low median over
+    i of the high median over j of |yᵢ−yⱼ|, scaled by c = 1.1926.
+    The nested-median form means the inner order statistic is a
+    PARTITIONED window (one partition per day i — distributes across
+    executors), and only the final n-row median needs a global order.
+    High median = (⌊m/2⌋+1)-th, low median = ⌈n/2⌉-th — the original
+    paper's convention, replayed identically in both engines.
+
+    Scale: same calendar-bounded pair frame as ``qn_scale_estimator``;
+    the inner medians shuffle on i (balanced by construction — every
+    day has exactly n−1 pairs, no skew possible).
+
+    Reference parity: beyond-reference statistics tier."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_sn_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# biweight_midvariance
+# ---------------------------------------------------------------------------
+
+
+def _bwmv_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    big = "DECIMAL(38,0)" if spark else "HUGEINT"
+    div = " div " if spark else " // "
+    return f"""
+    WITH {_day_sql(dialect)},
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM day),
+    med AS (
+      SELECT max(CASE WHEN s.r = (n.n + 1){div}2 THEN s.y END) AS m
+      FROM (
+        SELECT y, row_number() OVER (ORDER BY y) AS r FROM day
+      ) s CROSS JOIN n
+    ),
+    adev AS (
+      SELECT d.y, d.y - med.m AS a, abs(d.y - med.m) AS aa
+      FROM day d CROSS JOIN med
+    ),
+    mad AS (
+      SELECT max(CASE WHEN s.r = (n.n + 1){div}2 THEN s.aa END) AS mad
+      FROM (
+        SELECT aa, row_number() OVER (ORDER BY aa) AS r FROM adev
+      ) s CROSS JOIN n
+    ),
+    u AS (
+      SELECT a,
+        CAST((CAST(a AS {big}) * a * 1000000)
+             {div}(81 * CAST(mad AS {big}) * mad) AS BIGINT) AS u2_e6
+      FROM adev CROSS JOIN mad
+    ),
+    terms AS (
+      SELECT
+        CAST(a AS {big}) * a
+          * (1000000 - u2_e6) * (1000000 - u2_e6)
+          * (1000000 - u2_e6) * (1000000 - u2_e6) AS num_t,
+        CAST(1000000 - u2_e6 AS {big})
+          * (1000000 - 5 * u2_e6) AS den_t
+      FROM u WHERE u2_e6 < 1000000
+    ),
+    agg AS (
+      SELECT sum(num_t) AS num, sum(den_t) AS den FROM terms
+    ),
+    sv AS (
+      SELECT sum(CAST(y AS {big}) * y) AS syy,
+        sum(CAST(y AS {big})) AS sy
+      FROM day
+    )
+    SELECT n.n AS n_days,
+      CAST((n.n * agg.num){div}(agg.den * agg.den) AS BIGINT) AS bwmv,
+      CAST((sv.syy * n.n - sv.sy * sv.sy)
+           {div}(n.n * (n.n - 1)) AS BIGINT) AS sample_var
+    FROM agg CROSS JOIN n CROSS JOIN sv
+    """
+
+
+@query("biweight_midvariance", oracle=_bwmv_sql("duck"))
+def q_biweight_midvariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's biweight midvariance of daily revenue with the standard
+    9·MAD tuning radius: u = (y−M)/(9·MAD), BWMV = n·Σ_{|u|<1}
+    (y−M)²(1−u²)⁴ / (Σ(1−u²)(1−5u²))² — the robust variance that
+    downweights smoothly to zero instead of trimming hard.  ONE ppm
+    floor (u² against the exact 81·MAD² denominator); the remaining
+    arithmetic is exact wide-integer — the e24 fixed-point factor in
+    Σa²w⁴ cancels against (Σwv)²'s, so the output is in raw y² units
+    and comparable to the sample variance emitted alongside.
+
+    Scale: two bounded-frame medians + one aggregate over the
+    calendar-day frame; nothing data-sized after the daily rollup.
+
+    Reference parity: beyond-reference statistics tier."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_bwmv_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# trimean_bowley_skew
+# ---------------------------------------------------------------------------
+
+
+def _trimean_sql(dialect: str) -> str:
+    div = " div " if dialect == "spark" else " // "
+    return f"""
+    WITH {_day_sql(dialect)},
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM day),
+    ranked AS (
+      SELECT y, row_number() OVER (ORDER BY y) AS r FROM day
+    ),
+    pos AS (
+      SELECT n, (n + 1){div}2 AS mpos,
+        ((n + 1){div}2 + 1){div}2 AS hpos
+      FROM n
+    ),
+    qs AS (
+      SELECT p.n,
+        max(CASE WHEN r.r = p.hpos THEN r.y END) AS q1,
+        max(CASE WHEN r.r = p.mpos THEN r.y END) AS q2,
+        max(CASE WHEN r.r = p.n + 1 - p.hpos THEN r.y END) AS q3
+      FROM ranked r CROSS JOIN pos p
+      GROUP BY p.n
+    )
+    SELECT n AS n_days, q1, q2, q3,
+      CAST(((q1 + 2 * q2 + q3) * 100){div}4 AS BIGINT) AS trimean_e2,
+      CAST(((q3 + q1 - 2 * q2) * 1000000)
+           {div}(q3 - q1) AS BIGINT) AS bowley_skew_e6
+    FROM qs
+    """
+
+
+@query("trimean_bowley_skew", oracle=_trimean_sql("duck"))
+def q_trimean_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's trimean (Q1+2M+Q3)/4 and Bowley's quartile skewness
+    (Q3+Q1−2M)/(Q3−Q1) of daily revenue, from exact HINGE order
+    statistics: M at rank ⌈n/2⌉, hinges at rank ⌈(⌈n/2⌉+1)/2⌉ from
+    each end (Tukey's five-number convention — the hinge fold, not
+    interpolated percentiles, so both engines pick the identical
+    sample value and the statistic stays exact integer until the two
+    output floors).  Bowley's coefficient is the quartile analogue of
+    moment skewness with 25% breakdown — the robust companion to
+    ``jarque_bera_test``'s moment-based asymmetry read.
+
+    Scale: one bounded-frame rank over the calendar-day aggregate.
+
+    Reference parity: beyond-reference statistics tier."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_trimean_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# medcouple_skew_lite
+# ---------------------------------------------------------------------------
+
+
+def _medcouple_sql(dialect: str) -> str:
+    div = " div " if dialect == "spark" else " // "
+    return f"""
+    WITH {_day_sql(dialect)},
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM day),
+    med AS (
+      SELECT y AS m FROM (
+        SELECT y, row_number() OVER (ORDER BY y) AS r FROM day
+      ) s CROSS JOIN n WHERE s.r = (n.n + 1){div}2
+    ),
+    kern AS (
+      SELECT CAST((((b.y - med.m) - (med.m - a.y)) * 1000000)
+                  {div}(b.y - a.y) AS BIGINT) AS h_e6
+      FROM day a JOIN med ON a.y < med.m
+      JOIN day b ON b.y > med.m
+    ),
+    kn AS (SELECT CAST(count(*) AS BIGINT) AS kn FROM kern),
+    ranked AS (
+      SELECT h_e6, row_number() OVER (ORDER BY h_e6) AS r FROM kern
+    )
+    SELECT kn.kn AS n_kernel_pairs,
+      r.h_e6 AS medcouple_e6,
+      r.h_e6 > 0 AS right_skewed
+    FROM ranked r CROSS JOIN kn WHERE r.r = (kn.kn + 1){div}2
+    """
+
+
+@query("medcouple_skew_lite", oracle=_medcouple_sql("duck"))
+def q_medcouple_skew_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medcouple robust skewness of daily revenue: the median of the
+    kernel h(xᵢ,xⱼ) = ((xⱼ−M)−(M−xᵢ))/(xⱼ−xᵢ) over pairs with
+    xᵢ < M < xⱼ.  LITE convention: observations exactly AT the median
+    are excluded from both sides (the full Brys-Hubert-Struyf
+    definition assigns them a ±1/0 special kernel; daily revenue
+    totals are continuous-valued so the excluded mass is at most the
+    single median row).  MC > 0 reads right tail heavier — the input
+    to the adjusted-boxplot fence (Hubert-Vandervieren), which is why
+    it pairs with ``hampel_outlier_flags`` rather than replacing it.
+    One ppm floor per kernel, then an exact integer median.
+
+    Scale: the kernel frame is ≤ C(n,2) over calendar days — bounded;
+    its global-order median rank is the BOUNDED_FRAME_AUDITED class.
+
+    Reference parity: beyond-reference statistics tier."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_medcouple_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# hampel_outlier_flags
+# ---------------------------------------------------------------------------
+
+
+def _hampel_sql(dialect: str) -> str:
+    div = " div " if dialect == "spark" else " // "
+    return f"""
+    WITH {_day_sql(dialect)},
+    nbr AS (
+      SELECT c.t, c.y, s.y AS ys
+      FROM day c JOIN day s ON s.t BETWEEN c.t - 7 AND c.t + 7
+    ),
+    med AS (
+      SELECT t, y, ys,
+        row_number() OVER (PARTITION BY t ORDER BY ys) AS r,
+        count(*) OVER (PARTITION BY t) AS m
+      FROM nbr
+    ),
+    center_med AS (
+      SELECT t, y, ys AS med_y FROM med WHERE r = (m + 1){div}2
+    ),
+    adev AS (
+      SELECT n.t, cm.y, cm.med_y, abs(n.ys - cm.med_y) AS ad
+      FROM nbr n JOIN center_med cm ON cm.t = n.t
+    ),
+    madr AS (
+      SELECT t, y, med_y, ad,
+        row_number() OVER (PARTITION BY t ORDER BY ad) AS r,
+        count(*) OVER (PARTITION BY t) AS m
+      FROM adev
+    )
+    SELECT t AS day_t, y, med_y, ad AS mad_y,
+      abs(y - med_y) * 10000 > {_HAMPEL_K_E4} * ad AS is_outlier
+    FROM madr WHERE r = (m + 1){div}2
+    ORDER BY t
+    """
+
+
+@query("hampel_outlier_flags", oracle=_hampel_sql("duck"))
+def q_hampel_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel identifier over daily revenue: a ±7-day rolling window
+    median and rolling MAD per day, flagging |y − med| > 3·1.4826·MAD
+    (the gate held as the exact integer cross-multiplication
+    10⁴·|dev| > 44478·MAD — zero floating point).  The high-breakdown
+    twin of ``rolling_anomaly_flags``: a level shift or a true spike
+    inflates a rolling STDDEV and masks its neighbours, while the
+    rolling median/MAD pair stays put until half the window is bad.
+    Emits every day with its local median, MAD, and flag (not only
+    the flagged rows — a drift in flag COUNT is itself the signal a
+    monitoring consumer wants).
+
+    Scale: the range self-join expands each day to ≤15 neighbours —
+    linear in days with constant fanout; both medians are PARTITIONED
+    windows (per-day groups, never a global sort).
+
+    Reference parity: beyond-reference statistics tier."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_hampel_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# repeated_median_slope
+# ---------------------------------------------------------------------------
+
+
+def _siegel_sql(dialect: str) -> str:
+    div = " div " if dialect == "spark" else " // "
+    return f"""
+    WITH {_day_sql(dialect)},
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM day),
+    pslope AS (
+      SELECT a.t AS i,
+        CAST(((b.y - a.y) * 1000000){div}(b.t - a.t) AS BIGINT) AS s_e6
+      FROM day a JOIN day b ON b.t <> a.t
+    ),
+    per_i AS (
+      SELECT i, s_e6,
+        row_number() OVER (PARTITION BY i ORDER BY s_e6) AS r,
+        count(*) OVER (PARTITION BY i) AS m
+      FROM pslope
+    ),
+    imed AS (
+      SELECT i, s_e6 AS med_i FROM per_i WHERE r = (m + 1){div}2
+    ),
+    outer_rank AS (
+      SELECT med_i, row_number() OVER (ORDER BY med_i) AS r FROM imed
+    ),
+    slope AS (
+      SELECT o.med_i AS slope_e6 FROM outer_rank o CROSS JOIN n
+      WHERE o.r = (n.n + 1){div}2
+    ),
+    resid AS (
+      SELECT d.y * 1000000 - s.slope_e6 * d.t AS res_e6
+      FROM day d CROSS JOIN slope s
+    ),
+    ic AS (
+      SELECT res_e6, row_number() OVER (ORDER BY res_e6) AS r FROM resid
+    )
+    SELECT n.n AS n_days, s.slope_e6,
+      CAST(ic.res_e6{div}1000000 AS BIGINT) AS intercept
+    FROM slope s CROSS JOIN n JOIN ic ON ic.r = (n.n + 1){div}2
+    """
+
+
+@query("repeated_median_slope", oracle=_siegel_sql("duck"))
+def q_repeated_median_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel's repeated median regression of daily revenue on time:
+    slope = med_i med_{j≠i} (yⱼ−yᵢ)/(tⱼ−tᵢ), intercept = med(yᵢ −
+    slope·tᵢ).  Breakdown 50% vs Theil-Sen's 29% (``theil_sen_trend``
+    takes ONE median over all pairs, so ~29% contamination suffices
+    to poison it; the repeated median needs a majority of rows bad).
+    Same pairwise-slope device; the inner median is PARTITIONED by i,
+    so only the n-row outer median and the n-row intercept median
+    need a global order.  One ppm floor per pair slope, exact after.
+
+    Scale: calendar-bounded pair frame, balanced per-i partitions
+    (exactly n−1 pairs each).
+
+    Reference parity: beyond-reference statistics tier."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_siegel_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# yuen_trimmed_t
+# ---------------------------------------------------------------------------
+
+
+def _yuen_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    big = "DECIMAL(38,0)" if spark else "HUGEINT"
+    div = " div " if spark else " // "
+    return f"""
+    WITH {_two_group_hist_sql(dialect)},
+    g AS (
+      SELECT n1, n2, n1{div}5 AS g1, n2{div}5 AS g2 FROM tot
+    ),
+    cut AS (
+      SELECT max(g.n1) AS n1, max(g.n2) AS n2,
+        max(g.g1) AS g1, max(g.g2) AS g2,
+        min(CASE WHEN lt1 + c1 > g.g1 THEN v END) AS lo1,
+        min(CASE WHEN lt1 + c1 >= g.n1 - g.g1 THEN v END) AS hi1,
+        min(CASE WHEN lt2 + c2 > g.g2 THEN v END) AS lo2,
+        min(CASE WHEN lt2 + c2 >= g.n2 - g.g2 THEN v END) AS hi2
+      FROM cum CROSS JOIN g
+    ),
+    kept AS (
+      SELECT c.v, ct.n1, ct.n2, ct.g1, ct.g2, ct.lo1, ct.hi1,
+        ct.lo2, ct.hi2,
+        greatest(CAST(0 AS BIGINT),
+          least(c.lt1 + c.c1, ct.n1 - ct.g1)
+          - greatest(c.lt1, ct.g1)) AS k1,
+        greatest(CAST(0 AS BIGINT),
+          least(c.lt2 + c.c2, ct.n2 - ct.g2)
+          - greatest(c.lt2, ct.g2)) AS k2
+      FROM cum c CROSS JOIN cut ct
+    ),
+    sums AS (
+      SELECT n1, n2, g1, g2, lo1, hi1, lo2, hi2,
+        sum(CAST(v AS {big}) * k1) AS ts1,
+        sum(CAST(v AS {big}) * k2) AS ts2,
+        sum(CAST(v AS {big}) * v * k1) AS tss1,
+        sum(CAST(v AS {big}) * v * k2) AS tss2
+      FROM kept
+      GROUP BY n1, n2, g1, g2, lo1, hi1, lo2, hi2
+    ),
+    wins AS (
+      SELECT n1, n2, g1, g2,
+        n1 - 2 * g1 AS h1, n2 - 2 * g2 AS h2,
+        ts1, ts2,
+        ts1 + g1 * (CAST(lo1 AS {big}) + hi1) AS ws1,
+        ts2 + g2 * (CAST(lo2 AS {big}) + hi2) AS ws2,
+        tss1 + g1 * (CAST(lo1 AS {big}) * lo1
+                     + CAST(hi1 AS {big}) * hi1) AS wss1,
+        tss2 + g2 * (CAST(lo2 AS {big}) * lo2
+                     + CAST(hi2 AS {big}) * hi2) AS wss2
+      FROM sums
+    )
+    SELECT n1, n2, h1, h2,
+      CAST((ts1 * 1000000){div}h1 AS BIGINT) AS trim_mean1_e6,
+      CAST((ts2 * 1000000){div}h2 AS BIGINT) AS trim_mean2_e6,
+      CAST(floor(
+        (CAST(ts1 AS DOUBLE) / h1 - CAST(ts2 AS DOUBLE) / h2)
+        / sqrt(
+            (CAST(wss1 AS DOUBLE) - CAST(ws1 * ws1 AS DOUBLE) / n1)
+              / (CAST(h1 AS DOUBLE) * (h1 - 1))
+          + (CAST(wss2 AS DOUBLE) - CAST(ws2 * ws2 AS DOUBLE) / n2)
+              / (CAST(h2 AS DOUBLE) * (h2 - 1))
+        ) * 1e6) AS BIGINT) AS t_e6,
+      abs(CAST(floor(
+        (CAST(ts1 AS DOUBLE) / h1 - CAST(ts2 AS DOUBLE) / h2)
+        / sqrt(
+            (CAST(wss1 AS DOUBLE) - CAST(ws1 * ws1 AS DOUBLE) / n1)
+              / (CAST(h1 AS DOUBLE) * (h1 - 1))
+          + (CAST(wss2 AS DOUBLE) - CAST(ws2 * ws2 AS DOUBLE) / n2)
+              / (CAST(h2 AS DOUBLE) * (h2 - 1))
+        ) * 1e6) AS BIGINT)) > {_Z975_E6} AS reject_equal_trimmed_means
+    FROM wins
+    """
+
+
+@query("yuen_trimmed_t", oracle=_yuen_sql("duck"))
+def q_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen-Welch robust two-sample test between BUILDING and
+    MACHINERY order values: 20%-trimmed means compared with
+    winsorized variances, t = (x̄ₜ₁−x̄ₜ₂)/√(d₁+d₂) with dⱼ =
+    s²_wj·(nⱼ−1)/(hⱼ(hⱼ−1)), hⱼ = nⱼ−2gⱼ.  ``welch_t_test`` on these
+    heavy-right-tailed order values is dominated by the tail;
+    trimming restores the intended "typical order" comparison.
+    Computed ENTIRELY from the r9a $10-bucket two-group histogram:
+    trim cutpoints are order statistics read off the cumulative
+    counts, kept mass per bucket is a clamped interval intersection,
+    winsorized moments add gⱼ copies of each cutpoint — no per-row
+    rank is ever materialized.  Exact integers to the final
+    double-sqrt combine (one e6 floor); asymptotic z gate (df > 100
+    at every SF).
+
+    Scale: one aggregation to the bounded $10-bucket histogram plus
+    bounded-frame cumulatives — the dunn/ansari class; nothing
+    data-sized crosses an exchange after the histogram rollup.
+
+    Reference parity: beyond-reference statistics tier."""
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(_yuen_sql("spark"))

@@ -382,7 +382,7 @@ def _mmr_greedy(spark: SparkSession, short_df: DataFrame) -> DataFrame:
 
 @query(
     "mmr_diversified_rerank",
-    registered=True,  # round-9 slot: IVF-fed rework of the r8 extra (VERDICT r8 item 3)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=(
         lambda sl=_mmr_ivf_short_duck(),
         ps=_mmr_base_sql("duck")[1],
@@ -418,7 +418,7 @@ def q_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mmr_shortlist_recall_audit",
-    registered=True,  # round-9 slot: new this round (brute twin of the IVF-fed MMR)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=f"""
     WITH bshort AS ({_mmr_base_sql("duck")[0]}),
     ishort AS ({_mmr_ivf_short_duck()}),
@@ -566,7 +566,7 @@ def _fisher_sql(dialect: str) -> str:
 
 @query(
     "fisher_exact_2x2",
-    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_fisher_sql("duck"),
 )
 def q_fisher_exact_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,7 +665,7 @@ def _hurst_sql(dialect: str) -> str:
 
 @query(
     "hurst_exponent",
-    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_hurst_sql("duck"),
 )
 def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,7 +782,7 @@ def _pcorr_sql(dialect: str) -> str:
 
 @query(
     "partial_correlation_triples",
-    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_pcorr_sql("duck"),
 )
 def q_partial_correlation_triples(
@@ -864,7 +864,7 @@ def _bartlett_sql(dialect: str) -> str:
 
 @query(
     "bartlett_test",
-    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_bartlett_sql("duck"),
 )
 def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -89,7 +89,7 @@ def _cq_sql(dialect: str) -> str:
 
 @query(
     "cochran_q_test",
-    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_cq_sql("duck"),
 )
 def q_cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +169,7 @@ def _mh_sql(dialect: str) -> str:
 
 @query(
     "mantel_haenszel_cmh",
-    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_mh_sql("duck"),
 )
 def q_mantel_haenszel_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +251,7 @@ def _kpss_sql(dialect: str) -> str:
 
 @query(
     "kpss_stationarity",
-    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_kpss_sql("duck"),
 )
 def q_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,7 +414,7 @@ def _pacf_sql(dialect: str) -> str:
 
 @query(
     "pacf_durbin_levinson",
-    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_pacf_sql("duck"),
 )
 def q_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:

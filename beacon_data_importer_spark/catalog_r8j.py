@@ -106,7 +106,7 @@ def _pgram_sql(dialect: str) -> str:
 
 @query(
     "seasonal_periodogram_audit",
-    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_pgram_sql("duck"),
 )
 def q_seasonal_periodogram_audit(
@@ -178,7 +178,7 @@ def _mci_sql(dialect: str) -> str:
 
 @query(
     "median_ci_order_stat",
-    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_mci_sql("duck"),
 )
 def q_median_ci_order_stat(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -86,7 +86,7 @@ def _hhm_oracle() -> str:
 
 @query(
     "heavy_hitters_merge_audit",
-    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_hhm_oracle(),
 )
 def q_heavy_hitters_merge_audit(

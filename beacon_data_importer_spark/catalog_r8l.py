@@ -85,7 +85,7 @@ def _wilson_sql(dialect: str) -> str:
 
 @query(
     "wilson_score_interval",
-    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_wilson_sql("duck"),
 )
 def q_wilson_score_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,7 +170,7 @@ def _sprt_sql(dialect: str) -> str:
 
 @query(
     "sprt_boundary_crossing",
-    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_sprt_sql("duck"),
 )
 def q_sprt_boundary_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,7 +286,7 @@ def _bd_sql(dialect: str) -> str:
 
 @query(
     "breslow_day_homogeneity",
-    registered=True,  # round-9 slot: r8 post-slot extra promoted (VERDICT r8 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_bd_sql("duck"),
 )
 def q_breslow_day_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:

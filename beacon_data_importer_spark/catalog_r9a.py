@@ -111,7 +111,7 @@ def _wilcoxon_sql(dialect: str) -> str:
 
 @query(
     "wilcoxon_signed_rank",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_wilcoxon_sql("duck"),
 )
 def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,7 +192,7 @@ def _sign_sql(dialect: str) -> str:
 
 @query(
     "sign_test_paired",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_sign_sql("duck"),
 )
 def q_sign_test_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +254,7 @@ def _cox_stuart_sql(dialect: str) -> str:
 
 @query(
     "cox_stuart_trend",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_cox_stuart_sql("duck"),
 )
 def q_cox_stuart_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,7 +313,7 @@ def _turning_points_sql(dialect: str) -> str:
 
 @query(
     "turning_points_test",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_turning_points_sql("duck"),
 )
 def q_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,7 +423,7 @@ def _bm_sql(dialect: str) -> str:
 
 @query(
     "brunner_munzel",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_bm_sql("duck"),
 )
 def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,7 +477,7 @@ def _cliffs_sql(dialect: str) -> str:
 
 @query(
     "cliffs_delta_effect",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_cliffs_sql("duck"),
 )
 def q_cliffs_delta_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,7 +544,7 @@ def _hl_sql(dialect: str) -> str:
 
 @query(
     "hodges_lehmann_shift",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_hl_sql("duck"),
 )
 def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,7 +612,7 @@ def _gamma_sql(dialect: str) -> str:
 
 @query(
     "kruskal_gamma",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_gamma_sql("duck"),
 )
 def q_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,7 +650,7 @@ def _somers_sql(dialect: str) -> str:
 
 @query(
     "somers_d",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_somers_sql("duck"),
 )
 def q_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:

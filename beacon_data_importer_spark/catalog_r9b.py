@@ -135,7 +135,7 @@ def _qr_sql(dialect: str) -> str:
 
 @query(
     "quantile_regression_irls",
-    registered=True,  # round-9 slot: new this round (ROADMAP item)
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_qr_sql("duck"),
 )
 def q_quantile_regression_irls(
@@ -236,7 +236,7 @@ def _granger_sql(dialect: str) -> str:
 
 @query(
     "granger_lag1_test",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_granger_sql("duck"),
 )
 def q_granger_lag1_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,7 +297,7 @@ def _arch_sql(dialect: str) -> str:
 
 @query(
     "arch_lm_test",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_arch_sql("duck"),
 )
 def q_arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,7 +376,7 @@ def _yw_sql(dialect: str) -> str:
 
 @query(
     "yule_walker_ar2",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_yw_sql("duck"),
 )
 def q_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,7 +435,7 @@ def _dm_sql(dialect: str) -> str:
 
 @query(
     "diebold_mariano_test",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_dm_sql("duck"),
 )
 def q_diebold_mariano_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,7 +507,7 @@ def _ts_sql(dialect: str) -> str:
 
 @query(
     "tracking_signal_audit",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_ts_sql("duck"),
 )
 def q_tracking_signal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,7 +572,7 @@ def _pe_sql(dialect: str) -> str:
 
 @query(
     "permutation_entropy",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_pe_sql("duck"),
 )
 def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,7 +631,7 @@ def _sen_seasonal_sql(dialect: str) -> str:
 
 @query(
     "sen_slope_seasonal",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_sen_seasonal_sql("duck"),
 )
 def q_sen_slope_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,7 +727,7 @@ def _ecc_sql(dialect: str) -> str:
 
 @query(
     "ewma_control_chart",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_ecc_sql("duck"),
 )
 def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -96,7 +96,7 @@ def _gtest_sql(dialect: str) -> str:
 
 @query(
     "g_test_independence",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_gtest_sql("duck"),
 )
 def q_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,7 +177,7 @@ def _ebshrink_sql(dialect: str) -> str:
 
 @query(
     "bayesian_shrinkage_rates",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_ebshrink_sql("duck"),
 )
 def q_bayesian_shrinkage_rates(
@@ -263,7 +263,7 @@ def _ratio_ci_sql(dialect: str) -> str:
 
 @query(
     "ratio_metric_delta_ci",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_ratio_ci_sql("duck"),
 )
 def q_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,7 +334,7 @@ def _evalue_sql(dialect: str) -> str:
 
 @query(
     "evalue_sensitivity",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_evalue_sql("duck"),
 )
 def q_evalue_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,7 +423,7 @@ def _ato_sql(dialect: str) -> str:
 
 @query(
     "overlap_weights_ato",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_ato_sql("duck"),
 )
 def q_overlap_weights_ato(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,7 +499,7 @@ def _kw_sql(dialect: str) -> str:
 
 @query(
     "kendall_w_concordance",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_kw_sql("duck"),
 )
 def q_kendall_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,7 +106,7 @@ def _gini_sql(dialect: str) -> str:
 
 @query(
     "gini_lorenz_audit",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_gini_sql("duck"),
 )
 def q_gini_lorenz_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,7 +212,7 @@ def _dd_sql(dialect: str) -> str:
 
 @query(
     "ddsketch_quantile_audit",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_dd_sql("duck"),
 )
 def q_ddsketch_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,7 +275,7 @@ def _zip_sql(dialect: str) -> str:
 
 @query(
     "poisson_zero_inflation_audit",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_zip_sql("duck"),
 )
 def q_poisson_zero_inflation_audit(

@@ -85,7 +85,7 @@ def _balance_sql(dialect: str) -> str:
 
 @query(
     "ivf_cell_balance_audit",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_balance_sql("duck"),
 )
 def q_ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +171,7 @@ def _curve_sql(dialect: str) -> str:
 
 @query(
     "ivf_nprobe_recall_curve",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_curve_sql("duck"),
 )
 def q_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,7 +270,7 @@ def _pq_dist_sql(dialect: str) -> str:
 
 @query(
     "pq_distortion_audit",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_pq_dist_sql("duck"),
 )
 def q_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,7 +336,7 @@ def _assort_sql(dialect: str) -> str:
 
 @query(
     "degree_assortativity",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_assort_sql("duck"),
 )
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -108,7 +108,7 @@ def _novelty_sql(dialect: str) -> str:
 
 @query(
     "trigram_novelty_curve",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_novelty_sql("duck"),
 )
 def q_trigram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,7 +175,7 @@ def _containment_sql(dialect: str) -> str:
 
 @query(
     "shingle_containment_pairs",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_containment_sql("duck"),
 )
 def q_shingle_containment_pairs(
@@ -250,7 +250,7 @@ def _fertility_sql(dialect: str) -> str:
 
 @query(
     "tokenizer_fertility_by_source",
-    registered=True,  # round-9 slot: new this round
+    registered=False,  # driver-proven green in CORRECTNESS_r09; slot rotated (see catalog.py docstring)
     oracle=_fertility_sql("duck"),
 )
 def q_tokenizer_fertility_by_source(

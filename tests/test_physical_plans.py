@@ -438,6 +438,22 @@ def test_no_single_partition_windows():
         # threshold cumulative (pot)
         "chatterjee_xi", "lepage_test", "quade_test",
         "pot_mean_excess",
+        # r10a: robust estimators — pairwise-gap / kernel / per-i-median
+        # ranks over C(days,2)-bounded frames (calendar-bounded, the
+        # theil_sen class) and n-row median ranks over the calendar-day
+        # frame; yuen's cumulative runs on the DISTINCT $10-bucket
+        # frame (the dunn/ansari class)
+        "qn_scale_estimator", "sn_scale_estimator",
+        "biweight_midvariance", "trimean_bowley_skew",
+        "medcouple_skew_lite", "repeated_median_slope",
+        "yuen_trimmed_t",
+        # r10b: lag/rank/running-extreme/fixed-width-sum walks over the
+        # calendar-day frame (the pettitt/ewma class) and month-frame
+        # recursion bases (the holt_linear class)
+        "von_neumann_ratio", "bartels_rank_test",
+        "foster_stuart_records", "mosum_changepoint",
+        "runs_up_down_test", "holt_damped_forecast", "theta_forecast",
+        "seasonal_strength_audit",
         "cusum_changepoints", "max_concurrent_orders", "late_data_audit",
         "conversion_hazard", "kaplan_meier", "nelson_aalen_hazard",
         "mase_forecast_audit", "interim_analysis_audit",
