@@ -454,6 +454,9 @@ def test_no_single_partition_windows():
         "foster_stuart_records", "mosum_changepoint",
         "runs_up_down_test", "holt_damped_forecast", "theta_forecast",
         "seasonal_strength_audit",
+        # r10c: p-rank over the ≤25-nation test frame (the
+        # holm/fdr_bh class)
+        "benjamini_yekutieli_audit",
         "cusum_changepoints", "max_concurrent_orders", "late_data_audit",
         "conversion_hazard", "kaplan_meier", "nelson_aalen_hazard",
         "mase_forecast_audit", "interim_analysis_audit",
