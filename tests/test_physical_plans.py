@@ -457,6 +457,12 @@ def test_no_single_partition_windows():
         # r10c: p-rank over the ≤25-nation test frame (the
         # holm/fdr_bh class)
         "benjamini_yekutieli_audit",
+        # r10d: cumulatives over bounded histogram frames — distinct
+        # supplier degrees (graph_degree_gini), $10 price buckets +
+        # the 32-row partition-id lag (range_partition_planner),
+        # distinct doc lengths (doc_length_lognormal_fit)
+        "graph_degree_gini", "range_partition_planner",
+        "doc_length_lognormal_fit",
         "cusum_changepoints", "max_concurrent_orders", "late_data_audit",
         "conversion_hazard", "kaplan_meier", "nelson_aalen_hazard",
         "mase_forecast_audit", "interim_analysis_audit",
