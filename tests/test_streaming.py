@@ -1065,3 +1065,30 @@ def test_ph_streaming_invariants_hold(spark, sf_dir, tmp_path):
     assert r.ph_e6 == r.m_e6 - r.m_min_e6 >= 0
     assert r.lambda_e6 > 0
     assert 0 <= r.n_alarms < r.n_batches
+
+
+def test_windowed_distinct_users_matches_batch_twin(spark, sf_dir):
+    """VERDICT r9 item 8: the watermarked dropDuplicatesWithinWatermark
+    → windowed-count chain (windowed_distinct_users, exact=True) must
+    reproduce the registered batch twin (watermark_dedup_batch_twin)
+    exactly.  The testdata arrives as ONE file → one micro-batch, so
+    the bounded-disorder contract under which the streaming path is
+    exact (see the operator docstring) holds by construction."""
+    import __spark_entry__ as entry
+
+    stream = SE.stream_events(spark, sf_dir)
+    SE.run_available_now(
+        SE.windowed_distinct_users(stream), "stream_distinct_users"
+    )
+    got = {
+        (r.window_start, r.event_type): r.distinct_users
+        for r in spark.table("stream_distinct_users").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.distinct_users
+        for r in entry.queries()["watermark_dedup_batch_twin"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
