@@ -649,6 +649,108 @@ HEADLINE += [
     "pot_mean_excess",
 ]
 
+# Round-10 open's full headline set (R9_SET + the round-9 post-freeze
+# additions above), frozen for round-11+ per-query deltas — the same
+# freeze-at-open protocol as R9_SET (VERDICT r9 item 2: the freeze must
+# postdate the last perf commit of the PREVIOUS round, which this one
+# does by construction).
+R10_SET = list(HEADLINE)
+
+# Post-freeze round-10 additions (kept out of R10_SET so its
+# cross-round deltas stay comparable; they still run and report
+# per-query times).
+HEADLINE += [
+    # tier 1 (catalog_r10a): robust location/scale/outlier estimators
+    "qn_scale_estimator",
+    "sn_scale_estimator",
+    "biweight_midvariance",
+    "trimean_bowley_skew",
+    "medcouple_skew_lite",
+    "hampel_outlier_flags",
+    "repeated_median_slope",
+    "yuen_trimmed_t",
+    # tier 2 (catalog_r10b): time-series second wave
+    "von_neumann_ratio",
+    "bartels_rank_test",
+    "foster_stuart_records",
+    "mosum_changepoint",
+    "runs_up_down_test",
+    "holt_damped_forecast",
+    "theta_forecast",
+    "seasonal_strength_audit",
+    # tier 3 (catalog_r10c): categorical association & multiplicity
+    "bowker_symmetry_test",
+    "stuart_maxwell_test",
+    "lambda_goodman_kruskal",
+    "goodman_kruskal_tau",
+    "theil_uncertainty_coeff",
+    "yules_q_y",
+    "newcombe_diff_ci",
+    "benjamini_yekutieli_audit",
+    # tier 4 (catalog_r10d): ANN index health / graph / layout
+    "hdbscan_core_distances",
+    "knn_reciprocity_audit",
+    "centroid_drift_audit",
+    "cosine_dot_topk_overlap",
+    "ann_contrast_audit",
+    "graph_degree_gini",
+    "range_partition_planner",
+    "doc_length_lognormal_fit",
+    # tier 5 (catalog_r10e): corpus distribution analytics
+    "kl_source_divergence",
+    "js_divergence_sources",
+    "msttr_lexical_diversity",
+    "stopword_chi2_drift",
+    "hapax_ratio_by_source",
+    # tier 6 (catalog_r10f): CDC chunk dedup + streaming twin
+    "cdc_chunk_dedup",
+    "cross_source_ngram_overlap",
+    "watermark_dedup_batch_twin",
+    # tier 7 (catalog_r10g): dependence & concordance second wave
+    "hoeffding_d",
+    "distance_correlation_lite",
+    "blomqvist_beta",
+    "spearman_footrule",
+    "mann_kendall_test",
+    "cucconi_test",
+    "cronbach_alpha",
+    "stuart_tau_c",
+    # tier 8 (catalog_r10h): inequality / concentration / sketch
+    "hoover_index",
+    "gini_mean_difference",
+    "atkinson_index",
+    "theil_t_decomposition",
+    "palma_ratio",
+    "lorenz_asymmetry",
+    "hill_diversity_numbers",
+    "kmv_distinct_audit",
+    # tier 9 (catalog_r10i): vocabulary statistics & keyness
+    "yule_k_vocabulary",
+    "honore_sichel_richness",
+    "good_turing_smoothing",
+    "log_likelihood_keyness",
+    "gries_dp_dispersion",
+    "repetition_ngram_ratio",
+    # tier 10 (catalog_r10j): collocations, entropy rate, embedding
+    # geometry, sketch merge
+    "pmi_collocations",
+    "char_entropy_rate",
+    "embedding_anisotropy_audit",
+    "kmv_merge_audit",
+]
+
+# Queries with MEASURED ≥2× same-code run variance (PERF.md noise
+# quantification; VERDICT r9 item 3): their warm number is always a
+# median-of-3, even when SPARK_GRAFT_BENCH_REPEAT is unset, so a
+# single scheduler hiccup can't print a phantom regression into the
+# headline artifact.
+NOISY_MOVERS = {
+    "fuzzy_pairs_blocked",
+    "mmr_diversified_rerank",
+    "entity_components_star",
+    "hits_hub_authority",
+}
+
 
 def _bench_set(all_queries: dict) -> list[str]:
     """SPARK_GRAFT_BENCH_SET=full widens the run to EVERY catalog query
@@ -660,6 +762,8 @@ def _bench_set(all_queries: dict) -> list[str]:
         # Frozen-set comparison runs (median-of-3 protocol): only the
         # R9_SET queries, so a 3× repeat stays inside a round's budget.
         return list(R9_SET)
+    if mode == "r10set":
+        return list(R10_SET)
     if mode != "full":
         return HEADLINE
     rest = sorted(set(all_queries) - set(HEADLINE))
@@ -734,6 +838,11 @@ def main() -> None:
         # (the 2.2× fuzzy_pairs_blocked swing of PERF.md) can't print a
         # phantom regression into a cross-round comparison.
         reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
+        if name in NOISY_MOVERS:
+            # Measured ≥2× same-code swing (PERF.md): these four always
+            # take the median-of-3 even in single-rep headline runs
+            # (VERDICT r9 item 3).
+            reps = max(reps, 3)
         times = []
         for _rep in range(reps):
             t0 = time.time()

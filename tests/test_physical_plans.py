@@ -463,6 +463,16 @@ def test_no_single_partition_windows():
         # distinct doc lengths (doc_length_lognormal_fit)
         "graph_degree_gini", "range_partition_planner",
         "doc_length_lognormal_fit",
+        # r10g: rank maps over the calendar-day frame — (t) and (y, t)
+        # row_numbers feeding Hoeffding's D / footrule / Blomqvist
+        # medians (the cox_stuart/turning_points class); cucconi runs
+        # the cumulative over the DISTINCT $10-bucket frame (the
+        # dunn/ansari/lepage class)
+        "hoeffding_d", "blomqvist_beta", "spearman_footrule",
+        "cucconi_test",
+        # r10h: the gini_lorenz_audit cumulative over the DISTINCT
+        # $1000-bucket customer-revenue frame (price-range-bounded)
+        "gini_mean_difference", "palma_ratio",
         "cusum_changepoints", "max_concurrent_orders", "late_data_audit",
         "conversion_hazard", "kaplan_meier", "nelson_aalen_hazard",
         "mase_forecast_audit", "interim_analysis_audit",
