@@ -1082,6 +1082,9 @@ def main() -> None:
                 "warm_total_r9_set": round(
                     sum(warm[n] for n in R9_SET if n in warm), 3
                 ),
+                "warm_total_r10_set": round(
+                    sum(warm[n] for n in R10_SET if n in warm), 3
+                ),
                 "warm_total": round(sum(warm.values()), 3),
                 "n_queries": len(warm),
                 "sf": sf_val,
