@@ -94,7 +94,7 @@ def _qn_sql(dialect: str) -> str:
     """
 
 
-@query("qn_scale_estimator", oracle=_qn_sql("duck"))
+@query("qn_scale_estimator", registered=False, oracle=_qn_sql("duck"))
 def q_qn_scale_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rousseeuw-Croux Qn scale of daily revenue: the k-th smallest of
     the C(n,2) pairwise absolute gaps, k = C(⌊n/2⌋+1, 2), scaled by
@@ -147,7 +147,7 @@ def _sn_sql(dialect: str) -> str:
     """
 
 
-@query("sn_scale_estimator", oracle=_sn_sql("duck"))
+@query("sn_scale_estimator", registered=False, oracle=_sn_sql("duck"))
 def q_sn_scale_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rousseeuw-Croux Sn scale of daily revenue: the low median over
     i of the high median over j of |yᵢ−yⱼ|, scaled by c = 1.1926.
@@ -225,7 +225,7 @@ def _bwmv_sql(dialect: str) -> str:
     """
 
 
-@query("biweight_midvariance", oracle=_bwmv_sql("duck"))
+@query("biweight_midvariance", registered=False, oracle=_bwmv_sql("duck"))
 def q_biweight_midvariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey's biweight midvariance of daily revenue with the standard
     9·MAD tuning radius: u = (y−M)/(9·MAD), BWMV = n·Σ_{|u|<1}
@@ -278,7 +278,7 @@ def _trimean_sql(dialect: str) -> str:
     """
 
 
-@query("trimean_bowley_skew", oracle=_trimean_sql("duck"))
+@query("trimean_bowley_skew", registered=False, oracle=_trimean_sql("duck"))
 def q_trimean_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey's trimean (Q1+2M+Q3)/4 and Bowley's quartile skewness
     (Q3+Q1−2M)/(Q3−Q1) of daily revenue, from exact HINGE order
@@ -329,7 +329,7 @@ def _medcouple_sql(dialect: str) -> str:
     """
 
 
-@query("medcouple_skew_lite", oracle=_medcouple_sql("duck"))
+@query("medcouple_skew_lite", registered=False, oracle=_medcouple_sql("duck"))
 def q_medcouple_skew_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Medcouple robust skewness of daily revenue: the median of the
     kernel h(xᵢ,xⱼ) = ((xⱼ−M)−(M−xᵢ))/(xⱼ−xᵢ) over pairs with
@@ -389,7 +389,7 @@ def _hampel_sql(dialect: str) -> str:
     """
 
 
-@query("hampel_outlier_flags", oracle=_hampel_sql("duck"))
+@query("hampel_outlier_flags", registered=False, oracle=_hampel_sql("duck"))
 def q_hampel_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hampel identifier over daily revenue: a ±7-day rolling window
     median and rolling MAD per day, flagging |y − med| > 3·1.4826·MAD
@@ -455,7 +455,7 @@ def _siegel_sql(dialect: str) -> str:
     """
 
 
-@query("repeated_median_slope", oracle=_siegel_sql("duck"))
+@query("repeated_median_slope", registered=False, oracle=_siegel_sql("duck"))
 def q_repeated_median_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Siegel's repeated median regression of daily revenue on time:
     slope = med_i med_{j≠i} (yⱼ−yᵢ)/(tⱼ−tᵢ), intercept = med(yᵢ −
@@ -552,7 +552,7 @@ def _yuen_sql(dialect: str) -> str:
     """
 
 
-@query("yuen_trimmed_t", oracle=_yuen_sql("duck"))
+@query("yuen_trimmed_t", registered=False, oracle=_yuen_sql("duck"))
 def q_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Yuen-Welch robust two-sample test between BUILDING and
     MACHINERY order values: 20%-trimmed means compared with

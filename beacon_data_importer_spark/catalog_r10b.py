@@ -102,7 +102,7 @@ def _vn_sql(dialect: str) -> str:
     """
 
 
-@query("von_neumann_ratio", oracle=_vn_sql("duck"))
+@query("von_neumann_ratio", registered=False, oracle=_vn_sql("duck"))
 def q_von_neumann_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Von Neumann ratio of daily revenue: η = Σ(Δy)²/Σ(y−ȳ)², the
     mean-square-successive-difference test.  η ≈ 2 under serial
@@ -157,7 +157,7 @@ def _bartels_sql(dialect: str) -> str:
     """
 
 
-@query("bartels_rank_test", oracle=_bartels_sql("duck"))
+@query("bartels_rank_test", registered=False, oracle=_bartels_sql("duck"))
 def q_bartels_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bartels' rank version of the von Neumann ratio on daily
     revenue: RVN = Σ(rₜ₊₁−rₜ)² / Σ(r−r̄)², with ranks assigned by
@@ -220,7 +220,7 @@ def _fs_sql(dialect: str) -> str:
     """
 
 
-@query("foster_stuart_records", oracle=_fs_sql("duck"))
+@query("foster_stuart_records", registered=False, oracle=_fs_sql("duck"))
 def q_foster_stuart_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foster-Stuart records test on daily revenue: uₜ = 1 iff day t
     sets a new maximum, lₜ = 1 iff a new minimum; D = Σ(u−l) reads
@@ -295,7 +295,7 @@ def _mosum_sql(dialect: str) -> str:
     """
 
 
-@query("mosum_changepoint", oracle=_mosum_sql("duck"))
+@query("mosum_changepoint", registered=False, oracle=_mosum_sql("duck"))
 def q_mosum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSUM break scan over daily revenue: for every day t with full
     flanks, the moving-sum contrast |Σ(next {_MOSUM_G} days) −
@@ -352,7 +352,7 @@ def _rud_sql(dialect: str) -> str:
     """
 
 
-@query("runs_up_down_test", oracle=_rud_sql("duck"))
+@query("runs_up_down_test", registered=False, oracle=_rud_sql("duck"))
 def q_runs_up_down_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs-up-and-down test on daily revenue: successive differences
     become a ±1 direction sequence (zero differences dropped — the
@@ -437,7 +437,7 @@ def _damp_duck_sql() -> str:
     """
 
 
-@query("holt_damped_forecast", oracle=_damp_duck_sql())
+@query("holt_damped_forecast", registered=False, oracle=_damp_duck_sql())
 def q_holt_damped_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt smoothing with a DAMPED trend (Gardner-McKenzie, φ=0.9) on
     monthly revenue: lₜ = αyₜ + (1−α)(l+φb), bₜ = β(lₜ−l) + (1−β)φb,
@@ -542,7 +542,7 @@ def _theta_duck_sql() -> str:
     """
 
 
-@query("theta_forecast", oracle=_theta_duck_sql())
+@query("theta_forecast", registered=False, oracle=_theta_duck_sql())
 def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta(0,2) forecast of monthly revenue (Assimakopoulos &
     Nikolopoulos; the M3-competition winner): decompose into the OLS
@@ -609,7 +609,7 @@ def _sstrength_sql(dialect: str) -> str:
     """
 
 
-@query("seasonal_strength_audit", oracle=_sstrength_sql("duck"))
+@query("seasonal_strength_audit", registered=False, oracle=_sstrength_sql("duck"))
 def q_seasonal_strength_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wang-Smith-Hyndman decomposition-strength features from the
     ``stl_decomposition_lite`` components: F_s = max(0, 1 −

@@ -162,7 +162,7 @@ def _bowker_sql(dialect: str) -> str:
     """
 
 
-@query("bowker_symmetry_test", oracle=_bowker_sql("duck"))
+@query("bowker_symmetry_test", registered=False, oracle=_bowker_sql("duck"))
 def q_bowker_symmetry_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bowker's symmetry test on the 5×5 order-priority transition
     table (each customer's first-order priority, 1997 → 1998):
@@ -241,7 +241,7 @@ def _sm_sql(dialect: str) -> str:
     """
 
 
-@query("stuart_maxwell_test", oracle=_sm_sql("duck"))
+@query("stuart_maxwell_test", registered=False, oracle=_sm_sql("duck"))
 def q_stuart_maxwell_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stuart-Maxwell marginal-homogeneity test on the collapsed 3×3
     priority transition table (high = urgent/high, med, low): with
@@ -290,7 +290,7 @@ def _lambda_sql(dialect: str) -> str:
     """
 
 
-@query("lambda_goodman_kruskal", oracle=_lambda_sql("duck"))
+@query("lambda_goodman_kruskal", registered=False, oracle=_lambda_sql("duck"))
 def q_lambda_goodman_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Goodman-Kruskal λ over the region × market-segment table:
     λ(Y|X) = (Σₓ maxᵧ n_xy − maxᵧ n_·y)/(N − maxᵧ n_·y) — the
@@ -341,7 +341,7 @@ def _gk_tau_sql(dialect: str) -> str:
     """
 
 
-@query("goodman_kruskal_tau", oracle=_gk_tau_sql("duck"))
+@query("goodman_kruskal_tau", registered=False, oracle=_gk_tau_sql("duck"))
 def q_goodman_kruskal_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Goodman-Kruskal τ(Y|X) over the same region × segment table as
     ``lambda_goodman_kruskal``: the PRE measure under PROPORTIONAL
@@ -397,7 +397,7 @@ def _theil_u_sql(dialect: str) -> str:
     """
 
 
-@query("theil_uncertainty_coeff", oracle=_theil_u_sql("duck"))
+@query("theil_uncertainty_coeff", registered=False, oracle=_theil_u_sql("duck"))
 def q_theil_uncertainty_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil's uncertainty coefficient U(Y|X) = I(X;Y)/H(Y) on the
     region × segment table: the fraction of the segment distribution's
@@ -451,7 +451,7 @@ def _yule_sql(dialect: str) -> str:
     """
 
 
-@query("yules_q_y", oracle=_yule_sql("duck"))
+@query("yules_q_y", registered=False, oracle=_yule_sql("duck"))
 def q_yules_q_y(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Yule's Q and colligation coefficient Y for the 2×2 association
     between returned lineitems and large quantities (> 25): Q =
@@ -539,7 +539,7 @@ def _newcombe_sql(dialect: str) -> str:
     """
 
 
-@query("newcombe_diff_ci", oracle=_newcombe_sql("duck"))
+@query("newcombe_diff_ci", registered=False, oracle=_newcombe_sql("duck"))
 def q_newcombe_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newcombe-Wilson 95% CI for the DIFFERENCE in urgent-order share
     between BUILDING and MACHINERY customers: take each segment's
@@ -624,7 +624,7 @@ def _by_sql(dialect: str) -> str:
     """
 
 
-@query("benjamini_yekutieli_audit", oracle=_by_sql("duck"))
+@query("benjamini_yekutieli_audit", registered=False, oracle=_by_sql("duck"))
 def q_benjamini_yekutieli_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini-Yekutieli FDR control (q = 0.10) over the SAME m ≤ 25
     per-nation two-proportion tests as ``fdr_bh_audit``, with the

@@ -104,7 +104,7 @@ def _core_sql(dialect: str) -> str:
     """
 
 
-@query("hdbscan_core_distances", oracle=_core_sql("duck"))
+@query("hdbscan_core_distances", registered=False, oracle=_core_sql("duck"))
 def q_hdbscan_core_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HDBSCAN-style core distances over the IVF-celled corpus: for
     every vector, the distance to its {_CORE_K}-th nearest neighbor
@@ -157,7 +157,7 @@ def _recip_sql(dialect: str) -> str:
     """
 
 
-@query("knn_reciprocity_audit", oracle=_recip_sql("duck"))
+@query("knn_reciprocity_audit", registered=False, oracle=_recip_sql("duck"))
 def q_knn_reciprocity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocity of the within-cell {_KNN_K}-NN digraph: the share
     of edges a→b with b→a also present.  High-dimensional kNN graphs
@@ -242,7 +242,7 @@ def _drift_sql(dialect: str) -> str:
     """
 
 
-@query("centroid_drift_audit", oracle=_drift_sql("duck"))
+@query("centroid_drift_audit", registered=False, oracle=_drift_sql("duck"))
 def q_centroid_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF centroid staleness: per cell, the cosine drift (ppm)
     between the STORED centroid and the RECOMPUTED mean of the
@@ -316,7 +316,7 @@ def _overlap_sql(dialect: str) -> str:
     """
 
 
-@query("cosine_dot_topk_overlap", oracle=_overlap_sql("duck"))
+@query("cosine_dot_topk_overlap", registered=False, oracle=_overlap_sql("duck"))
 def q_cosine_dot_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per query, the overlap@{_OVERLAP_K} between the cosine-ranked
     and the raw-inner-product-ranked top lists over the corpus.  The
@@ -376,7 +376,7 @@ def _contrast_sql(dialect: str) -> str:
     """
 
 
-@query("ann_contrast_audit", oracle=_contrast_sql("duck"))
+@query("ann_contrast_audit", registered=False, oracle=_contrast_sql("duck"))
 def q_ann_contrast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative contrast per query: mean corpus cosine distance over
     nearest-neighbor distance (He et al.'s query-difficulty measure).
@@ -436,7 +436,7 @@ def _dgini_sql(dialect: str) -> str:
     """
 
 
-@query("graph_degree_gini", oracle=_dgini_sql("duck"))
+@query("graph_degree_gini", registered=False, oracle=_dgini_sql("duck"))
 def q_graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of the supplier-degree distribution over the
     distinct supplier→part edge set: G = (2Σᵢi·x₍ᵢ₎ − (N+1)Σx)/(NΣx),
@@ -513,7 +513,7 @@ def _planner_sql(dialect: str) -> str:
     """
 
 
-@query("range_partition_planner", oracle=_planner_sql("duck"))
+@query("range_partition_planner", registered=False, oracle=_planner_sql("duck"))
 def q_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-partition boundary plan for orders on o_totalprice:
     {_PLAN_PARTS} boundaries read off the $10-bucket cumulative
@@ -586,7 +586,7 @@ def _loglen_sql(dialect: str) -> str:
     """
 
 
-@query("doc_length_lognormal_fit", oracle=_loglen_sql("duck"))
+@query("doc_length_lognormal_fit", registered=False, oracle=_loglen_sql("duck"))
 def q_doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Method-of-moments lognormal fit of document lengths: per-doc
     micro-nat floors of ln(n_chars) (the house floored-ln device —

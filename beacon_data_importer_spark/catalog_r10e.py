@@ -119,7 +119,7 @@ def _kl_sql(dialect: str) -> str:
     """
 
 
-@query("kl_source_divergence", oracle=_kl_sql("duck"))
+@query("kl_source_divergence", registered=False, oracle=_kl_sql("duck"))
 def q_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL divergence from the corpus unigram distribution:
     KL(P̃_s ‖ P_c) with add-1 smoothing on the source side over the
@@ -192,7 +192,7 @@ def _js_sql(dialect: str) -> str:
     """
 
 
-@query("js_divergence_sources", oracle=_js_sql("duck"))
+@query("js_divergence_sources", registered=False, oracle=_js_sql("duck"))
 def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between every source pair's
     unigram distribution: JS = ½KL(A‖M) + ½KL(B‖M), M = (A+B)/2.
@@ -271,7 +271,7 @@ def _msttr_sql(dialect: str) -> str:
     """
 
 
-@query("msttr_lexical_diversity", oracle=_msttr_sql("duck"))
+@query("msttr_lexical_diversity", registered=False, oracle=_msttr_sql("duck"))
 def q_msttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean segmental type-token ratio per source: each document's
     token stream is cut into consecutive FULL {_MSTTR_SEG}-token
@@ -329,7 +329,7 @@ def _stopchi_sql(dialect: str) -> str:
     """
 
 
-@query("stopword_chi2_drift", oracle=_stopchi_sql("duck"))
+@query("stopword_chi2_drift", registered=False, oracle=_stopchi_sql("duck"))
 def q_stopword_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """χ² homogeneity of the English-stopword token share across
     sources: observed per-source stopword counts vs expectation under
@@ -380,7 +380,7 @@ def _hapax_sql(dialect: str) -> str:
     """
 
 
-@query("hapax_ratio_by_source", oracle=_hapax_sql("duck"))
+@query("hapax_ratio_by_source", registered=False, oracle=_hapax_sql("duck"))
 def q_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-growth fingerprints per source: hapax-legomena share
     V₁/V, Sichel's dis-legomena share V₂/V, and Honoré's richness

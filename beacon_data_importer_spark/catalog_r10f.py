@@ -114,7 +114,7 @@ def _cdc_sql(dialect: str) -> str:
     """
 
 
-@query("cdc_chunk_dedup", oracle=_cdc_sql("duck"))
+@query("cdc_chunk_dedup", registered=False, oracle=_cdc_sql("duck"))
 def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunk dedup over the corpus: each document's
     token stream is cut AFTER every token whose md5 starts in the
@@ -198,7 +198,7 @@ def _xsource_sql(dialect: str) -> str:
     """
 
 
-@query("cross_source_ngram_overlap", oracle=_xsource_sql("duck"))
+@query("cross_source_ngram_overlap", registered=False, oracle=_xsource_sql("duck"))
 def q_cross_source_ngram_overlap(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -239,7 +239,7 @@ def _wdbt_sql(dialect: str) -> str:
     """
 
 
-@query("watermark_dedup_batch_twin", oracle=_wdbt_sql("duck"))
+@query("watermark_dedup_batch_twin", registered=False, oracle=_wdbt_sql("duck"))
 def q_watermark_dedup_batch_twin(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

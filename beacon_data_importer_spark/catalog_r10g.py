@@ -105,7 +105,7 @@ def _hoeffding_sql(dialect: str) -> str:
     """
 
 
-@query("hoeffding_d", registered=False, oracle=_hoeffding_sql("duck"))
+@query("hoeffding_d", oracle=_hoeffding_sql("duck"))
 def q_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hoeffding's D between day index and daily revenue, the
     dependence test with power against ALL alternatives (including the
@@ -194,7 +194,7 @@ def _dcor_sql(dialect: str) -> str:
 
 
 @query(
-    "distance_correlation_lite", registered=False, oracle=_dcor_sql("duck")
+    "distance_correlation_lite", oracle=_dcor_sql("duck")
 )
 def q_distance_correlation_lite(
     spark: SparkSession, sf_dir: str
@@ -263,7 +263,7 @@ def _blomqvist_sql(dialect: str) -> str:
     """
 
 
-@query("blomqvist_beta", registered=False, oracle=_blomqvist_sql("duck"))
+@query("blomqvist_beta", oracle=_blomqvist_sql("duck"))
 def q_blomqvist_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blomqvist's beta (the medial correlation): sign agreement of
     (t − med t, y − med y) quadrants, β = (n₁ − n₂)/(n₁ + n₂).  The
@@ -310,7 +310,7 @@ def _footrule_sql(dialect: str) -> str:
 
 
 @query(
-    "spearman_footrule", registered=False, oracle=_footrule_sql("duck")
+    "spearman_footrule", oracle=_footrule_sql("duck")
 )
 def q_spearman_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman's footrule between the time order and the revenue
@@ -376,7 +376,7 @@ def _mk_sql(dialect: str) -> str:
 
 
 @query(
-    "mann_kendall_test", registered=False, oracle=_mk_sql("duck")
+    "mann_kendall_test", oracle=_mk_sql("duck")
 )
 def q_mann_kendall_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test on daily revenue — the standard
@@ -449,7 +449,7 @@ def _cucconi_sql(dialect: str) -> str:
     """
 
 
-@query("cucconi_test", registered=False, oracle=_cucconi_sql("duck"))
+@query("cucconi_test", oracle=_cucconi_sql("duck"))
 def q_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cucconi's two-sample location-scale test (BUILDING vs MACHINERY
     order values): U from squared ranks, V from squared CONTRARY ranks
@@ -531,7 +531,7 @@ def _cronbach_sql(dialect: str) -> str:
     """
 
 
-@query("cronbach_alpha", registered=False, oracle=_cronbach_sql("duck"))
+@query("cronbach_alpha", oracle=_cronbach_sql("duck"))
 def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cronbach's alpha over the per-customer 3-item revenue profile:
     items = revenue (cents div 1000) in each calendar TERTILE of the
@@ -582,7 +582,7 @@ def _tauc_sql(dialect: str) -> str:
     """
 
 
-@query("stuart_tau_c", registered=False, oracle=_tauc_sql("duck"))
+@query("stuart_tau_c", oracle=_tauc_sql("duck"))
 def q_stuart_tau_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stuart's tau-c between discount and quantity: τ_c =
     2m(P − Q)/(N²(m − 1)) with m = min(#rows, #cols) of the ordinal

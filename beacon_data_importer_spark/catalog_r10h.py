@@ -122,7 +122,7 @@ def _hoover_sql(dialect: str) -> str:
     """
 
 
-@query("hoover_index", registered=False, oracle=_hoover_sql("duck"))
+@query("hoover_index", oracle=_hoover_sql("duck"))
 def q_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hoover (Robin Hood) index of customer revenue: the fraction of
     total revenue that must be transferred from above-mean to
@@ -174,7 +174,7 @@ def _gmd_sql(dialect: str) -> str:
 
 
 @query(
-    "gini_mean_difference", registered=False, oracle=_gmd_sql("duck")
+    "gini_mean_difference", oracle=_gmd_sql("duck")
 )
 def q_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini's mean difference Δ = E|X − X'| of customer revenue, the
@@ -223,7 +223,7 @@ def _atkinson_sql(dialect: str) -> str:
     """
 
 
-@query("atkinson_index", registered=False, oracle=_atkinson_sql("duck"))
+@query("atkinson_index", oracle=_atkinson_sql("duck"))
 def q_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atkinson inequality index at ε = 1: A = 1 − geomean/mean, the
     welfare-theoretic read ("what fraction of total revenue could be
@@ -306,7 +306,7 @@ def _theil_sql(dialect: str) -> str:
 
 
 @query(
-    "theil_t_decomposition", registered=False, oracle=_theil_sql("duck")
+    "theil_t_decomposition", oracle=_theil_sql("duck")
 )
 def q_theil_t_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil's T inequality of customer revenue with the additive
@@ -378,7 +378,7 @@ def _palma_sql(dialect: str) -> str:
     """
 
 
-@query("palma_ratio", registered=False, oracle=_palma_sql("duck"))
+@query("palma_ratio", oracle=_palma_sql("duck"))
 def q_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Palma ratio of customer revenue: top-10% share over bottom-40%
     share — the inequality read policy work prefers to the Gini
@@ -430,7 +430,7 @@ def _lac_sql(dialect: str) -> str:
     """
 
 
-@query("lorenz_asymmetry", registered=False, oracle=_lac_sql("duck"))
+@query("lorenz_asymmetry", oracle=_lac_sql("duck"))
 def q_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz asymmetry coefficient LAC = F(μ) + L(μ): the population
     share below the mean plus the revenue share below the mean.
@@ -485,7 +485,7 @@ def _hill_sql(dialect: str) -> str:
 
 
 @query(
-    "hill_diversity_numbers", registered=False, oracle=_hill_sql("duck")
+    "hill_diversity_numbers", oracle=_hill_sql("duck")
 )
 def q_hill_diversity_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill numbers of the document source distribution — the unified
@@ -540,29 +540,38 @@ def _kmv_sql(dialect: str) -> str:
     exact AS (
       SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd
       FROM lineitem
+    ),
+    est AS (
+      SELECT kf, hk,
+        CAST(CASE WHEN kf < {_KMV_K} THEN CAST(kf AS {big})
+          ELSE (CAST({_KMV_K} - 1 AS {big}) * {_HASH_SPACE}){div}hk
+        END AS BIGINT) AS kmv_est
+      FROM kth
     )
-    SELECT kth.kf AS k_filled, kth.hk AS kth_hash,
-      CAST((CAST({_KMV_K} - 1 AS {big}) * {_HASH_SPACE}){div}kth.hk
-        AS BIGINT) AS kmv_estimate,
+    SELECT est.kf AS k_filled, est.hk AS kth_hash,
+      est.kmv_est AS kmv_estimate,
       exact.exact_nd AS exact_distinct,
-      CAST(((CAST({_KMV_K} - 1 AS {big}) * {_HASH_SPACE}){div}kth.hk
-            - exact.exact_nd) * 1000000{div}exact.exact_nd AS BIGINT)
-        AS rel_err_e6
-    FROM kth CROSS JOIN exact
+      CAST((est.kmv_est - exact.exact_nd)
+           * 1000000{div}exact.exact_nd AS BIGINT) AS rel_err_e6
+    FROM est CROSS JOIN exact
     """
 
 
 @query(
-    "kmv_distinct_audit", registered=False, oracle=_kmv_sql("duck")
+    "kmv_distinct_audit", oracle=_kmv_sql("duck")
 )
 def q_kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) cardinality sketch audit: estimate the
     distinct part-key count of lineitem as (k−1)·H/h₍ₖ₎ — h₍ₖ₎ the
-    k-th smallest 60-bit portable hash (k=256, H=2⁶⁰) — priced
-    against the exact count(DISTINCT).  THE mergeable distinct
-    estimator for 100 TB scans: each partition keeps its k smallest
-    hashes, the merge is a k-way min-heap union, and the error is
-    ~1/√(k−2) ≈ 6% regardless of data size — exactly what a planner
+    k-th smallest 60-bit portable hash (k=_KMV_K=128, H=2⁶⁰), with
+    the underfilled-sketch guard: when fewer than k distinct hashes
+    exist, the sketch holds the whole universe and kf IS the exact
+    count, so the estimate short-circuits to kf (same CASE convention
+    as ``kmv_merge_audit``) — priced against the exact
+    count(DISTINCT).  THE mergeable distinct estimator for 100 TB
+    scans: each partition keeps its k smallest hashes, the merge is a
+    k-way min-heap union, and the error is ~1/√(k−2) ≈ 9% at k=128
+    regardless of data size — exactly what a planner
     consults where an exact distinct would shuffle the key universe.
     The audit row carries signed rel_err_e6, so a drifting hash or a
     skew-broken sketch surfaces as a number, not a belief.  Pairs

@@ -99,7 +99,7 @@ def _yule_sql(dialect: str) -> str:
 
 
 @query(
-    "yule_k_vocabulary", registered=False, oracle=_yule_sql("duck")
+    "yule_k_vocabulary", oracle=_yule_sql("duck")
 )
 def q_yule_k_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Yule's characteristic K of the corpus vocabulary:
@@ -155,7 +155,6 @@ def _honore_sql(dialect: str) -> str:
 
 @query(
     "honore_sichel_richness",
-    registered=False,
     oracle=_honore_sql("duck"),
 )
 def q_honore_sichel_richness(
@@ -216,7 +215,7 @@ def _gt_sql(dialect: str) -> str:
 
 
 @query(
-    "good_turing_smoothing", registered=False, oracle=_gt_sql("duck")
+    "good_turing_smoothing", oracle=_gt_sql("duck")
 )
 def q_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing frequency-spectrum smoothing: for r = 1..5 the
@@ -288,7 +287,6 @@ def _keyness_sql(dialect: str) -> str:
 
 @query(
     "log_likelihood_keyness",
-    registered=False,
     oracle=_keyness_sql("duck"),
 )
 def q_log_likelihood_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,7 +359,7 @@ def _dp_sql(dialect: str) -> str:
 
 
 @query(
-    "gries_dp_dispersion", registered=False, oracle=_dp_sql("duck")
+    "gries_dp_dispersion", oracle=_dp_sql("duck")
 )
 def q_gries_dp_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gries' Deviation of Proportions per term across the source
@@ -444,7 +442,7 @@ def _rep_sql(dialect: str) -> str:
 
 
 @query(
-    "repetition_ngram_ratio", registered=False, oracle=_rep_sql("duck")
+    "repetition_ngram_ratio", oracle=_rep_sql("duck")
 )
 def q_repetition_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram repetition gate, corpus roll-up: for each

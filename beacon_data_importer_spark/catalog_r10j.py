@@ -128,7 +128,7 @@ def _pmi_sql(dialect: str) -> str:
 
 
 @query(
-    "pmi_collocations", registered=False, oracle=_pmi_sql("duck")
+    "pmi_collocations", oracle=_pmi_sql("duck")
 )
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining over within-document word bigrams: PMI =
@@ -218,7 +218,7 @@ def _entropy_sql(dialect: str) -> str:
 
 
 @query(
-    "char_entropy_rate", registered=False, oracle=_entropy_sql("duck")
+    "char_entropy_rate", oracle=_entropy_sql("duck")
 )
 def q_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level entropy rate of the corpus: unigram entropy H₁,
@@ -308,7 +308,6 @@ def _aniso_sql(dialect: str) -> str:
 
 @query(
     "embedding_anisotropy_audit",
-    registered=False,
     oracle=_aniso_sql("duck"),
 )
 def q_embedding_anisotropy_audit(
@@ -414,7 +413,7 @@ def _kmv_merge_sql(dialect: str) -> str:
 
 
 @query(
-    "kmv_merge_audit", registered=False, oracle=_kmv_merge_sql("duck")
+    "kmv_merge_audit", oracle=_kmv_merge_sql("duck")
 )
 def q_kmv_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch MERGEABILITY audit over calendar shards: each order

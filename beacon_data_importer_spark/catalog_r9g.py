@@ -90,7 +90,7 @@ def _ad2_sql(dialect: str) -> str:
 
 @query(
     "anderson_darling_2sample",
-    registered=True,  # round-10 slot: r9 post-slot extra promoted (VERDICT r9 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r10; slot rotated (see catalog.py)
     oracle=_ad2_sql("duck"),
 )
 def q_anderson_darling_2sample(
@@ -177,7 +177,7 @@ def _ph_sql(dialect: str) -> str:
 
 @query(
     "page_hinkley_drift",
-    registered=True,  # round-10 slot: r9 post-slot extra promoted (VERDICT r9 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r10; slot rotated (see catalog.py)
     oracle=_ph_sql("duck"),
 )
 def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,7 +272,7 @@ def _tsci_sql(dialect: str) -> str:
 
 @query(
     "theil_sen_ci",
-    registered=True,  # round-10 slot: r9 post-slot extra promoted (VERDICT r9 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r10; slot rotated (see catalog.py)
     oracle=_tsci_sql("duck"),
 )
 def q_theil_sen_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,7 +317,7 @@ def _taub_sql(dialect: str) -> str:
 
 @query(
     "kendall_tau_b",
-    registered=True,  # round-10 slot: r9 post-slot extra promoted (VERDICT r9 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r10; slot rotated (see catalog.py)
     oracle=_taub_sql("duck"),
 )
 def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,7 +415,7 @@ def _mp_sql(dialect: str) -> str:
 
 @query(
     "median_polish_lite",
-    registered=True,  # round-10 slot: r9 post-slot extra promoted (VERDICT r9 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r10; slot rotated (see catalog.py)
     oracle=_mp_sql("duck"),
 )
 def q_median_polish_lite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -129,7 +129,7 @@ def _xi_sql(dialect: str) -> str:
 
 @query(
     "chatterjee_xi",
-    registered=True,  # round-10 slot: r9 post-slot extra promoted (VERDICT r9 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r10; slot rotated (see catalog.py)
     oracle=_xi_sql("duck"),
 )
 def q_chatterjee_xi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,7 +208,7 @@ def _lepage_sql(dialect: str) -> str:
 
 @query(
     "lepage_test",
-    registered=True,  # round-10 slot: r9 post-slot extra promoted (VERDICT r9 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r10; slot rotated (see catalog.py)
     oracle=_lepage_sql("duck"),
 )
 def q_lepage_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,7 +294,7 @@ def _quade_sql(dialect: str) -> str:
 
 @query(
     "quade_test",
-    registered=True,  # round-10 slot: r9 post-slot extra promoted (VERDICT r9 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r10; slot rotated (see catalog.py)
     oracle=_quade_sql("duck"),
 )
 def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,7 +372,7 @@ def _gumbel_sql(dialect: str) -> str:
 
 @query(
     "gumbel_block_maxima",
-    registered=True,  # round-10 slot: r9 post-slot extra promoted (VERDICT r9 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r10; slot rotated (see catalog.py)
     oracle=_gumbel_sql("duck"),
 )
 def q_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,7 +448,7 @@ def _pot_sql(dialect: str) -> str:
 
 @query(
     "pot_mean_excess",
-    registered=True,  # round-10 slot: r9 post-slot extra promoted (VERDICT r9 item 1)
+    registered=False,  # driver-proven green in CORRECTNESS_r10; slot rotated (see catalog.py)
     oracle=_pot_sql("duck"),
 )
 def q_pot_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:

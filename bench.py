@@ -757,6 +757,12 @@ def _bench_set(all_queries: dict) -> list[str]:
     (headline order first, then the remaining extras alphabetically);
     default stays the curated HEADLINE list so per-round wall budgets
     and cross-round deltas are unaffected."""
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        # Targeted micro-bench: comma-separated query names, run in the
+        # given order (pairs with SPARK_GRAFT_BENCH_REPEAT for
+        # median-of-k regression triage).
+        return [q.strip() for q in only.split(",") if q.strip()]
     mode = os.environ.get("SPARK_GRAFT_BENCH_SET", "").lower()
     if mode == "r9set":
         # Frozen-set comparison runs (median-of-3 protocol): only the
