@@ -465,5 +465,552 @@ def a_yuen(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — tier r10b: time-series randomness / records / forecasts
+# ===========================================================================
+
+
+def _tdiv(a: float, b: float) -> int:
+    """Truncating integer division (SQL div/// semantics, toward zero)."""
+    return int(a / b) if b else 0
+
+
+@audit("von_neumann_ratio")
+def a_vn(data: Data, row) -> list[str]:
+    y = data.day()["y"].to_numpy().astype(np.float64)
+    n = len(y)
+    eta = float(np.sum(np.diff(y) ** 2) / np.sum((y - y.mean()) ** 2))
+    z = (eta - 2.0) * math.sqrt(n) / 2.0
+    return check(
+        "vn",
+        row,
+        {
+            "n": (n, 0),
+            "vn_ratio_e6": (eta * 1e6, 2),
+            "z_e6": (z * 1e6, 30),
+            "reject_randomness": (1 if abs(z) * 1e6 > 1_959_963 else 0, 0),
+        },
+    )
+
+
+@audit("bartels_rank_test")
+def a_bartels(data: Data, row) -> list[str]:
+    d = data.day().copy()
+    d["r"] = d.sort_values(["y", "t"]).reset_index().reset_index().set_index(
+        "index"
+    )["level_0"] + 1
+    r = d.sort_values("t")["r"].to_numpy().astype(np.float64)
+    n = len(r)
+    rvn = float(np.sum(np.diff(r) ** 2) * 12.0 / (n * (n * n - 1.0)))
+    z = (rvn - 2.0) * math.sqrt(n) / 2.0
+    return check(
+        "bartels",
+        row,
+        {"n": (n, 0), "rvn_e6": (rvn * 1e6, 2), "z_e6": (z * 1e6, 30)},
+    )
+
+
+@audit("foster_stuart_records")
+def a_fs(data: Data, row) -> list[str]:
+    y = data.day()["y"].to_numpy()
+    n = len(y)
+    u = np.zeros(n, dtype=int)
+    lo = np.zeros(n, dtype=int)
+    for i in range(1, n):
+        u[i] = 1 if y[i] > y[:i].max() else 0
+        lo[i] = 1 if y[i] < y[:i].min() else 0
+    d_stat = int(u.sum() - lo.sum())
+    s_stat = int(u.sum() + lo.sum())
+    h = sum(1.0 / i for i in range(2, n + 1))
+    z = d_stat / math.sqrt(2.0 * h)
+    return check(
+        "fs",
+        row,
+        {
+            "n": (n, 0),
+            "n_upper": (int(u.sum()), 0),
+            "n_lower": (int(lo.sum()), 0),
+            "d_stat": (d_stat, 0),
+            "s_stat": (s_stat, 0),
+            "z_e6": (z * 1e6, ("rel", 1e-3)),
+            "reject_no_trend": (1 if abs(z) * 1e6 > 1_959_963 else 0, 0),
+        },
+    )
+
+
+@audit("mosum_changepoint")
+def a_mosum(data: Data, row) -> list[str]:
+    G = 60
+    day = data.day()
+    t = day["t"].to_numpy()
+    y = day["y"].to_numpy().astype(np.float64)
+    n = len(y)
+    # rolling sums by ROW (the SQL windows are ROWS, not calendar RANGE)
+    best_m, best_t = -1, None
+    cs = np.concatenate([[0.0], np.cumsum(y)])
+    for i in range(n):
+        if i - (G - 1) < 0 or i + G >= n:
+            continue
+        lsum = cs[i + 1] - cs[i + 1 - G]
+        rsum = cs[i + 1 + G] - cs[i + 1]
+        m = abs(rsum - lsum)
+        if m > best_m:
+            best_m, best_t = m, t[i]
+    sd = float(np.std(y, ddof=1))
+    norm = best_m / (math.sqrt(2 * G) * sd)
+    return check(
+        "mosum",
+        row,
+        {
+            "break_t": (int(best_t), 0),
+            "mosum_raw": (int(best_m), 0),
+            "mosum_norm_e6": (norm * 1e6, 2),
+            "break_detected": (1 if norm * 1e6 > 3_000_000 else 0, 0),
+        },
+    )
+
+
+@audit("runs_up_down_test")
+def a_rud(data: Data, row) -> list[str]:
+    y = data.day()["y"].to_numpy()
+    dy = np.diff(y)
+    sg = np.sign(dy[dy != 0])
+    n_eff = len(sg) + 1
+    runs = 1 + int(np.sum(sg[1:] != sg[:-1]))
+    z = (runs - (2.0 * n_eff - 1) / 3) / math.sqrt((16.0 * n_eff - 29) / 90)
+    return check(
+        "rud",
+        row,
+        {
+            "n_eff": (n_eff, 0),
+            "runs": (runs, 0),
+            "z_e6": (z * 1e6, 2),
+            "reject_randomness": (1 if abs(z) * 1e6 > 1_959_963 else 0, 0),
+        },
+    )
+
+
+def _months(data: Data) -> np.ndarray:
+    """_HOLT_BASE_SQL: monthly revenue cents, time order."""
+    o = data.table("orders")
+    ym = (
+        o["o_orderdate"].dt.year.to_numpy() * 100
+        + o["o_orderdate"].dt.month.to_numpy()
+    )
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = pd.DataFrame({"ym": ym, "c": cents}).groupby("ym")["c"].sum()
+    return g.sort_index().to_numpy().astype(np.float64)
+
+
+@audit("holt_damped_forecast")
+def a_damp(data: Data, rows) -> list[str]:
+    y = _months(data)
+    n = len(y)
+    al, be, phi = 0.3, 0.1, 0.9
+    l, b = y[0], y[1] - y[0]
+    pred = {1: None}
+    for i in range(1, n):
+        pred[i + 1] = l + phi * b
+        l_new = al * y[i] + (1 - al) * (l + phi * b)
+        b = be * (l_new - l) + (1 - be) * phi * b
+        l = l_new
+    ps = [phi, phi + phi**2, phi + phi**2 + phi**3]
+    for h in (1, 2, 3):
+        pred[n + h] = l + ps[h - 1] * b
+    errs = []
+    if len(rows) != n + 3:
+        errs.append(f"{len(rows)} rows vs {n + 3}")
+    for r in rows:
+        t = int(r["t"])
+        want = pred.get(t)
+        got = r["pred_c"]
+        if want is None:
+            if got is not None and not (
+                isinstance(got, float) and math.isnan(got)
+            ):
+                errs.append(f"t={t}: expected NULL pred, got {got}")
+            continue
+        if abs(float(got) - want) > max(200.0, 1e-5 * abs(want)):
+            errs.append(f"t={t}: pred {got} vs numpy {want:.1f}")
+    return errs
+
+
+@audit("theta_forecast")
+def a_theta(data: Data, rows) -> list[str]:
+    y = _months(data)
+    n = len(y)
+    t = np.arange(1, n + 1, dtype=np.float64)
+    # OLS of y*100 on t (the e2 cents device)
+    b = float(
+        (n * np.sum(t * y * 100) - t.sum() * np.sum(y * 100))
+        / (n * np.sum(t * t) - t.sum() ** 2)
+    )
+    a = float((np.sum(y * 100) - b * t.sum()) / n)
+    z = 2 * y * 100 - (a + b * t)
+    s = z[0]
+    pred = {1: None}
+    for i in range(1, n):
+        pred[i + 1] = (s + (a + b * (i + 1))) / 200.0
+        s = (z[i] + s) / 2.0
+    for h in (1, 2, 3):
+        pred[n + h] = (s + (a + b * (n + h))) / 200.0
+    errs = []
+    if len(rows) != n + 3:
+        errs.append(f"{len(rows)} rows vs {n + 3}")
+    for r in rows:
+        tt = int(r["t"])
+        want = pred.get(tt)
+        got = r["pred_c"]
+        if want is None:
+            if got is not None and not (
+                isinstance(got, float) and math.isnan(got)
+            ):
+                errs.append(f"t={tt}: expected NULL pred, got {got}")
+            continue
+        if abs(float(got) - want) > max(200.0, 1e-5 * abs(want)):
+            errs.append(f"t={tt}: pred {got} vs numpy {want:.1f}")
+    return errs
+
+
+@audit("seasonal_strength_audit")
+def a_sstrength(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    ym = (
+        o["o_orderdate"].dt.year.to_numpy() * 100
+        + o["o_orderdate"].dt.month.to_numpy()
+    )
+    mo = o["o_orderdate"].dt.month.to_numpy()
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    m = (
+        pd.DataFrame({"ym": ym, "mo": mo, "c": cents})
+        .groupby(["ym", "mo"], as_index=False)["c"]
+        .sum()
+        .sort_values("ym")
+        .reset_index(drop=True)
+    )
+    rev = m["c"].to_numpy()
+    nrow = len(rev)
+    trend = np.full(nrow, np.nan)
+    for i in range(6, nrow - 6):
+        trend[i] = _tdiv(
+            rev[i - 6] + 2 * rev[i - 6 + 1 : i + 6].sum() + rev[i + 6], 24
+        )
+    det = rev - trend
+    seas = {}
+    for mo_v in range(1, 13):
+        mask = (m["mo"].to_numpy() == mo_v) & ~np.isnan(trend)
+        if mask.sum():
+            seas[mo_v] = _tdiv(det[mask].sum(), mask.sum())
+    seasonal = np.array([seas.get(v, np.nan) for v in m["mo"]])
+    ok = ~np.isnan(trend)
+    r = rev[ok] - trend[ok] - seasonal[ok]
+    sr = rev[ok] - trend[ok]
+    tr = rev[ok] - seasonal[ok]
+    fs = max(0.0, 1.0 - np.var(r, ddof=1) / np.var(sr, ddof=1))
+    ft = max(0.0, 1.0 - np.var(r, ddof=1) / np.var(tr, ddof=1))
+    return check(
+        "sstrength",
+        row,
+        {
+            "n": (int(ok.sum()), 0),
+            "seasonal_strength_e6": (fs * 1e6, 3),
+            "trend_strength_e6": (ft * 1e6, 3),
+        },
+    )
+
+
+# ===========================================================================
+# audits — tier r10c: categorical association / multiple testing
+# ===========================================================================
+
+
+def _priority_pairs(data: Data) -> pd.DataFrame:
+    """(first-1997-priority, first-1998-priority) per customer."""
+    o = data.table("orders").copy()
+    o["yr"] = o["o_orderdate"].dt.year
+    o = o[o["yr"].isin([1997, 1998])]
+    o = o.sort_values(["o_orderdate", "o_orderkey"])
+    first = o.groupby(["o_custkey", "yr"], as_index=False).first()
+    p = first.pivot(index="o_custkey", columns="yr", values="o_orderpriority")
+    p = p.dropna()
+    return pd.DataFrame({"p97": p[1997].to_numpy(), "p98": p[1998].to_numpy()})
+
+
+@audit("bowker_symmetry_test")
+def a_bowker(data: Data, row) -> list[str]:
+    pp = _priority_pairs(data)
+    cells = pp.groupby(["p97", "p98"]).size()
+    prios = sorted(set(pp["p97"]) | set(pp["p98"]))
+    chi2, df = 0.0, 0
+    for ii, pi in enumerate(prios):
+        for pj in prios[ii + 1 :]:
+            nij = int(cells.get((pi, pj), 0))
+            nji = int(cells.get((pj, pi), 0))
+            if nij + nji:
+                df += 1
+                chi2 += (nij - nji) ** 2 / (nij + nji)
+    return check(
+        "bowker",
+        row,
+        {
+            "df": (df, 0),
+            "chi2_e6": (chi2 * 1e6, 12),
+            "reject_symmetry": (
+                1 if chi2 * 1e6 > 18_307_038 and df == 10 else 0,
+                0,
+            ),
+        },
+    )
+
+
+@audit("stuart_maxwell_test")
+def a_stuart_maxwell(data: Data, row) -> list[str]:
+    pp = _priority_pairs(data)
+
+    def cls(p):
+        return np.where(
+            np.isin(p, ["1-URGENT", "2-HIGH"]),
+            1,
+            np.where(p == "3-MEDIUM", 2, 3),
+        )
+
+    i = cls(pp["p97"].to_numpy())
+    j = cls(pp["p98"].to_numpy())
+    n = np.zeros((4, 4), dtype=np.int64)
+    for a_, b_ in zip(i, j):
+        n[a_, b_] += 1
+    r = n.sum(axis=1)
+    c = n.sum(axis=0)
+    d = np.array([r[1] - c[1], r[2] - c[2]], dtype=np.float64)
+    # full covariance + REAL matrix inverse (vs the SQL Cramer form)
+    S = np.array(
+        [
+            [r[1] + c[1] - 2 * n[1, 1], -(n[1, 2] + n[2, 1])],
+            [-(n[1, 2] + n[2, 1]), r[2] + c[2] - 2 * n[2, 2]],
+        ],
+        dtype=np.float64,
+    )
+    chi2 = float(d @ np.linalg.inv(S) @ d)
+    return check(
+        "sm",
+        row,
+        {
+            "n_pairs": (int(n.sum()), 0),
+            "d1": (int(d[0]), 0),
+            "d2": (int(d[1]), 0),
+            "chi2_e6": (chi2 * 1e6, 2),
+            "reject_marginal_homogeneity": (
+                1 if chi2 * 1e6 > 5_991_464 else 0,
+                0,
+            ),
+        },
+    )
+
+
+def _seg_region_cells(data: Data) -> pd.DataFrame:
+    c = data.table("customer")
+    n = data.table("nation")
+    r = data.table("region")
+    m = c.merge(n, left_on="c_nationkey", right_on="n_nationkey").merge(
+        r, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    return (
+        m.groupby(["r_name", "c_mktsegment"])
+        .size()
+        .rename("n")
+        .reset_index()
+        .rename(columns={"r_name": "x", "c_mktsegment": "y"})
+    )
+
+
+@audit("lambda_goodman_kruskal")
+def a_lambda(data: Data, row) -> list[str]:
+    cells = _seg_region_cells(data)
+    N = cells["n"].sum()
+    sum_max_by_x = cells.groupby("x")["n"].max().sum()
+    sum_max_by_y = cells.groupby("y")["n"].max().sum()
+    max_marg_y = cells.groupby("y")["n"].sum().max()
+    max_marg_x = cells.groupby("x")["n"].sum().max()
+    lyx = (sum_max_by_x - max_marg_y) / (N - max_marg_y)
+    lxy = (sum_max_by_y - max_marg_x) / (N - max_marg_x)
+    return check(
+        "lambda",
+        row,
+        {
+            "n_rows": (int(N), 0),
+            "lambda_y_given_x_e6": (lyx * 1e6, 2),
+            "lambda_x_given_y_e6": (lxy * 1e6, 2),
+        },
+    )
+
+
+@audit("goodman_kruskal_tau")
+def a_gk_tau(data: Data, row) -> list[str]:
+    cells = _seg_region_cells(data)
+    N = float(cells["n"].sum())
+    cond = (
+        cells.groupby("x")
+        .apply(lambda g: (g["n"] ** 2).sum() / g["n"].sum(), include_groups=False)
+        .sum()
+    )
+    syy = float((cells.groupby("y")["n"].sum() ** 2).sum())
+    tau = (N * cond - syy) / (N * N - syy)
+    return check(
+        "tau",
+        row,
+        {"n_rows": (int(N), 0), "tau_y_given_x_e6": (tau * 1e6, 8)},
+    )
+
+
+@audit("theil_uncertainty_coeff")
+def a_theil_u(data: Data, row) -> list[str]:
+    cells = _seg_region_cells(data)
+    N = float(cells["n"].sum())
+    nx = cells.groupby("x")["n"].sum()
+    ny = cells.groupby("y")["n"].sum()
+    mi = 0.0
+    for _, rr in cells.iterrows():
+        p = rr["n"] / N
+        mi += p * math.log2(rr["n"] * N / (nx[rr["x"]] * ny[rr["y"]]))
+    hy = float(sum((v / N) * math.log2(N / v) for v in ny))
+    return check(
+        "theil_u",
+        row,
+        {
+            "n_rows": (int(N), 0),
+            "mi_microbits": (mi * 1e6, 30),
+            "hy_microbits": (hy * 1e6, 30),
+            "u_y_given_x_e6": (mi / hy * 1e6, 40),
+        },
+    )
+
+
+@audit("yules_q_y")
+def a_yule_qy(data: Data, row) -> list[str]:
+    li = data.table("lineitem")
+    ret = (li["l_returnflag"] == "R").to_numpy()
+    big = (li["l_quantity"] > 25).to_numpy()
+    a = int((ret & big).sum())
+    b = int((ret & ~big).sum())
+    c = int((~ret & big).sum())
+    d = int((~ret & ~big).sum())
+    ad, bc = float(a) * d, float(b) * c
+    q = (ad - bc) / (ad + bc)
+    yy = (math.sqrt(ad) - math.sqrt(bc)) / (math.sqrt(ad) + math.sqrt(bc))
+    return check(
+        "yule",
+        row,
+        {
+            "a": (a, 0),
+            "b": (b, 0),
+            "c": (c, 0),
+            "d": (d, 0),
+            "yule_q_e6": (q * 1e6, 2),
+            "yule_y_e6": (yy * 1e6, 2),
+            "odds_ratio_e6": (ad / bc * 1e6, 2),
+        },
+    )
+
+
+@audit("newcombe_diff_ci")
+def a_newcombe(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    m = o.merge(
+        c[["c_custkey", "c_mktsegment"]], left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    z2 = 3.841458
+
+    def wilson(seg):
+        s = m[m["c_mktsegment"] == seg]
+        n = len(s)
+        a = int((s["o_orderpriority"] == "1-URGENT").sum())
+        p = a / n * 1e6
+        center = (a + z2 / 2) / (n + z2) * 1e6
+        half = (
+            math.sqrt(z2 * (a * (n - a) / n + z2 / 4)) / (n + z2) * 1e6
+        )
+        return p, center - half, center + half
+
+    p1, l1, u1 = wilson("BUILDING")
+    p2, l2, u2 = wilson("MACHINERY")
+    lo = p1 - p2 - math.sqrt((p1 - l1) ** 2 + (u2 - p2) ** 2)
+    hi = p1 - p2 + math.sqrt((u1 - p1) ** 2 + (p2 - l2) ** 2)
+    return check(
+        "newcombe",
+        row,
+        {
+            "p1_ppm": (p1, 1),
+            "p2_ppm": (p2, 1),
+            "diff_ppm": (p1 - p2, 2),
+            "newcombe_lo_ppm": (lo, 4),
+            "newcombe_hi_ppm": (hi, 4),
+            "excludes_zero": (1 if lo > 0 or hi < 0 else 0, 0),
+        },
+    )
+
+
+@audit("benjamini_yekutieli_audit")
+def a_by(data: Data, rows) -> list[str]:
+    from statistics import NormalDist
+
+    o = data.table("orders")
+    li = data.table("lineitem")
+    c = data.table("customer")
+    ret = (
+        li.assign(ret=(li["l_returnflag"] == "R").astype(int))
+        .groupby("l_orderkey")["ret"]
+        .max()
+    )
+    po = o[["o_orderkey", "o_custkey"]].copy()
+    # inner join in the SQL: orders without lineitems drop out
+    po = po[po["o_orderkey"].isin(ret.index)]
+    po["ret"] = po["o_orderkey"].map(ret).astype(int)
+    po = po.merge(
+        c[["c_custkey", "c_nationkey"]], left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    po["arm"] = po["c_custkey"] % 2
+    stats = []
+    for nk, g in po.groupby("c_nationkey"):
+        ga, gb = g[g["arm"] == 0], g[g["arm"] == 1]
+        na, nb = len(ga), len(gb)
+        ca, cb = int(ga["ret"].sum()), int(gb["ret"].sum())
+        if na and nb and 0 < ca + cb < na + nb:
+            pool = (ca + cb) / (na + nb)
+            z = abs(
+                (cb / nb - ca / na)
+                / math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+            )
+            stats.append((nk, z))
+    stats.sort(key=lambda s: (-s[1], s[0]))
+    mm = len(stats)
+    cm = sum(1.0 / j for j in range(1, mm + 1))
+    nd = NormalDist()
+    thr = [
+        nd.inv_cdf(1.0 - 0.10 * i / (2.0 * mm * cm)) for i in range(1, mm + 1)
+    ]
+    kmax = 0
+    for i, (nk, z) in enumerate(stats, 1):
+        # the engine compares FLOORED e6 z against floored e6 threshold
+        if math.floor(z * 1e6) >= math.floor(thr[i - 1] * 1e6):
+            kmax = i
+    rejected = {nk: (1 if i <= kmax else 0) for i, (nk, z) in enumerate(stats, 1)}
+    zmap = {nk: z for nk, z in stats}
+    errs = []
+    if len(rows) != mm:
+        errs.append(f"{len(rows)} rows vs {mm} tests")
+    for r in rows:
+        nk = int(r["nationkey"])
+        if abs(float(r["z_abs_e6"]) - zmap[nk] * 1e6) > 2:
+            errs.append(f"nation {nk}: z {r['z_abs_e6']} vs {zmap[nk]*1e6:.1f}")
+        if int(r["rejected"]) != rejected[nk]:
+            errs.append(
+                f"nation {nk}: rejected {r['rejected']} vs {rejected[nk]}"
+            )
+    return errs
+
+
 if __name__ == "__main__":
     main()
