@@ -1012,5 +1012,244 @@ def a_by(data: Data, rows) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — tier r10g: dependence second wave (this round's driver slots)
+# ===========================================================================
+
+
+@audit("hoeffding_d")
+def a_hoeffding(data: Data, row) -> list[str]:
+    day = data.day()
+    t = day["t"].to_numpy()
+    y = day["y"].to_numpy()
+    n = len(y)
+    order_t = np.argsort(t)
+    # ranks: R by t, S by (y, t) lexicographic
+    R = np.empty(n, dtype=np.int64)
+    R[np.argsort(t, kind="stable")] = np.arange(1, n + 1)
+    S = np.empty(n, dtype=np.int64)
+    S[np.lexsort((t, y))] = np.arange(1, n + 1)
+    # c_i = #{j: t_j < t_i and (y_j,t_j) < (y_i,t_i) lexicographically}
+    lt_t = t[None, :] < t[:, None]
+    lt_y = (y[None, :] < y[:, None]) | (
+        (y[None, :] == y[:, None]) & (t[None, :] < t[:, None])
+    )
+    c = (lt_t & lt_y).sum(axis=1).astype(np.float64)
+    Rf, Sf = R.astype(np.float64), S.astype(np.float64)
+    d1 = float(np.sum(c * (c - 1)))
+    d2 = float(np.sum((Rf - 1) * (Rf - 2) * (Sf - 1) * (Sf - 2)))
+    d3 = float(np.sum((Rf - 2) * (Sf - 2) * c))
+    D = (
+        30.0
+        * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3)
+        / (n * (n - 1) * (n - 2) * (n - 3) * (n - 4))
+    )
+    return check(
+        "hoeffding",
+        row,
+        {
+            "n_days": (n, 0),
+            "d1": (d1, 0),
+            "d2": (d2, 0),
+            "d3": (d3, 0),
+            "hoeffding_d_e6": (D * 1e6, 2),
+        },
+    )
+
+
+@audit("distance_correlation_lite")
+def a_dcor(data: Data, row) -> list[str]:
+    day = data.day()
+    t = day["t"].to_numpy().astype(np.float64)
+    y = day["y"].to_numpy().astype(np.float64)
+    n = len(y)
+    A = np.abs(t[:, None] - t[None, :])
+    B = np.abs(y[:, None] - y[None, :])
+
+    def center(M):
+        return M - M.mean(axis=0) - M.mean(axis=1)[:, None] + M.mean()
+
+    Ac, Bc = center(A), center(B)
+    dcov2 = float((Ac * Bc).mean())
+    dvarx = float((Ac * Ac).mean())
+    dvary = float((Bc * Bc).mean())
+    dcor4 = (dcov2 / dvarx) * (dcov2 / dvary)
+    return check(
+        "dcor",
+        row,
+        {
+            "n_days": (n, 0),
+            "dcov2_e6": (dcov2 * 1e6, 2),
+            "dcor4_e6": (dcor4 * 1e6, 2),
+        },
+    )
+
+
+@audit("blomqvist_beta")
+def a_blomqvist(data: Data, row) -> list[str]:
+    day = data.day()
+    t = day["t"].to_numpy()
+    y = day["y"].to_numpy()
+    mt = int(_lowmed(t))
+    # low median of y by (y, t) order = plain value low-median
+    my = int(_lowmed(y))
+    conc = int(np.sum(((t > mt) & (y > my)) | ((t < mt) & (y < my))))
+    disc = int(np.sum(((t > mt) & (y < my)) | ((t < mt) & (y > my))))
+    beta = (conc - disc) / (conc + disc)
+    return check(
+        "blomqvist",
+        row,
+        {
+            "n_days": (len(y), 0),
+            "concordant": (conc, 0),
+            "discordant": (disc, 0),
+            "beta_e6": (beta * 1e6, 2),
+        },
+    )
+
+
+@audit("spearman_footrule")
+def a_footrule(data: Data, row) -> list[str]:
+    day = data.day()
+    t = day["t"].to_numpy()
+    y = day["y"].to_numpy()
+    n = len(y)
+    R = np.empty(n, dtype=np.int64)
+    R[np.argsort(t, kind="stable")] = np.arange(1, n + 1)
+    S = np.empty(n, dtype=np.int64)
+    S[np.lexsort((t, y))] = np.arange(1, n + 1)
+    f = int(np.abs(R - S).sum())
+    sim = (n * n - 1 - 3 * f) / (n * n - 1)
+    return check(
+        "footrule",
+        row,
+        {
+            "n_days": (n, 0),
+            "footrule_distance": (f, 0),
+            "footrule_sim_e6": (sim * 1e6, 2),
+        },
+    )
+
+
+@audit("mann_kendall_test")
+def a_mk(data: Data, row) -> list[str]:
+    y = data.day()["y"].to_numpy()
+    n = len(y)
+    sgn = np.sign(y[None, :] - y[:, None])
+    s = int(np.triu(sgn, 1).sum())
+    _, counts = np.unique(y, return_counts=True)
+    tsum = int(sum(c * (c - 1) * (2 * c + 5) for c in counts if c > 1))
+    var18 = n * (n - 1) * (2 * n + 5) - tsum
+    var = var18 / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    return check(
+        "mk",
+        row,
+        {
+            "n_days": (n, 0),
+            "mk_s": (s, 0),
+            "var18": (var18, 0),
+            "z_e6": (z * 1e6, 2),
+            "reject_no_trend": (1 if abs(z) * 1e6 > 1_959_963 else 0, 0),
+        },
+    )
+
+
+@audit("cucconi_test")
+def a_cucconi(data: Data, row) -> list[str]:
+    x, ysamp = data.expand_two_groups()
+    n1, n2 = len(x), len(ysamp)
+    N = n1 + n2
+    comb = pd.Series(np.concatenate([x, ysamp]))
+    ranks = comb.rank(method="average").to_numpy()
+    S = ranks[n1:]
+    sum_s2 = float(np.sum(S**2))
+    sum_contra2 = float(np.sum((N + 1 - S) ** 2))
+    denom = math.sqrt(n1 * n2 * (N + 1) * (2 * N + 1) * (8 * N + 11) / 5.0)
+    u = (6.0 * sum_s2 - n2 * (N + 1) * (2 * N + 1)) / denom
+    v = (6.0 * sum_contra2 - n2 * (N + 1) * (2 * N + 1)) / denom
+    rho = 2.0 * (N * N - 4.0) / ((2.0 * N + 1.0) * (8.0 * N + 11.0)) - 1.0
+    cstat = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    return check(
+        "cucconi",
+        row,
+        {
+            "n1": (n1, 0),
+            "n2": (n2, 0),
+            "u_e6": (u * 1e6, 2),
+            "v_e6": (v * 1e6, 2),
+            "rho_e6": (rho * 1e6, 2),
+            "c_e6": (cstat * 1e6, 2),
+            "reject_same_distribution": (
+                1 if cstat * 1e6 > int(math.log(20) * 1e6) else 0,
+                0,
+            ),
+        },
+    )
+
+
+@audit("cronbach_alpha")
+def a_cronbach(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    dd = (o["o_orderdate"] - o["o_orderdate"].min()).dt.days.to_numpy()
+    span = int(dd.max()) + 1
+    item = (3 * dd) // span
+    xv = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64) // 1000
+    f = pd.DataFrame({"ck": o["o_custkey"], "item": item, "x": xv})
+    piv = f.pivot_table(
+        index="ck", columns="item", values="x", aggfunc="sum", fill_value=0
+    )
+    for k in (0, 1, 2):
+        if k not in piv.columns:
+            piv[k] = 0
+    X = piv[[0, 1, 2]].to_numpy().astype(np.float64)
+    item_vars = X.var(axis=0, ddof=1).sum()
+    tot_var = X.sum(axis=1).var(ddof=1)
+    share = item_vars / tot_var
+    alpha = 1.5 * (1.0 - share)
+    return check(
+        "cronbach",
+        row,
+        {
+            "n_customers": (X.shape[0], 0),
+            "item_var_share_e6": (share * 1e6, 2),
+            "alpha_e6": (alpha * 1e6, 2),
+        },
+    )
+
+
+@audit("stuart_tau_c")
+def a_tauc(data: Data, row) -> list[str]:
+    li = data.table("lineitem")
+    cells = (
+        li.groupby(["l_discount", "l_quantity"]).size().rename("c").reset_index()
+    )
+    d = cells["l_discount"].to_numpy()
+    q = cells["l_quantity"].to_numpy()
+    c = cells["c"].to_numpy().astype(np.float64)
+    gt_d = d[None, :] > d[:, None]
+    P = float((c[:, None] * c[None, :])[gt_d & (q[None, :] > q[:, None])].sum())
+    Q = float((c[:, None] * c[None, :])[gt_d & (q[None, :] < q[:, None])].sum())
+    m = min(len(np.unique(d)), len(np.unique(q)))
+    nt = float(c.sum())
+    tauc = 2 * m * (P - Q) / (nt * nt * (m - 1))
+    return check(
+        "tauc",
+        row,
+        {
+            "concordant": (P, 0),
+            "discordant": (Q, 0),
+            "m_min_dim": (m, 0),
+            "n_rows": (nt, 0),
+            "tau_c_ppm": (tauc * 1e6, 2),
+        },
+    )
+
+
 if __name__ == "__main__":
     main()
