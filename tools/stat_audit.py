@@ -1251,5 +1251,552 @@ def a_tauc(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — tier r10h: inequality toolbox + sketches
+# ===========================================================================
+
+
+def _cust_values(data: Data) -> np.ndarray:
+    """Per-customer $1000-bucket revenue (LEFT JOIN: no orders -> 0)."""
+    o = data.table("orders")
+    c = data.table("customer")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    per = pd.Series(cents).groupby(o["o_custkey"].to_numpy()).sum()
+    v = c["c_custkey"].map(per).fillna(0).astype(np.int64) // 100000
+    return v.to_numpy()
+
+
+@audit("hoover_index")
+def a_hoover(data: Data, row) -> list[str]:
+    v = _cust_values(data).astype(np.float64)
+    n, s = len(v), v.sum()
+    hoover = np.abs(v - v.mean()).sum() / (2 * s)
+    return check(
+        "hoover",
+        row,
+        {
+            "n_customers": (n, 0),
+            "total_rev_k": (s, 0),
+            "hoover_e6": (hoover * 1e6, 2),
+        },
+    )
+
+
+@audit("gini_mean_difference")
+def a_gmd(data: Data, row) -> list[str]:
+    v = _cust_values(data).astype(np.float64)
+    n, s = len(v), v.sum()
+    # brute pair mass via sorted-prefix identity (O(n log n), exact)
+    vs = np.sort(v)
+    pref = np.concatenate([[0.0], np.cumsum(vs)])
+    i = np.arange(n, dtype=np.float64)
+    pm = float(np.sum(vs * i - pref[:-1]))  # sum_{i<j} (v_j - v_i)
+    gmd = 2 * pm / (n * (n - 1))
+    gini = pm / (n * s)
+    return check(
+        "gmd",
+        row,
+        {
+            "n_customers": (n, 0),
+            "gmd_e6": (gmd * 1e6, 2),
+            "gini_ppm": (gini * 1e6, 2),
+            "gmd_over_2mu_e6": (pm / ((n - 1) * s) * 1e6, 2),
+        },
+    )
+
+
+@audit("atkinson_index")
+def a_atkinson(data: Data, row) -> list[str]:
+    v = _cust_values(data).astype(np.float64)
+    vp = v[v > 0]
+    geo = math.exp(np.log(vp).mean())
+    atk = 1.0 - geo / vp.mean()
+    return check(
+        "atkinson",
+        row,
+        {
+            "n_positive": (len(vp), 0),
+            "geomean_e6": (geo * 1e6, ("rel", 1e-5)),
+            "atkinson_e6": (atk * 1e6, 10),
+        },
+    )
+
+
+@audit("theil_t_decomposition")
+def a_theil_t(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    nt = data.table("nation")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    per = pd.Series(cents).groupby(o["o_custkey"].to_numpy()).sum()
+    cust = pd.DataFrame(
+        {
+            "v": (c["c_custkey"].map(per).fillna(0).astype(np.int64) // 100000),
+            "nk": c["c_nationkey"],
+        }
+    )
+    v = cust["v"].to_numpy().astype(np.float64)
+    n, s = len(v), v.sum()
+    vp = v[v > 0]
+    t_total = float(np.sum(vp * np.log(vp)) / s - math.log(s / n))
+    tb = 0.0
+    for nk, g in cust.groupby("nk"):
+        sg = float(g["v"].sum())
+        ng = len(g)
+        if sg > 0:
+            tb += (sg / s) * math.log((sg / ng) / (s / n))
+    return check(
+        "theil_t",
+        row,
+        {
+            "n_customers": (n, 0),
+            "t_total_e6": (t_total * 1e6, 5),
+            "t_between_e6": (tb * 1e6, 30),
+            "t_within_e6": ((t_total - tb) * 1e6, 32),
+        },
+    )
+
+
+@audit("palma_ratio")
+def a_palma(data: Data, row) -> list[str]:
+    v = np.sort(_cust_values(data)).astype(np.float64)
+    n, s = len(v), v.sum()
+    k40, k90 = (4 * n) // 10, (9 * n) // 10
+    bottom40 = v[:k40].sum()
+    top10 = v[k90:].sum()
+    return check(
+        "palma",
+        row,
+        {
+            "n_customers": (n, 0),
+            "bottom40_share_e6": (bottom40 / s * 1e6, 2),
+            "top10_share_e6": (top10 / s * 1e6, 2),
+            "palma_e6": (top10 / bottom40 * 1e6, 2),
+        },
+    )
+
+
+@audit("lorenz_asymmetry")
+def a_lac(data: Data, row) -> list[str]:
+    v = _cust_values(data).astype(np.float64)
+    n, s = len(v), v.sum()
+    below = v * n < s
+    f_mu = below.sum() / n
+    l_mu = v[below].sum() / s
+    # engine sums two independent floors; replay that convention
+    lac_e6 = math.floor(f_mu * 1e6) + math.floor(l_mu * 1e6)
+    return check(
+        "lac",
+        row,
+        {
+            "n_customers": (n, 0),
+            "f_mu_e6": (f_mu * 1e6, 2),
+            "l_mu_e6": (l_mu * 1e6, 2),
+            "lac_e6": (lac_e6, 2),
+            "large_value_driven": (1 if lac_e6 > 1_000_000 else 0, 0),
+        },
+    )
+
+
+@audit("hill_diversity_numbers")
+def a_hill(data: Data, row) -> list[str]:
+    d = data.table("documents")
+    c = d.groupby("source").size().to_numpy().astype(np.float64)
+    n = c.sum()
+    q0 = len(c)
+    q1 = math.exp(math.log(n) - float(np.sum(c * np.log(c))) / n)
+    q2 = n * n / float(np.sum(c * c))
+    return check(
+        "hill",
+        row,
+        {
+            "hill_q0_richness": (q0, 0),
+            "n_docs": (n, 0),
+            "hill_q1_e6": (q1 * 1e6, ("rel", 1e-5)),
+            "hill_q2_e6": (q2 * 1e6, 2),
+        },
+    )
+
+
+@audit("kmv_distinct_audit")
+def a_kmv(data: Data, row) -> list[str]:
+    import hashlib
+
+    li = data.table("lineitem")
+    keys = np.unique(li["l_partkey"].to_numpy())
+    hvs = sorted(
+        int(hashlib.md5(str(int(k)).encode()).hexdigest()[:15], 16)
+        for k in keys
+    )
+    K = 128
+    kmin = hvs[:K]
+    kf = len(kmin)
+    hk = kmin[-1]
+    H = 2**60
+    est = kf if kf < K else (K - 1) * H // hk
+    exact = len(keys)
+    return check(
+        "kmv",
+        row,
+        {
+            "k_filled": (kf, 0),
+            "kth_hash": (hk, 0),
+            "kmv_estimate": (est, 0),
+            "exact_distinct": (exact, 0),
+            "rel_err_e6": ((est - exact) * 1e6 / exact, 2),
+        },
+    )
+
+
+# ===========================================================================
+# audits — tiers r10i/r10j: vocabulary statistics, collocations, sketches
+# ===========================================================================
+
+import re as _re
+
+
+def _tokens(data: Data) -> pd.DataFrame:
+    """r9f whitespace token convention: (doc_id, source, w)."""
+    d = data.table("documents")
+    rows = []
+    for doc_id, source, text in zip(d["doc_id"], d["source"], d["text"]):
+        s = text.strip()
+        if not s:
+            continue
+        for w in _re.split(r"\s+", s.lower()):
+            rows.append((doc_id, source, w))
+    return pd.DataFrame(rows, columns=["doc_id", "source", "w"])
+
+
+@audit("yule_k_vocabulary")
+def a_yule_k(data: Data, row) -> list[str]:
+    tf = _tokens(data).groupby("w").size().to_numpy().astype(np.float64)
+    n = tf.sum()
+    v = len(tf)
+    sc2 = float(np.sum(tf * tf))
+    k = (sc2 - n) * 1e10 / (n * n)
+    simpson = (sc2 - n) * 1e6 / (n * (n - 1))
+    return check(
+        "yule_k",
+        row,
+        {
+            "n_tokens": (n, 0),
+            "vocab": (v, 0),
+            "yule_k_e6": (k, 2),
+            "simpson_repeat_e6": (simpson, 2),
+        },
+    )
+
+
+@audit("honore_sichel_richness")
+def a_honore(data: Data, row) -> list[str]:
+    tf = _tokens(data).groupby("w").size()
+    n = int(tf.sum())
+    v = len(tf)
+    v1 = int((tf == 1).sum())
+    v2 = int((tf == 2).sum())
+    r = 100.0 * math.log(n) / (1.0 - v1 / v)
+    return check(
+        "honore",
+        row,
+        {
+            "n_tokens": (n, 0),
+            "vocab": (v, 0),
+            "hapax": (v1, 0),
+            "dis_legomena": (v2, 0),
+            "honore_r_e6": (r * 1e6, ("rel", 1e-6)),
+            "sichel_s_e6": (v2 / v * 1e6, 2),
+        },
+    )
+
+
+@audit("good_turing_smoothing")
+def a_gt(data: Data, rows) -> list[str]:
+    tf = _tokens(data).groupby("w").size()
+    n = int(tf.sum())
+    spec = tf.value_counts().to_dict()  # r -> n_r
+    want = {0: (n, spec.get(1, 0) * 1_000_000 // n)}
+    for r in range(1, 6):
+        nr = spec.get(r, 0)
+        want[r] = (nr, spec.get(r + 1, 0) * (r + 1) * 1_000_000 // max(nr, 1))
+    errs = []
+    if len(rows) != 6:
+        errs.append(f"{len(rows)} rows vs 6")
+    for rr in rows:
+        r = int(rr["r"])
+        wn, ws = want[r]
+        if int(rr["n_r"]) != wn or int(rr["r_star_e6"]) != ws:
+            errs.append(
+                f"r={r}: engine ({rr['n_r']}, {rr['r_star_e6']}) vs ({wn}, {ws})"
+            )
+    return errs
+
+
+@audit("log_likelihood_keyness")
+def a_keyness(data: Data, rows) -> list[str]:
+    tok = _tokens(data)
+    d = data.table("documents")
+    lang = dict(zip(d["doc_id"], d["lang"]))
+    tok["en"] = tok["doc_id"].map(lang) == "en"
+    g = tok.groupby("w")["en"].agg(a="sum", t="count")
+    g["b"] = g["t"] - g["a"]
+    na, nb = int(g["a"].sum()), int(g["b"].sum())
+    scores = {}
+    for w, rr in g.iterrows():
+        a, b = int(rr["a"]), int(rr["b"])
+        g2 = 0.0
+        if a > 0:
+            g2 += a * math.log(a * (na + nb) / ((a + b) * na))
+        if b > 0:
+            g2 += b * math.log(b * (na + nb) / ((a + b) * nb))
+        scores[w] = (a, b, math.floor(2e6 * g2), a * nb > b * na)
+    top = sorted(scores.items(), key=lambda kv: (-kv[1][2], kv[0]))[:20]
+    errs = []
+    want_terms = [w for w, _ in top]
+    got_terms = [r["term"] for r in rows]
+    if want_terms != got_terms:
+        errs.append(f"top-20 terms differ: {got_terms} vs {want_terms}")
+    for r in rows:
+        w = r["term"]
+        if w not in scores:
+            continue
+        a, b, g2e6, over = scores[w]
+        if (
+            int(r["count_en"]) != a
+            or int(r["count_rest"]) != b
+            or abs(int(r["g2_e6"]) - g2e6) > 2
+            or bool(r["overused_in_en"]) != over
+        ):
+            errs.append(f"{w}: engine {dict(r)} vs ({a},{b},{g2e6},{over})")
+    return errs
+
+
+@audit("gries_dp_dispersion")
+def a_gries_dp(data: Data, rows) -> list[str]:
+    tok = _tokens(data)
+    ws = tok.groupby(["w", "source"]).size().rename("c").reset_index()
+    srctot = ws.groupby("source")["c"].sum()
+    N = int(srctot.sum())
+    wt = ws.groupby("w")["c"].sum()
+    keep = wt[wt >= 30]
+    dp = {}
+    for w in keep.index:
+        sub = ws[ws["w"] == w]
+        ct = int(wt[w])
+        dev_present = sum(
+            abs(int(c) * N - ct * int(srctot[s]))
+            for s, c in zip(sub["source"], sub["c"])
+        )
+        ns_present = int(srctot[sub["source"]].sum())
+        dp[w] = (ct, (dev_present + ct * (N - ns_present)) * 1_000_000
+                 // (2 * ct * N))
+    top = sorted(dp.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    errs = []
+    if [w for w, _ in top] != [r["term"] for r in rows]:
+        errs.append(
+            f"top-20 differ: {[r['term'] for r in rows]} vs {[w for w, _ in top]}"
+        )
+    for r in rows:
+        w = r["term"]
+        if w in dp and (
+            int(r["total_count"]) != dp[w][0] or int(r["dp_e6"]) != dp[w][1]
+        ):
+            errs.append(f"{w}: engine {dict(r)} vs {dp[w]}")
+    return errs
+
+
+def _doc_bigrams(data: Data):
+    d = data.table("documents")
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        s = text.strip()
+        if not s:
+            continue
+        tk = _re.split(r"\s+", s.lower())
+        if len(tk) >= 2:
+            yield doc_id, tk
+
+
+@audit("repetition_ngram_ratio")
+def a_repetition(data: Data, row) -> list[str]:
+    from collections import Counter
+
+    n_docs = 0
+    sum_mx = sum_tot = over = 0
+    worst = 0
+    for doc_id, tk in _doc_bigrams(data):
+        bg = Counter(zip(tk[:-1], tk[1:]))
+        mx, tot = max(bg.values()), sum(bg.values())
+        n_docs += 1
+        sum_mx += mx
+        sum_tot += tot
+        if mx * 5 > tot:
+            over += 1
+        worst = max(worst, mx * 1_000_000 // tot)
+    return check(
+        "repetition",
+        row,
+        {
+            "n_docs": (n_docs, 0),
+            "micro_avg_rep_e6": (sum_mx * 1_000_000 // sum_tot, 0),
+            "docs_over_20pct": (over, 0),
+            "worst_doc_rep_e6": (worst, 0),
+        },
+    )
+
+
+@audit("pmi_collocations")
+def a_pmi(data: Data, rows) -> list[str]:
+    from collections import Counter
+
+    uni = Counter()
+    big = Counter()
+    nb = 0
+    d = data.table("documents")
+    for doc_id, source, text in zip(d["doc_id"], d["source"], d["text"]):
+        s = text.strip()
+        if not s:
+            continue
+        tk = _re.split(r"\s+", s.lower())
+        uni.update(tk)
+        if len(tk) >= 2:
+            big.update(zip(tk[:-1], tk[1:]))
+            nb += len(tk) - 1
+    n = sum(uni.values())
+    scored = {}
+    for (w1, w2), cxy in big.items():
+        if cxy < 10:
+            continue
+        cx, cy = uni[w1], uni[w2]
+        pmi = math.floor(1e6 * math.log(cxy * n * n / (nb * cx * cy)))
+        logdice = math.floor(
+            1e6 * (14.0 + math.log(2.0 * cxy / (cx + cy)) / math.log(2.0))
+        )
+        scored[(w1, w2)] = (cxy, cx, cy, pmi, logdice)
+    top = sorted(scored.items(), key=lambda kv: (-kv[1][4], kv[0]))[:20]
+    errs = []
+    want_pairs = [p for p, _ in top]
+    got_pairs = [(r["w1"], r["w2"]) for r in rows]
+    if want_pairs != got_pairs:
+        errs.append(f"top-20 pairs differ: {got_pairs} vs {want_pairs}")
+    for r in rows:
+        p = (r["w1"], r["w2"])
+        if p in scored:
+            cxy, cx, cy, pmi, logdice = scored[p]
+            if (
+                int(r["pair_count"]) != cxy
+                or int(r["count_w1"]) != cx
+                or int(r["count_w2"]) != cy
+                or abs(int(r["pmi_e6"]) - pmi) > 2
+                or abs(int(r["logdice_e6"]) - logdice) > 2
+            ):
+                errs.append(f"{p}: engine {dict(r)} vs {scored[p]}")
+    return errs
+
+
+@audit("char_entropy_rate")
+def a_char_entropy(data: Data, row) -> list[str]:
+    from collections import Counter
+
+    d = data.table("documents")
+    u1 = Counter()
+    u2 = Counter()
+    for text in d["text"]:
+        if len(text) >= 1:
+            u1.update(text)
+        if len(text) >= 2:
+            u2.update(text[i : i + 2] for i in range(len(text) - 1))
+
+    def ent(cnt):
+        c = np.array(list(cnt.values()), dtype=np.float64)
+        n = c.sum()
+        return n, len(c), math.log(n) - float(np.sum(c * np.log(c))) / n
+
+    n1, v1, h1 = ent(u1)
+    n2, v2, h2 = ent(u2)
+    cond = h2 - h1
+    return check(
+        "char_entropy",
+        row,
+        {
+            "n_chars": (n1, 0),
+            "alphabet": (v1, 0),
+            "bigram_types": (v2, 0),
+            "h1_e6": (h1 * 1e6, 3),
+            "h2_e6": (h2 * 1e6, 3),
+            "cond_h_e6": (cond * 1e6, 5),
+            "branching_factor_e6": (math.exp(cond) * 1e6, 12),
+        },
+    )
+
+
+@audit("embedding_anisotropy_audit")
+def a_aniso(data: Data, row) -> list[str]:
+    e = data.table("embeddings")
+    V = np.stack(e["embedding"].to_numpy())
+    # engine fixed point: components floor to e6 integers first
+    Vi = np.floor(V.astype(np.float64) * 1e6)
+    n, dim = Vi.shape
+    s = Vi.sum(axis=0)
+    mm = float(np.sum(s * s))
+    vm = Vi @ s
+    vv = np.sum(Vi * Vi, axis=1)
+    cos = np.floor(1e6 * vm / (np.sqrt(vv) * math.sqrt(mm)))
+    norms = np.floor(np.sqrt(vv))
+    return check(
+        "aniso",
+        row,
+        {
+            "n_vectors": (n, 0),
+            "dim": (dim, 0),
+            "centroid_norm_e6": (math.floor(math.sqrt(mm)) // n, 1),
+            "avg_vec_norm_e6": (int(norms.sum()) // n, 1),
+            "avg_cos_centroid_e6": (int(cos.sum()) // n, 1),
+            "max_cos_centroid_e6": (int(cos.max()), 1),
+            "min_cos_centroid_e6": (int(cos.min()), 1),
+        },
+    )
+
+
+@audit("kmv_merge_audit")
+def a_kmv_merge(data: Data, row) -> list[str]:
+    import hashlib
+
+    o = data.table("orders")
+    shard = o["o_orderdate"].astype(str).str[:7]
+    pairs = set(zip(shard, o["o_custkey"]))
+    K, H = 64, 1 << 60
+    by_shard: dict[str, set] = {}
+    for s, ck in pairs:
+        hv = int(hashlib.md5(str(int(ck)).encode()).hexdigest()[:15], 16)
+        by_shard.setdefault(s, set()).add(hv)
+
+    def est(hset):
+        mins = sorted(hset)[:K]
+        kf, hk = len(mins), mins[-1]
+        return (kf if kf < K else (K - 1) * H // hk), mins
+
+    sum_est = 0
+    all_mins = set()
+    for s, hs in by_shard.items():
+        e_, mins = est(hs)
+        sum_est += e_
+        all_mins.update(mins)
+    merged_est, merged_mins = est(all_mins)
+    exact = o["o_custkey"].nunique()
+    return check(
+        "kmv_merge",
+        row,
+        {
+            "n_shards": (len(by_shard), 0),
+            "merged_kth_hash": (merged_mins[-1], 0),
+            "merged_estimate": (merged_est, 0),
+            "exact_distinct": (exact, 0),
+            "rel_err_e6": ((merged_est - exact) * 1e6 / exact, 2),
+            "sum_shard_estimates": (sum_est, 0),
+            "duplication_factor_e6": (sum_est * 1e6 / merged_est, 2),
+        },
+    )
+
+
 if __name__ == "__main__":
     main()
