@@ -1503,9 +1503,12 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out as a first-class verified query: decode
     metadata (Arrow mapInPandas, stub codec) → one row per 8th frame
     per media item — the 1→N media UDTF shape an image/video pipeline
-    hangs feature extraction off.  Fan-out happens INSIDE the Arrow
-    batch iterator (no shuffle, no explode of a materialized array);
-    per-frame downstream work keys on (media_id, frame_idx).  The
+    hangs feature extraction off.  The decode stays behind Arrow
+    mapInPandas (the real-codec seam); the fan-out itself is native
+    explode(sequence(...)) + md5 — JVM-side, no second Python stage
+    (VERDICT r10 item 6; operators/multimodal.py sample_frames keeps
+    the batch-iterator form for when per-frame payload extraction is
+    real).  Per-frame downstream work keys on (media_id, frame_idx).  The
     oracle replays the deterministic stub (n_frames from the payload
     md5, frame hash from id|idx), proving batch shape and fan-out
     arithmetic end-to-end."""
@@ -1515,7 +1518,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_parallel(spark, sf_dir, n=8)
     media = MM.media_from_documents(d)
     decoded = MM.decode_media(media)
-    return MM.sample_frames(decoded, every_k=8)
+    return MM.sample_frames_native(decoded, every_k=8)
 
 
 @query(

@@ -198,20 +198,67 @@ def q_cox_ph_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one groupBy to the (t ≤ 365, x ∈ {0,1}) cell frame, suffix
     at-risk counts via a window PARTITIONED by covariate level over the
-    bounded 365-day grid, then 4 scalar re-aggregations of ≤365 rows —
-    the lineitem scan is the only full pass regardless of data size.
-    That frame (≤365 rows of 5 BIGINTs) is materialized ONCE and
-    re-registered as the ``evd`` view before the unrolled Newton SQL
-    runs — Spark inlines repeated CTE references, so leaving ``evd``
-    as a CTE would rescan lineitem per scalar aggregate (~10×; the
-    bounded collect is the kmeans-centroid device)."""
+    bounded 365-day grid — the lineitem scan is the only full pass
+    regardless of data size.  The ≤365-row risk-set frame is collected
+    ONCE (the kmeans-centroid bounded-collect device) and the four
+    Newton steps run driver-side as exact python-int arithmetic
+    (truncating division ≡ Spark ``div`` ≡ DuckDB ``//``, so the value
+    hash matches the oracle's pure-SQL unrolled replay bit-for-bit) —
+    the unrolled-SQL form was 33 nested single-partition exchanges for
+    what is a 365-number sequential solve (VERDICT r10 item 8)."""
     _views(spark, sf_dir, "orders", "lineitem")
-    days_ctes, newton = _cox_sql("spark")
+    days_ctes, _ = _cox_sql("spark")
     evd = spark.sql(f"WITH {days_ctes} SELECT * FROM evd")
-    spark.createDataFrame(evd.collect(), evd.schema).createOrReplaceTempView(
-        "evd"
+    rows = evd.collect()
+
+    # Newton on the bounded risk-set frame, DRIVER-side (VERDICT r10
+    # item 8): the distributed work is the lineitem scan -> (t, x)
+    # cell aggregate above; the 4 sequential scalar re-aggregations of
+    # <=365 rows were 33 nested single-partition exchanges as unrolled
+    # SQL.  Exact-integer replay of the SQL arithmetic (python ints,
+    # truncating division = Spark `div` = DuckDB `//`), so the value
+    # hash is unchanged vs the DuckDB oracle, which still runs the
+    # pure-SQL unrolled form.
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def score(w: int) -> tuple[int, int]:
+        u = i = 0
+        for r in rows:
+            d0, d1, n0, n1 = int(r.d0), int(r.d1), int(r.n0), int(r.n1)
+            den = n0 * 1000000 + n1 * w
+            u += d1 * 1000000 - tdiv((d0 + d1) * n1 * w * 1000000, den)
+            i += tdiv(
+                (d0 + d1) * (n0 * 1000000) * (n1 * w) * 1000000, den * den
+            )
+        return u, i
+
+    w = 1000000
+    u0, i0 = score(w)
+    first = None
+    for _step in range(_COX_STEPS):
+        u, i = score(w)
+        w = w + tdiv(u * w, i)
+    uf, i_f = score(w)
+    n_events = sum(int(r.d0) + int(r.d1) for r in rows)
+    out = [
+        (
+            n_events,
+            len(rows),
+            w,
+            tdiv(u0 * w, i0),
+            tdiv(uf * uf, i_f),
+            tdiv(u0 * u0, i0),
+            tdiv(u0 * u0, i0) > _CHI2_DF1_E6,
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "n_events bigint, n_event_days bigint, hazard_ratio_ppm bigint,"
+        " first_step_ppm bigint, final_score_sq_ppm bigint,"
+        " score_chi2_ppm bigint, reject_equal_hazard boolean",
     )
-    return spark.sql(f"WITH {newton}")
 
 
 # ---------------------------------------------------------------------------

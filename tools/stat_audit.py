@@ -1798,5 +1798,243 @@ def a_kmv_merge(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — tier r11a: two-sample / shape second wave (audit-first)
+# ===========================================================================
+
+
+@audit("cramer_von_mises_2sample")
+def a_cvm(data: Data, row) -> list[str]:
+    g = data.two_group_hist()
+    n1 = int(g["c1"].sum())
+    n2 = int(g["c2"].sum())
+    N = n1 + n2
+    le1 = g["c1"].cumsum().to_numpy().astype(np.float64)
+    le2 = g["c2"].cumsum().to_numpy().astype(np.float64)
+    cb = (g["c1"] + g["c2"]).to_numpy().astype(np.float64)
+    # T = nm/N^2 * sum over sample points of (F-G)^2, F/G inclusive
+    T = float(
+        np.sum(cb * (le1 / n1 - le2 / n2) ** 2)
+    ) * n1 * n2 / (N * N)
+    return check(
+        "cvm",
+        row,
+        {
+            "n1": (n1, 0),
+            "n2": (n2, 0),
+            "cvm_t_e6": (T * 1e6, 2),
+            "reject_same_distribution": (
+                1 if T * 1e6 > 461_361 else 0, 0
+            ),
+        },
+    )
+
+
+@audit("bws_test")
+def a_bws(data: Data, row) -> list[str]:
+    g = data.two_group_hist()
+    n1 = int(g["c1"].sum())
+    n2 = int(g["c2"].sum())
+    N = n1 + n2
+    lt1 = (g["c1"].cumsum() - g["c1"]).to_numpy()
+    lt2 = (g["c2"].cumsum() - g["c2"]).to_numpy()
+    midrank = (lt1 + lt2) + (g["c1"] + g["c2"]).to_numpy() / 2.0 + 0.5
+
+    def bside(cn, lt_own, n_own, m_other):
+        tot = 0
+        for b in range(len(cn)):
+            for k in range(1, int(cn[b]) + 1):
+                i = int(lt_own[b]) + k
+                R = midrank[b]
+                num = (R - (N + 1) * i / (n_own + 1)) ** 2
+                den = (
+                    (i / (n_own + 1))
+                    * (1 - i / (n_own + 1))
+                    * m_other
+                    * (N + 1)
+                    / n_own
+                )
+                tot += math.floor(num / den * 1e6)
+        return tot // n_own
+
+    bx = bside(g["c1"].to_numpy(), lt1, n1, n2)
+    by = bside(g["c2"].to_numpy(), lt2, n2, n1)
+    b = (bx + by) // 2
+    return check(
+        "bws",
+        row,
+        {
+            "n1": (n1, 0),
+            "n2": (n2, 0),
+            "bx_e6": (bx, 2),
+            "by_e6": (by, 2),
+            "bws_b_e6": (b, 2),
+            "reject_same_distribution": (1 if b > 2_493_000 else 0, 0),
+        },
+    )
+
+
+@audit("siegel_tukey_test")
+def a_siegel_tukey(data: Data, row) -> list[str]:
+    g = data.two_group_hist()
+    n1 = int(g["c1"].sum())
+    n2 = int(g["c2"].sum())
+    N = n1 + n2
+    # brute zig-zag labels by replaying the assignment PROCESS:
+    # label 1 -> lowest position; labels 2,3 -> two highest; 4,5 ->
+    # next two lowest; ... (independent of any closed form).
+    lab = np.zeros(N + 1, dtype=np.int64)
+    low, high, nxt, side, grp = 1, N, 1, "low", 1
+    while nxt <= N:
+        for _ in range(grp):
+            if nxt > N:
+                break
+            if side == "low":
+                lab[low] = nxt
+                low += 1
+            else:
+                lab[high] = nxt
+                high -= 1
+            nxt += 1
+        side = "high" if side == "low" else "low"
+        grp = 2
+    assert sorted(lab[1:]) == list(range(1, N + 1))
+    lo = (g["c1"].cumsum() - g["c1"] + g["c2"].cumsum() - g["c2"]).to_numpy() + 1
+    cb = (g["c1"] + g["c2"]).to_numpy()
+    w2_e6 = 0
+    for b in range(len(cb)):
+        s = int(lab[int(lo[b]) : int(lo[b]) + int(cb[b])].sum())
+        w2_e6 += int(g["c2"].iloc[b]) * s * 1_000_000 // int(cb[b])
+    w2 = w2_e6 / 1e6
+    z = (w2 - n2 * (N + 1) / 2.0) / math.sqrt(n1 * n2 * (N + 1) / 12.0)
+    return check(
+        "st",
+        row,
+        {
+            "n1": (n1, 0),
+            "n2": (n2, 0),
+            "w2_labels": (w2_e6 // 1_000_000, 0),
+            "z_e6": (z * 1e6, 2),
+            "reject_equal_scale": (
+                1 if abs(z) * 1e6 > 1_959_963 else 0, 0
+            ),
+        },
+    )
+
+
+@audit("dagostino_k2_test")
+def a_k2(data: Data, row) -> list[str]:
+    y = data.day()["y"].to_numpy().astype(np.float64)
+    n = len(y)
+    m = y.mean()
+    m2 = float(np.mean((y - m) ** 2))
+    m3 = float(np.mean((y - m) ** 3))
+    m4 = float(np.mean((y - m) ** 4))
+    g1 = m3 / m2**1.5
+    g2 = m4 / m2**2 - 3.0
+    # D'Agostino (1970) skewness transform
+    Y = g1 * math.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+    beta2 = (
+        3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+        / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9))
+    )
+    W2 = math.sqrt(2.0 * (beta2 - 1)) - 1
+    delta = 1.0 / math.sqrt(math.log(math.sqrt(W2)))
+    alpha = math.sqrt(2.0 / (W2 - 1))
+    z1 = delta * math.log(Y / alpha + math.sqrt((Y / alpha) ** 2 + 1))
+    # Anscombe-Glynn (1983) kurtosis transform
+    eg2 = 3.0 * (n - 1) / (n + 1)
+    vg2 = 24.0 * n * (n - 2) * (n - 3) / ((n + 1.0) ** 2 * (n + 3) * (n + 5))
+    x = (g2 - eg2) / math.sqrt(vg2)
+    sb1 = (
+        6.0 * (n * n - 5 * n + 2) / ((n + 7.0) * (n + 9))
+        * math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2.0) * (n - 3)))
+    )
+    A = 6.0 + 8.0 / sb1 * (2.0 / sb1 + math.sqrt(1.0 + 4.0 / sb1**2))
+    inner = (1.0 - 2.0 / A) / (1.0 + x * math.sqrt(2.0 / (A - 4.0)))
+    root = math.copysign(abs(inner) ** (1.0 / 3.0), inner)
+    z2 = ((1.0 - 2.0 / (9.0 * A)) - root) * math.sqrt(9.0 * A / 2.0)
+    k2 = z1 * z1 + z2 * z2
+    return check(
+        "k2",
+        row,
+        {
+            "n_days": (n, 0),
+            "z_skew_e6": (z1 * 1e6, 2),
+            "z_kurt_e6": (z2 * 1e6, 2),
+            "k2_e6": (k2 * 1e6, 3),
+            "reject_normality": (1 if k2 * 1e6 > 5_991_464 else 0, 0),
+        },
+    )
+
+
+@audit("poisson_rate_ratio_ci")
+def a_prr(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    m = o.merge(
+        c[["c_custkey", "c_mktsegment"]], left_on="o_custkey",
+        right_on="c_custkey",
+    )
+
+    def side(seg):
+        s = m[m["c_mktsegment"] == seg]
+        return int((s["o_orderpriority"] == "1-URGENT").sum()), len(s)
+
+    a1, n1 = side("BUILDING")
+    a2, n2 = side("MACHINERY")
+    rr = (a1 / n1) / (a2 / n2)
+    half = 1.959964 * math.sqrt(1.0 / a1 + 1.0 / a2)
+    lo, hi = rr * math.exp(-half), rr * math.exp(half)
+    return check(
+        "prr",
+        row,
+        {
+            "events_building": (a1, 0),
+            "exposure_building": (n1, 0),
+            "events_machinery": (a2, 0),
+            "exposure_machinery": (n2, 0),
+            "rate_ratio_e6": (rr * 1e6, 2),
+            "rr_lo_e6": (lo * 1e6, 2),
+            "rr_hi_e6": (hi * 1e6, 2),
+            "excludes_one": (1 if lo > 1 or hi < 1 else 0, 0),
+        },
+    )
+
+
+@audit("l_moments_ratios")
+def a_lmom(data: Data, row) -> list[str]:
+    y = data.day().sort_values(["y", "t"])["y"].to_numpy().astype(np.float64)
+    n = len(y)
+    i = np.arange(1, n + 1, dtype=np.float64)
+
+    def comb(a, k):
+        r = np.ones_like(a)
+        for j in range(k):
+            r = r * (a - j) / (j + 1)
+        return r
+
+    b0 = y.mean()
+    b1 = float(np.sum(y * comb(i - 1, 1)) / (n * comb(np.array([n - 1.0]), 1)[0]))
+    b2 = float(np.sum(y * comb(i - 1, 2)) / (n * comb(np.array([n - 1.0]), 2)[0]))
+    b3 = float(np.sum(y * comb(i - 1, 3)) / (n * comb(np.array([n - 1.0]), 3)[0]))
+    l1 = b0
+    l2 = 2 * b1 - b0
+    l3 = 6 * b2 - 6 * b1 + b0
+    l4 = 20 * b3 - 30 * b2 + 12 * b1 - b0
+    return check(
+        "lmom",
+        row,
+        {
+            "n_days": (n, 0),
+            "l1_e2": (l1 * 100, 1),
+            "l2_e2": (l2 * 100, 1),
+            "t2_lcv_e6": (l2 / l1 * 1e6, 2),
+            "t3_lskew_e6": (l3 / l2 * 1e6, 2),
+            "t4_lkurt_e6": (l4 / l2 * 1e6, 2),
+        },
+    )
+
+
 if __name__ == "__main__":
     main()
