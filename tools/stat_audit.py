@@ -2036,5 +2036,183 @@ def a_lmom(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — tier r11b: agreement & method comparison (audit-first)
+# ===========================================================================
+
+
+@audit("krippendorff_alpha_nominal")
+def a_kripp(data: Data, row) -> list[str]:
+    pp = _priority_pairs(data)
+    from collections import Counter
+
+    units = len(pp)
+    # coincidence matrix counts
+    o = Counter()
+    nc = Counter()
+    for a, b in zip(pp["p97"], pp["p98"]):
+        o[(a, b)] += 1
+        o[(b, a)] += 1
+        nc[a] += 1
+        nc[b] += 1
+    n = 2 * units
+    d_obs = sum(m for (a, b), m in o.items() if a != b) / n
+    d_exp = sum(
+        nc[a] * nc[b] for a in nc for b in nc if a != b
+    ) / (n * (n - 1))
+    alpha = 1 - d_obs / d_exp
+    return check(
+        "kripp",
+        row,
+        {
+            "n_units": (units, 0),
+            "d_obs_e6": (d_obs * 1e6, 2),
+            "d_exp_e6": (d_exp * 1e6, 2),
+            "alpha_e6": (alpha * 1e6, 2),
+        },
+    )
+
+
+@audit("gwet_ac1_agreement")
+def a_ac1(data: Data, row) -> list[str]:
+    pp = _priority_pairs(data)
+    from collections import Counter
+
+    n = len(pp)
+    cats = sorted(set(pp["p97"]) | set(pp["p98"]))
+    K = len(cats)
+    pa = float((pp["p97"] == pp["p98"]).mean())
+    pooled = Counter(pp["p97"]) + Counter(pp["p98"])
+    pe = sum(
+        (pooled[c] / (2 * n)) * (1 - pooled[c] / (2 * n)) for c in cats
+    ) / (K - 1)
+    ac1 = (pa - pe) / (1 - pe)
+    return check(
+        "ac1",
+        row,
+        {
+            "n_units": (n, 0),
+            "n_categories": (K, 0),
+            "pa_e6": (pa * 1e6, 2),
+            "pe_gamma_e6": (pe * 1e6, 2),
+            "ac1_e6": (ac1 * 1e6, 2),
+        },
+    )
+
+
+@audit("weighted_kappa_ordinal")
+def a_wkappa(data: Data, row) -> list[str]:
+    pp = _priority_pairs(data)
+    i = pp["p97"].str[0].astype(int).to_numpy()
+    j = pp["p98"].str[0].astype(int).to_numpy()
+    n = len(i)
+
+    def kw(power):
+        d_obs = float(np.sum(np.abs(i - j) ** power))
+        d_exp = 0.0
+        from collections import Counter
+
+        r, c = Counter(i), Counter(j)
+        for a in r:
+            for b in c:
+                d_exp += abs(a - b) ** power * r[a] * c[b]
+        return 1 - d_obs * n / d_exp
+
+    return check(
+        "wkappa",
+        row,
+        {
+            "n_units": (n, 0),
+            "kappa_linear_e6": (kw(1) * 1e6, 2),
+            "kappa_quadratic_e6": (kw(2) * 1e6, 2),
+        },
+    )
+
+
+def _year_rev_pairs(data: Data) -> pd.DataFrame:
+    o = data.table("orders")
+    yr = o["o_orderdate"].dt.year
+    sel = o[yr.isin([1997, 1998])].copy()
+    sel["y"] = sel["o_orderdate"].dt.year
+    sel["c"] = np.round(sel["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = sel.groupby(["o_custkey", "y"])["c"].sum() // 1000
+    p = g.unstack()
+    p = p.dropna()
+    return pd.DataFrame(
+        {"x": p[1997].astype(np.int64), "y": p[1998].astype(np.int64)}
+    )
+
+
+@audit("lins_ccc")
+def a_ccc(data: Data, row) -> list[str]:
+    p = _year_rev_pairs(data)
+    x = p["x"].to_numpy().astype(np.float64)
+    y = p["y"].to_numpy().astype(np.float64)
+    sxy = float(np.mean((x - x.mean()) * (y - y.mean())))
+    sxx = float(np.var(x))
+    syy = float(np.var(y))
+    ccc = 2 * sxy / (sxx + syy + (x.mean() - y.mean()) ** 2)
+    r = sxy / math.sqrt(sxx * syy)
+    return check(
+        "ccc",
+        row,
+        {
+            "n_customers": (len(x), 0),
+            "ccc_e6": (ccc * 1e6, 2),
+            "pearson_r_e6": (r * 1e6, 2),
+            "bias_correction_cb_e6": (ccc / r * 1e6, 2),
+        },
+    )
+
+
+@audit("bland_altman_agreement")
+def a_ba(data: Data, row) -> list[str]:
+    p = _year_rev_pairs(data)
+    d = (p["x"] - p["y"]).to_numpy().astype(np.float64)
+    n = len(d)
+    bias = d.mean()
+    sd = float(np.std(d, ddof=1))
+    # engine floors bias and sd to e2 first, then builds the LoA gates
+    bias_e2 = int(row["bias_e2"])
+    sd_e2 = int(row["sd_e2"])
+    lo = bias_e2 - 1_959_963 * sd_e2 // 1_000_000
+    hi = bias_e2 + 1_959_963 * sd_e2 // 1_000_000
+    outside = int(np.sum((d * 100 < lo) | (d * 100 > hi)))
+    return check(
+        "ba",
+        row,
+        {
+            "n_customers": (n, 0),
+            "bias_e2": (bias * 100, 2),
+            "sd_e2": (sd * 100, 2),
+            "loa_lo_e2": (lo, 0),
+            "loa_hi_e2": (hi, 0),
+            "n_outside_loa": (outside, 0),
+        },
+    )
+
+
+@audit("deming_regression")
+def a_deming(data: Data, row) -> list[str]:
+    p = _year_rev_pairs(data)
+    x = p["x"].to_numpy().astype(np.float64)
+    y = p["y"].to_numpy().astype(np.float64)
+    sxy = float(np.mean((x - x.mean()) * (y - y.mean())))
+    sxx = float(np.var(x))
+    syy = float(np.var(y))
+    beta = (syy - sxx + math.sqrt((syy - sxx) ** 2 + 4 * sxy**2)) / (2 * sxy)
+    alpha = y.mean() - beta * x.mean()
+    return check(
+        "deming",
+        row,
+        {
+            "n_customers": (len(x), 0),
+            "deming_slope_e6": (beta * 1e6, 2),
+            "deming_intercept_e2": (alpha * 100, 2),
+            "ols_slope_e6": (sxy / sxx * 1e6, 2),
+        },
+    )
+
+
 if __name__ == "__main__":
     main()
