@@ -2214,5 +2214,233 @@ def a_deming(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — tier r11c: spatial & sequence structure (audit-first)
+# ===========================================================================
+
+
+def _nation_rev(data: Data) -> pd.DataFrame:
+    o = data.table("orders")
+    c = data.table("customer")
+    n = data.table("nation")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    per = pd.Series(cents).groupby(o["o_custkey"].to_numpy()).sum()
+    cust = pd.DataFrame(
+        {"ck": c["c_custkey"], "nk": c["c_nationkey"],
+         "cents": c["c_custkey"].map(per).fillna(0).astype(np.int64)}
+    )
+    bynat = cust.groupby("nk")["cents"].sum()
+    out = n[["n_nationkey", "n_regionkey"]].copy()
+    out["x"] = (
+        out["n_nationkey"].map(bynat).fillna(0).astype(np.int64) // 100000
+    )
+    return out.rename(columns={"n_nationkey": "nk", "n_regionkey": "rk"})
+
+
+@audit("moran_i_region")
+def a_moran(data: Data, row) -> list[str]:
+    nr = _nation_rev(data)
+    x = nr["x"].to_numpy().astype(np.float64)
+    rk = nr["rk"].to_numpy()
+    n = len(x)
+    z = x - x.mean()
+    # brute W matrix
+    W = (rk[:, None] == rk[None, :]) & ~np.eye(n, dtype=bool)
+    w = int(W.sum())
+    I = n * float(z[None, :] @ W @ z[:, None]) / (w * float(np.sum(z * z)))
+    e_i = -1.0 / (n - 1)
+    s1 = 2.0 * w
+    s2 = float(np.sum((W.sum(axis=0) + W.sum(axis=1)) ** 2))
+    var = (
+        (n * n * s1 - n * s2 + 3.0 * w * w) / (w * w * (n * n - 1.0))
+        - e_i * e_i
+    )
+    zz = (I - e_i) / math.sqrt(var)
+    return check(
+        "moran",
+        row,
+        {
+            "n_nations": (n, 0),
+            "n_adjacent_pairs": (w, 0),
+            "moran_i_e6": (I * 1e6, 2),
+            "expected_i_e6": (e_i * 1e6, 2),
+            "z_e6": (zz * 1e6, 2),
+            "reject_no_autocorrelation": (
+                1 if abs(zz) * 1e6 > 1_959_963 else 0, 0
+            ),
+        },
+    )
+
+
+@audit("geary_c_region")
+def a_geary(data: Data, row) -> list[str]:
+    nr = _nation_rev(data)
+    x = nr["x"].to_numpy().astype(np.float64)
+    rk = nr["rk"].to_numpy()
+    n = len(x)
+    z = x - x.mean()
+    W = (rk[:, None] == rk[None, :]) & ~np.eye(n, dtype=bool)
+    w = int(W.sum())
+    diff2 = float(np.sum(W * (x[:, None] - x[None, :]) ** 2))
+    C = (n - 1) * diff2 / (2.0 * w * float(np.sum(z * z)))
+    return check(
+        "geary",
+        row,
+        {
+            "n_nations": (n, 0),
+            "n_adjacent_pairs": (w, 0),
+            "geary_c_e6": (C * 1e6, 2),
+            "positive_autocorrelation": (1 if C < 1 else 0, 0),
+        },
+    )
+
+
+@audit("join_count_bw_region")
+def a_joincount(data: Data, row) -> list[str]:
+    nr = _nation_rev(data).sort_values(["x", "nk"]).reset_index(drop=True)
+    n = len(nr)
+    nr["b"] = (np.arange(1, n + 1) > n // 2).astype(int)
+    bb = bw = ww = jj = 0
+    for _, g in nr.groupby("rk"):
+        m = len(g)
+        hi = int(g["b"].sum())
+        jj += m * (m - 1) // 2
+        bb += hi * (hi - 1) // 2
+        ww += (m - hi) * (m - hi - 1) // 2
+        bw += hi * (m - hi)
+    nb = int(nr["b"].sum())
+    bb_exp = jj * nb * (nb - 1) / (n * (n - 1))
+    bw_exp = 2 * jj * nb * (n - nb) / (n * (n - 1))
+    return check(
+        "jc",
+        row,
+        {
+            "n_nations": (n, 0),
+            "n_high": (nb, 0),
+            "n_joins": (jj, 0),
+            "bb_obs": (bb, 0),
+            "bw_obs": (bw, 0),
+            "ww_obs": (ww, 0),
+            "bb_exp_e6": (bb_exp * 1e6, 2),
+            "bw_exp_e6": (bw_exp * 1e6, 2),
+            "clustered": (1 if bw * 1e6 < bw_exp * 1e6 else 0, 0),
+        },
+    )
+
+
+def _transitions(data: Data):
+    from collections import Counter
+
+    e = data.table("events").sort_values(["user_id", "ts", "event_id"])
+    c = Counter()
+    for _, g in e.groupby("user_id"):
+        tps = g["event_type"].tolist()
+        for a, b in zip(tps[:-1], tps[1:]):
+            c[(a, b)] += 1
+    return c
+
+
+@audit("markov_transition_entropy")
+def a_mte(data: Data, row) -> list[str]:
+    tr = _transitions(data)
+    n = sum(tr.values())
+    from collections import Counter
+
+    rowm = Counter()
+    colm = Counter()
+    for (s, t), cnt in tr.items():
+        rowm[s] += cnt
+        colm[t] += cnt
+    h = sum(
+        (cnt / n) * math.log(rowm[s] / cnt) for (s, t), cnt in tr.items()
+    )
+    h0 = sum((ct / n) * math.log(n / ct) for ct in colm.values())
+    return check(
+        "mte",
+        row,
+        {
+            "n_transitions": (n, 0),
+            "n_states": (len(rowm), 0),
+            "entropy_rate_e6": (h * 1e6, 30),
+            "marginal_entropy_e6": (h0 * 1e6, 30),
+            "predictability_gain_e6": ((h0 - h) * 1e6, 60),
+            "entropy_ratio_e6": (h / h0 * 1e6, 40),
+        },
+    )
+
+
+@audit("markov_stationary_dist")
+def a_msd(data: Data, rows) -> list[str]:
+    tr = _transitions(data)
+    from collections import Counter
+
+    rowm = Counter()
+    for (s, t), cnt in tr.items():
+        rowm[s] += cnt
+    # float power iteration (independent of the fixed-point replay)
+    states = sorted(rowm)
+    p = {
+        (s, t): cnt / rowm[s] for (s, t), cnt in tr.items()
+    }
+    pi = {s: 1.0 / len(states) for s in states}
+    for _ in range(60):
+        nxt: dict = {}
+        for s, mass in pi.items():
+            for t in states:
+                if (s, t) in p:
+                    nxt[t] = nxt.get(t, 0.0) + mass * p[(s, t)]
+        pi = nxt
+    n = sum(rowm.values())
+    errs = []
+    got = {r["state"]: r for r in rows}
+    for s in states:
+        g = got.get(s)
+        if g is None:
+            errs.append(f"state {s} missing")
+            continue
+        # fixed-point truncation loses ~1 unit/state/iter; tol 25
+        if abs(float(g["pi_e6"]) - pi.get(s, 0.0) * 1e6) > 60:
+            errs.append(
+                f"{s}: pi {g['pi_e6']} vs float {pi.get(s, 0)*1e6:.0f}"
+            )
+        if int(g["iter_gap_e6"]) > 1000:
+            errs.append(f"{s}: not converged, gap {g['iter_gap_e6']}")
+        emp = rowm[s] * 1_000_000 // n
+        if abs(int(g["empirical_e6"]) - emp) > 1:
+            errs.append(f"{s}: empirical {g['empirical_e6']} vs {emp}")
+    return errs
+
+
+@audit("edwards_seasonality_test")
+def a_edwards(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    mc = o.groupby(o["o_orderdate"].dt.month).size()
+    a = b = 0.0
+    for mo, cnt in mc.items():
+        th = 2 * math.pi * (mo - 0.5) / 12.0
+        a += math.sqrt(cnt) * math.cos(th)
+        b += math.sqrt(cnt) * math.sin(th)
+    x2 = (a * a + b * b) / 1.5
+    mcont = math.atan2(b, a) * 6.0 / math.pi + 0.5
+    if mcont < 0.5:
+        mcont += 12
+    peak = math.floor(mcont + 0.5)
+    return check(
+        "edwards",
+        row,
+        {
+            "n_months": (len(mc), 0),
+            "n_orders": (int(mc.sum()), 0),
+            "a_e6": (a * 1e6, 2),
+            "b_e6": (b * 1e6, 2),
+            "edwards_x2_e6": (x2 * 1e6, 3),
+            "peak_month": (peak, 0),
+            "reject_no_seasonality": (
+                1 if x2 * 1e6 > 5_991_464 else 0, 0
+            ),
+        },
+    )
+
+
 if __name__ == "__main__":
     main()
