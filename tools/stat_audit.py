@@ -2442,5 +2442,227 @@ def a_edwards(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — tier r11d: ranking / richness / tail risk (audit-first)
+# ===========================================================================
+
+
+def _rankings_vs_q0(data: Data):
+    e = data.table("embeddings")
+    V = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    ids = e["vec_id"].to_numpy()
+    q = V[ids == 0][0]
+    mask = ids != 0
+    Vo, io = V[mask], ids[mask]
+    dots = Vo @ q
+    cos = dots / (np.linalg.norm(Vo, axis=1) * np.linalg.norm(q))
+    ra = np.empty(len(io), dtype=np.int64)
+    ra[np.lexsort((io, -cos))] = np.arange(1, len(io) + 1)
+    rb = np.empty(len(io), dtype=np.int64)
+    rb[np.lexsort((io, -dots))] = np.arange(1, len(io) + 1)
+    return io, ra, rb
+
+
+@audit("rbo_ranking_overlap")
+def a_rbo(data: Data, row) -> list[str]:
+    io, ra, rb = _rankings_vs_q0(data)
+    P, D = 0.9, 20
+    # direct per-depth computation (independent of the tail-literal
+    # identity the engine uses)
+    rbo = 0.0
+    for d in range(1, D + 1):
+        inter = len(
+            set(io[ra <= d].tolist()) & set(io[rb <= d].tolist())
+        )
+        rbo += P ** (d - 1) * inter / d
+    rbo *= 1 - P
+    overlap = int(np.sum((ra <= D) & (rb <= D)))
+    n_agree = int(np.sum(np.maximum(ra, rb) <= D))
+    return check(
+        "rbo",
+        row,
+        {
+            "n_items_in_both_prefixes": (n_agree, 0),
+            "overlap_at_depth": (overlap, 0),
+            "rbo_base_e6": (rbo * 1e6, 30),
+            "jaccard_style_overlap_e6": (overlap * 1e6 // 20, 1),
+        },
+    )
+
+
+@audit("map_mrr_ann_audit")
+def a_map_mrr(data: Data, row) -> list[str]:
+    e = data.table("embeddings")
+    V = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    ids = e["vec_id"].to_numpy()
+    Q = 8
+    mrr_sum = 0.0
+    map_sum = 0.0
+    hits_total = 0
+    for qid in range(Q):
+        q = V[ids == qid][0]
+        mask = ids != qid
+        Vo, io = V[mask], ids[mask]
+        dots = Vo @ q
+        cos = dots / (np.linalg.norm(Vo, axis=1) * np.linalg.norm(q))
+        ra = np.empty(len(io), dtype=np.int64)
+        ra[np.lexsort((io, -cos))] = np.arange(1, len(io) + 1)
+        rb = np.empty(len(io), dtype=np.int64)
+        rb[np.lexsort((io, -dots))] = np.arange(1, len(io) + 1)
+        rel = (ra <= 10) & (rb <= 10)
+        hit_ranks = np.sort(rb[rel])
+        hits_total += len(hit_ranks)
+        if len(hit_ranks):
+            mrr_sum += 1.0 / hit_ranks[0]
+            ap = sum(
+                (i + 1) / r for i, r in enumerate(hit_ranks)
+            ) / 10.0
+            map_sum += ap
+    return check(
+        "map_mrr",
+        row,
+        {
+            "n_queries": (Q, 0),
+            "mrr_e6": (mrr_sum / Q * 1e6, 4),
+            "map_at_10_e6": (map_sum / Q * 1e6, 4),
+            "recall_at_10_e6": (hits_total * 1e6 / (Q * 10), 2),
+        },
+    )
+
+
+@audit("ace_richness_estimate")
+def a_ace(data: Data, row) -> list[str]:
+    from collections import Counter
+
+    c4 = Counter()
+    d = data.table("documents")
+    for text in d["text"]:
+        s = text.strip()
+        if not s:
+            continue
+        tk = _re.split(r"\s+", s.lower())
+        if len(tk) >= 4:
+            c4.update(
+                " ".join(tk[i : i + 4]) for i in range(len(tk) - 3)
+            )
+    tf = pd.Series(c4)
+    rare = tf[tf <= 10]
+    s_rare = len(rare)
+    s_abund = int((tf > 10).sum())
+    n_rare = int(rare.sum())
+    f1 = int((tf == 1).sum())
+    c = 1.0 - f1 / n_rare
+    sum_ii1 = float(sum(r * (r - 1) * n for r, n in
+                        rare.value_counts().items()))
+    gamma2 = max(
+        0.0, (s_rare / c) * sum_ii1 / (n_rare * (n_rare - 1.0)) - 1.0
+    )
+    ace = s_abund + s_rare / c + f1 / c * gamma2
+    return check(
+        "ace",
+        row,
+        {
+            "abundant_types": (s_abund, 0),
+            "rare_types": (s_rare, 0),
+            "rare_tokens": (n_rare, 0),
+            "singletons": (f1, 0),
+            "coverage_e6": (c * 1e6, 2),
+            "rare_cv2_e6": (gamma2 * 1e6, 2),
+            "ace_estimate": (ace, 1.5),
+        },
+    )
+
+
+@audit("chao_shared_species")
+def a_chao_shared(data: Data, row) -> list[str]:
+    tok = _tokens(data)
+    top2 = tok.groupby("source").size().sort_values(ascending=False)
+    # deterministic (count desc, source) tie-break like the SQL
+    order = sorted(
+        top2.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    sa, sb = order[0][0], order[1][0]
+    ca = tok[tok["source"] == sa].groupby("w").size()
+    cb = tok[tok["source"] == sb].groupby("w").size()
+    words = set(ca.index) | set(cb.index)
+    d12 = f1p = fp1 = f11 = only_a = only_b = 0
+    for w in words:
+        a = int(ca.get(w, 0))
+        b = int(cb.get(w, 0))
+        if a > 0 and b > 0:
+            d12 += 1
+            if a == 1:
+                f1p += 1
+            if b == 1:
+                fp1 += 1
+            if a == 1 and b == 1:
+                f11 += 1
+        elif a > 0:
+            only_a += 1
+        else:
+            only_b += 1
+    est = d12 + f1p * fp1 // (2 * (f11 + 1))
+    return check(
+        "chao_shared",
+        row,
+        {
+            "shared_observed": (d12, 0),
+            "only_a": (only_a, 0),
+            "only_b": (only_b, 0),
+            "rare_in_a": (f1p, 0),
+            "rare_in_b": (fp1, 0),
+            "rare_in_both": (f11, 0),
+            "chao_shared_estimate": (est, 1),
+            "unseen_shared_e6": (
+                f1p * fp1 * 1_000_000 // (2 * (f11 + 1)), 1
+            ),
+        },
+    )
+
+
+@audit("quantile_treatment_effects")
+def a_qte(data: Data, rows) -> list[str]:
+    x, y = data.expand_two_groups()
+    x, y = np.sort(x), np.sort(y)
+    errs = []
+    if len(rows) != 9:
+        errs.append(f"{len(rows)} rows vs 9")
+    for r in rows:
+        d = int(r["decile"])
+        k1 = (d * len(x) + 9) // 10
+        k2 = (d * len(y) + 9) // 10
+        q1, q2 = int(x[k1 - 1]), int(y[k2 - 1])
+        if (
+            int(r["q_building"]) != q1
+            or int(r["q_machinery"]) != q2
+            or int(r["qte"]) != q1 - q2
+        ):
+            errs.append(f"decile {d}: engine {dict(r)} vs ({q1},{q2})")
+    return errs
+
+
+@audit("expected_shortfall_cvar")
+def a_cvar(data: Data, row) -> list[str]:
+    day = data.day().sort_values(["y", "t"])
+    y = day["y"].to_numpy().astype(np.int64)
+    n = len(y)
+    k = (n * 5 + 99) // 100
+    var5 = int(y[k - 1])
+    tail = int(y[:k].sum())
+    return check(
+        "cvar",
+        row,
+        {
+            "n_days": (n, 0),
+            "n_tail_days": (k, 0),
+            "var5_revenue_k": (var5, 0),
+            "cvar5_revenue_k_e2": (tail * 100 // k, 0),
+            "cvar_over_var_e6": (
+                tail * 100 * 1_000_000 // (k * var5 * 100), 1
+            ),
+        },
+    )
+
+
 if __name__ == "__main__":
     main()
