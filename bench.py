@@ -739,6 +739,43 @@ HEADLINE += [
     "kmv_merge_audit",
 ]
 
+# Round-11 open's full headline set, frozen for round-12+ per-query
+# deltas (same freeze-at-open protocol as R9_SET/R10_SET).
+R11_SET = list(HEADLINE)
+
+# Post-freeze round-11 additions (kept out of R11_SET so its
+# cross-round deltas stay comparable).
+HEADLINE += [
+    # tier 1 (catalog_r11a): two-sample / distribution shape
+    "cramer_von_mises_2sample",
+    "bws_test",
+    "siegel_tukey_test",
+    "dagostino_k2_test",
+    "poisson_rate_ratio_ci",
+    "l_moments_ratios",
+    # tier 2 (catalog_r11b): agreement & method comparison
+    "krippendorff_alpha_nominal",
+    "gwet_ac1_agreement",
+    "weighted_kappa_ordinal",
+    "lins_ccc",
+    "bland_altman_agreement",
+    "deming_regression",
+    # tier 3 (catalog_r11c): spatial autocorrelation & sequence
+    "moran_i_region",
+    "geary_c_region",
+    "join_count_bw_region",
+    "markov_transition_entropy",
+    "markov_stationary_dist",
+    "edwards_seasonality_test",
+    # tier 4 (catalog_r11d): ranking quality / richness / tail risk
+    "rbo_ranking_overlap",
+    "map_mrr_ann_audit",
+    "ace_richness_estimate",
+    "chao_shared_species",
+    "quantile_treatment_effects",
+    "expected_shortfall_cvar",
+]
+
 # Queries with MEASURED ≥2× same-code run variance (PERF.md noise
 # quantification; VERDICT r9 item 3): their warm number is always a
 # median-of-3, even when SPARK_GRAFT_BENCH_REPEAT is unset, so a
@@ -770,6 +807,8 @@ def _bench_set(all_queries: dict) -> list[str]:
         return list(R9_SET)
     if mode == "r10set":
         return list(R10_SET)
+    if mode == "r11set":
+        return list(R11_SET)
     if mode != "full":
         return HEADLINE
     rest = sorted(set(all_queries) - set(HEADLINE))
@@ -1087,6 +1126,9 @@ def main() -> None:
                 ),
                 "warm_total_r9_set": round(
                     sum(warm[n] for n in R9_SET if n in warm), 3
+                ),
+                "warm_total_r11_set": round(
+                    sum(warm.get(q, 0.0) for q in R11_SET), 3
                 ),
                 "warm_total_r10_set": round(
                     sum(warm[n] for n in R10_SET if n in warm), 3
