@@ -2664,5 +2664,396 @@ def a_cvar(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — tiers r10d/r10e: ANN health / graph / layout / corpus dists
+# ===========================================================================
+
+
+def _cells(data: Data):
+    """The deterministic IVF device: centroids = vec_id % 100 == 0,
+    assignment by floored-e6 cosine (ties to lowest cell)."""
+    e = data.table("embeddings")
+    V = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    ids = e["vec_id"].to_numpy()
+    cmask = ids % 100 == 0
+    C, cid = V[cmask], ids[cmask]
+    nrm = np.linalg.norm(V, axis=1)
+    cn = np.linalg.norm(C, axis=1)
+    cos = np.floor(1e6 * (V @ C.T) / (nrm[:, None] * cn[None, :]))
+    # argmax with ties to lowest cell_id (cells in cid order asc)
+    order = np.argsort(cid)
+    cos = cos[:, order]
+    cid = cid[order]
+    best = cid[np.argmax(cos, axis=1)]
+    return ids, V, best
+
+
+def _cell_cos_e6(V, ids):
+    nrm = np.linalg.norm(V, axis=1)
+    return np.floor(1e6 * (V @ V.T) / (nrm[:, None] * nrm[None, :]))
+
+
+@audit("hdbscan_core_distances")
+def a_hdbscan_core(data: Data, rows) -> list[str]:
+    ids, V, cell = _cells(data)
+    cos = _cell_cos_e6(V, ids)
+    K = 4
+    core: dict[int, list[int]] = {}
+    pop: dict[int, int] = {}
+    for i, vid in enumerate(ids):
+        pop[cell[i]] = pop.get(cell[i], 0) + 1
+        mates = [
+            j for j in range(len(ids))
+            if cell[j] == cell[i] and ids[j] != vid
+        ]
+        if len(mates) < K:
+            continue
+        ranked = sorted(mates, key=lambda j: (-cos[i, j], ids[j]))
+        j = ranked[K - 1]
+        core.setdefault(cell[i], []).append(int(1e6 - cos[i, j]))
+    errs = []
+    got = {int(r["cell_id"]): r for r in rows}
+    for c, n_pts in pop.items():
+        g = got.get(c)
+        if g is None:
+            errs.append(f"cell {c} missing")
+            continue
+        cd = core.get(c, [])
+        want_mean = sum(cd) // len(cd) if cd else None
+        if int(g["n_pts"]) != n_pts or int(g["n_with_core"]) != len(cd):
+            errs.append(f"cell {c}: pops {dict(g)} vs ({n_pts},{len(cd)})")
+        elif cd and (
+            int(g["mean_core_dist_e6"]) != want_mean
+            or int(g["max_core_dist_e6"]) != max(cd)
+        ):
+            errs.append(
+                f"cell {c}: core {dict(g)} vs mean {want_mean} max {max(cd)}"
+            )
+    return errs
+
+
+@audit("knn_reciprocity_audit")
+def a_knn_recip(data: Data, row) -> list[str]:
+    ids, V, cell = _cells(data)
+    cos = _cell_cos_e6(V, ids)
+    K = 5
+    edges = set()
+    for i, vid in enumerate(ids):
+        mates = [
+            j for j in range(len(ids))
+            if cell[j] == cell[i] and ids[j] != vid
+        ]
+        ranked = sorted(mates, key=lambda j: (-cos[i, j], ids[j]))[:K]
+        for j in ranked:
+            edges.add((int(vid), int(ids[j])))
+    recip = sum(1 for a, b in edges if (b, a) in edges)
+    return check(
+        "recip",
+        row,
+        {
+            "n_edges": (len(edges), 0),
+            "n_reciprocal": (recip, 0),
+            "reciprocity_ppm": (recip * 1_000_000 // len(edges), 0),
+        },
+    )
+
+
+@audit("centroid_drift_audit")
+def a_cent_drift(data: Data, rows) -> list[str]:
+    ids, V, cell = _cells(data)
+    Vi = np.floor(V * 1e6)
+    errs = []
+    got = {int(r["cell_id"]): r for r in rows}
+    for c in sorted(set(cell.tolist())):
+        members = Vi[cell == c]
+        # truncating per-dimension integer mean (sums are positive or
+        # negative; SQL div truncates)
+        sums = members.sum(axis=0)
+        n = len(members)
+        mean = np.array([int(s) // n if s >= 0 else -((-int(s)) // n)
+                         for s in sums], dtype=np.float64)
+        cvec = np.floor(V[ids == c][0] * 1e6)
+        cosv = float(mean @ cvec) / (
+            np.linalg.norm(mean) * np.linalg.norm(cvec)
+        )
+        drift = 1_000_000 - math.floor(1e6 * cosv)
+        g = got.get(c)
+        if g is None:
+            errs.append(f"cell {c} missing")
+        elif int(g["n_pts"]) != n or abs(int(g["drift_ppm"]) - drift) > 1:
+            errs.append(f"cell {c}: {dict(g)} vs n {n} drift {drift}")
+    return errs
+
+
+@audit("cosine_dot_topk_overlap")
+def a_cos_dot_overlap(data: Data, rows) -> list[str]:
+    e = data.table("embeddings")
+    V = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    ids = e["vec_id"].to_numpy()
+    nrm = np.linalg.norm(V, axis=1)
+    errs = []
+    got = {int(r["query_id"]): r for r in rows}
+    for qid in ids[ids % 50 == 0]:
+        q = V[ids == qid][0]
+        qn = np.linalg.norm(q)
+        mask = ids != qid
+        Vo, io, no = V[mask], ids[mask], nrm[mask]
+        cos_e6 = np.floor(1e6 * (Vo @ q) / (no * qn))
+        dot_e6 = np.floor(1e6 * ((4 + io % 5) / 4.0) * (Vo @ q))
+        rc = np.empty(len(io), dtype=np.int64)
+        rc[np.lexsort((io, -cos_e6))] = np.arange(1, len(io) + 1)
+        rd = np.empty(len(io), dtype=np.int64)
+        rd[np.lexsort((io, -dot_e6))] = np.arange(1, len(io) + 1)
+        ncommon = int(np.sum((rc <= 10) & (rd <= 10)))
+        g = got.get(int(qid))
+        if g is None:
+            errs.append(f"query {qid} missing")
+        elif int(g["n_common"]) != ncommon:
+            errs.append(f"query {qid}: {g['n_common']} vs {ncommon}")
+    return errs
+
+
+@audit("ann_contrast_audit")
+def a_ann_contrast(data: Data, rows) -> list[str]:
+    e = data.table("embeddings")
+    V = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    ids = e["vec_id"].to_numpy()
+    nrm = np.linalg.norm(V, axis=1)
+    errs = []
+    got = {int(r["query_id"]): r for r in rows}
+    for qid in ids[ids % 50 == 0]:
+        q = V[ids == qid][0]
+        qn = np.linalg.norm(q)
+        mask = ids != qid
+        d = 1_000_000 - np.floor(
+            1e6 * (V[mask] @ q) / (nrm[mask] * qn)
+        ).astype(np.int64)
+        mean = int(d.sum()) // len(d)
+        rc = mean * 1_000_000 // int(d.min())
+        g = got.get(int(qid))
+        if g is None:
+            errs.append(f"query {qid} missing")
+        elif (
+            int(g["nn_dist_e6"]) != int(d.min())
+            or int(g["mean_dist_e6"]) != mean
+            or int(g["relative_contrast_e6"]) != rc
+        ):
+            errs.append(f"query {qid}: {dict(g)} vs ({d.min()},{mean},{rc})")
+    return errs
+
+
+@audit("graph_degree_gini")
+def a_degree_gini(data: Data, row) -> list[str]:
+    li = data.table("lineitem")
+    edges = li[["l_suppkey", "l_partkey"]].drop_duplicates()
+    deg = np.sort(edges.groupby("l_suppkey").size().to_numpy())
+    n = len(deg)
+    t = int(deg.sum())
+    i = np.arange(1, n + 1)
+    gini = (2 * float(np.sum(i * deg)) - (n + 1) * t) / (n * t)
+    return check(
+        "dgini",
+        row,
+        {
+            "n_suppliers": (n, 0),
+            "n_edges": (t, 0),
+            "degree_gini_e6": (gini * 1e6, 2),
+        },
+    )
+
+
+@audit("range_partition_planner")
+def a_range_planner(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    v = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64) // 1000
+    hist = pd.Series(v).value_counts().sort_index()
+    cumv = hist.cumsum()
+    n = int(hist.sum())
+    P = 32
+    bounds = {}
+    for pid in range(1, P + 1):
+        target = pid * n // P
+        hi = cumv[cumv >= target].index[0]
+        bounds[pid] = hi
+    errs = []
+    if len(rows) != P:
+        errs.append(f"{len(rows)} rows vs {P}")
+    prev = None
+    for r in sorted(rows, key=lambda r: int(r["pid"])):
+        pid = int(r["pid"])
+        hi = bounds[pid]
+        c_hi = int(cumv[cumv.index <= hi].iloc[-1])
+        c_lo = int(cumv[cumv.index <= prev].iloc[-1]) if prev is not None else 0
+        planned = c_hi - c_lo
+        if int(r["hi_bucket_incl"]) != hi or int(r["rows_planned"]) != planned:
+            errs.append(f"pid {pid}: {dict(r)} vs hi {hi} rows {planned}")
+        prev = hi
+    return errs
+
+
+@audit("doc_length_lognormal_fit")
+def a_loglen(data: Data, row) -> list[str]:
+    d = data.table("documents")
+    nc = d["n_chars"].to_numpy()
+    nc = nc[nc > 0]
+    ln_e6 = np.floor(np.log(nc.astype(np.float64)) * 1e6).astype(np.int64)
+    n = len(ln_e6)
+    s1, s2 = int(ln_e6.sum()), int((ln_e6.astype(object) ** 2).sum())
+    med = int(np.sort(nc)[(n + 1) // 2 - 1])
+    return check(
+        "loglen",
+        row,
+        {
+            "n_docs": (n, 0),
+            "ln_mu_e6": (s1 // n, 0),
+            "ln_sigma2_e6": ((s2 * n - s1 * s1) // (n * (n - 1)) // 10**6, 0),
+            "median_chars": (med, 0),
+        },
+    )
+
+
+_STOPWORDS_AUDIT = (
+    "the of and to a in is it that for on with as at by an be this "
+    "which or from are was not but had his they her she you we"
+).split()
+
+
+@audit("kl_source_divergence")
+def a_kl_src(data: Data, rows) -> list[str]:
+    tok = _tokens(data)
+    wc = tok.groupby(["source", "w"]).size()
+    vocab = tok.groupby("w").size()
+    Vn, N = len(vocab), int(vocab.sum())
+    errs = []
+    got = {r["source"]: r for r in rows}
+    for src, g in tok.groupby("source"):
+        ns = len(g)
+        kl = 0
+        for w, cw in vocab.items():
+            c = int(wc.get((src, w), 0))
+            p = (c + 1) / (ns + Vn)
+            q = cw / N
+            kl += math.floor(1e6 * p * math.log2(p / q))
+        r = got.get(src)
+        if r is None:
+            errs.append(f"source {src} missing")
+        elif int(r["n_tokens"]) != ns or abs(int(r["kl_microbits"]) - kl) > 1:
+            errs.append(f"{src}: {dict(r)} vs ({ns},{kl})")
+    return errs
+
+
+@audit("js_divergence_sources")
+def a_js_src(data: Data, rows) -> list[str]:
+    tok = _tokens(data)
+    wc = tok.groupby(["source", "w"]).size()
+    stot = tok.groupby("source").size()
+    sources = sorted(stot.index)
+    errs = []
+    got = {(r["src_a"], r["src_b"]): r for r in rows}
+    import itertools
+
+    for sa, sb in itertools.combinations(sources, 2):
+        na, nb = int(stot[sa]), int(stot[sb])
+        wa = wc[sa]
+        wb = wc[sb]
+        shared = set(wa.index) & set(wb.index)
+        sm = 0
+        ca_sh = cb_sh = 0
+        for w in shared:
+            pa, pb = int(wa[w]) / na, int(wb[w]) / nb
+            m = (pa + pb) / 2
+            sm += math.floor(5e5 * pa * math.log2(pa / m))
+            sm += math.floor(5e5 * pb * math.log2(pb / m))
+            ca_sh += int(wa[w])
+            cb_sh += int(wb[w])
+        js = sm + (na - ca_sh) * 500000 // na + (nb - cb_sh) * 500000 // nb
+        r = got.get((sa, sb))
+        if r is None:
+            errs.append(f"pair {sa},{sb} missing")
+        elif abs(int(r["js_microbits"]) - js) > 2:
+            errs.append(f"{sa},{sb}: {r['js_microbits']} vs {js}")
+    return errs
+
+
+@audit("msttr_lexical_diversity")
+def a_msttr(data: Data, rows) -> list[str]:
+    d = data.table("documents")
+    SEG = 50
+    from collections import defaultdict
+
+    segs = defaultdict(list)   # source -> list of distinct counts
+    for source, text in zip(d["source"], d["text"]):
+        s = text.strip()
+        if not s:
+            continue
+        tk = _re.split(r"\s+", s.lower())
+        for k in range(len(tk) // SEG):
+            segs[source].append(len(set(tk[k * SEG : (k + 1) * SEG])))
+    errs = []
+    got = {r["source"]: r for r in rows}
+    for src, vs in segs.items():
+        r = got.get(src)
+        want = sum(vs) * 1_000_000 // (len(vs) * SEG)
+        if r is None:
+            errs.append(f"source {src} missing")
+        elif int(r["n_segments"]) != len(vs) or int(r["msttr_e6"]) != want:
+            errs.append(f"{src}: {dict(r)} vs ({len(vs)},{want})")
+    return errs
+
+
+@audit("stopword_chi2_drift")
+def a_stopchi(data: Data, row) -> list[str]:
+    tok = _tokens(data)
+    stop = set(_STOPWORDS_AUDIT)
+    per = tok.groupby("source")["w"].agg(
+        n_s="count", o_s=lambda s: int(s.isin(stop).sum())
+    )
+    N, O, S = int(per["n_s"].sum()), int(per["o_s"].sum()), len(per)
+    chi2 = sum(
+        (int(r.o_s) * N - int(r.n_s) * O) ** 2 * 1_000_000
+        // (int(r.n_s) * O * N)
+        for r in per.itertuples()
+    )
+    return check(
+        "stopchi",
+        row,
+        {
+            "n_sources": (S, 0),
+            "n_tokens": (N, 0),
+            "n_stopwords": (O, 0),
+            "chi2_e6": (chi2, 0),
+        },
+    )
+
+
+@audit("hapax_ratio_by_source")
+def a_hapax_src(data: Data, rows) -> list[str]:
+    tok = _tokens(data)
+    errs = []
+    got = {r["source"]: r for r in rows}
+    for src, g in tok.groupby("source"):
+        tf = g.groupby("w").size()
+        n, v = int(tf.sum()), len(tf)
+        v1, v2 = int((tf == 1).sum()), int((tf == 2).sum())
+        r = got.get(src)
+        if r is None:
+            errs.append(f"source {src} missing")
+            continue
+        if (
+            int(r["n_tokens"]) != n
+            or int(r["vocab"]) != v
+            or int(r["v1"]) != v1
+            or int(r["v2"]) != v2
+            or int(r["hapax_ratio_e6"]) != v1 * 1_000_000 // v
+        ):
+            errs.append(f"{src}: counts {dict(r)} vs ({n},{v},{v1},{v2})")
+            continue
+        if v - v1 > 0:
+            want_h = math.floor(10000 * math.log(n) * v / (v - v1))
+            if abs(int(r["honore_e2"]) - want_h) > 1:
+                errs.append(f"{src}: honore {r['honore_e2']} vs {want_h}")
+    return errs
+
+
 if __name__ == "__main__":
     main()
