@@ -3055,5 +3055,269 @@ def a_hapax_src(data: Data, rows) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — tier r9a: paired / rank / ordinal second wave
+# ===========================================================================
+
+
+def _paired_months(data: Data) -> np.ndarray:
+    o = data.table("orders")
+    yr = o["o_orderdate"].dt.year
+    sel = o[yr.isin([1997, 1998])]
+    cents = np.round(sel["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = (
+        pd.DataFrame(
+            {
+                "yr": sel["o_orderdate"].dt.year.to_numpy(),
+                "mo": sel["o_orderdate"].dt.month.to_numpy(),
+                "c": cents,
+            }
+        )
+        .groupby(["yr", "mo"])["c"]
+        .sum()
+        .unstack(0)
+        .dropna()
+    )
+    return (g[1998] - g[1997]).to_numpy().astype(np.int64)
+
+
+@audit("wilcoxon_signed_rank")
+def a_wilcoxon(data: Data, row) -> list[str]:
+    d = _paired_months(data)
+    d = d[d != 0]
+    ad = np.abs(d)
+    r2 = 2 * pd.Series(ad).rank(method="average").to_numpy()
+    w2p = float(r2[d > 0].sum())
+    sr2 = float(r2.sum())
+    sr2sq = float((r2**2).sum())
+    z2 = (2 * w2p - sr2) ** 2 / sr2sq
+    return check(
+        "wilcoxon",
+        row,
+        {
+            "n_pairs": (len(d), 0),
+            "w2_plus": (w2p, 0),
+            "z2_ppm": (z2 * 1e6, 2),
+            "reject_no_shift": (1 if z2 * 1e6 > 3_841_458 else 0, 0),
+        },
+    )
+
+
+@audit("sign_test_paired")
+def a_sign_test(data: Data, row) -> list[str]:
+    d = _paired_months(data)
+    m = int((d != 0).sum())
+    k = int((d > 0).sum())
+    comb = [math.comb(m, i) for i in range(m + 1)]
+    num_ge = sum(comb[k:])
+    num_le = sum(comb[: k + 1])
+    p_e6 = min(
+        1_000_000, 2 * (min(num_ge, num_le) * 1_000_000 // (1 << m))
+    )
+    return check(
+        "sign",
+        row,
+        {
+            "n_nonzero": (m, 0),
+            "n_positive": (k, 0),
+            "p_two_sided_e6": (p_e6, 0),
+            "reject_at_5pct": (1 if p_e6 < 50_000 else 0, 0),
+        },
+    )
+
+
+@audit("cox_stuart_trend")
+def a_cox_stuart(data: Data, row) -> list[str]:
+    y = data.day()["y"].to_numpy()
+    n = len(y)
+    off = (n + 1) // 2
+    pairs = [(y[i], y[i + off]) for i in range(n // 2) if i + off < n]
+    m = sum(1 for a, b in pairs if a != b)
+    sp = sum(1 for a, b in pairs if b > a)
+    z2 = max(abs(2 * sp - m) - 1, 0) ** 2 * 1_000_000 // m
+    return check(
+        "coxstuart",
+        row,
+        {
+            "n_untied_pairs": (m, 0),
+            "n_increases": (sp, 0),
+            "z2_ppm": (z2, 0),
+            "reject_no_trend": (1 if z2 > 3_841_458 else 0, 0),
+        },
+    )
+
+
+@audit("turning_points_test")
+def a_turning(data: Data, row) -> list[str]:
+    y = data.day()["y"].to_numpy().astype(np.int64)
+    n = len(y)
+    d1 = y[1:-1] - y[:-2]
+    d2 = y[2:] - y[1:-1]
+    tp = int(np.sum(d1 * d2 < 0))
+    z2 = (3 * tp - 2 * (n - 2)) ** 2 * 10_000_000 // (16 * n - 29)
+    return check(
+        "turning",
+        row,
+        {
+            "n_days": (n, 0),
+            "n_turning_points": (tp, 0),
+            "expected_tp_e6": (2 * (n - 2) * 1_000_000 // 3, 0),
+            "z2_ppm": (z2, 0),
+            "reject_randomness": (1 if z2 > 3_841_458 else 0, 0),
+        },
+    )
+
+
+@audit("brunner_munzel")
+def a_bm(data: Data, row) -> list[str]:
+    x, y = data.expand_two_groups()
+    n1, n2 = len(x), len(y)
+
+    def placements(a, b):
+        # for each a_i: #(b < a_i) + 0.5 * #(b == a_i)
+        bs = np.sort(b)
+        lt = np.searchsorted(bs, a, side="left")
+        le = np.searchsorted(bs, a, side="right")
+        return lt + 0.5 * (le - lt)
+
+    p1 = placements(x, y)  # group1 among group2
+    p2 = placements(y, x)  # group2 among group1
+    p_hat = p2.mean() / n1
+    s1 = float(np.var(p1, ddof=1))
+    s2 = float(np.var(p2, ddof=1))
+    V = s1 / (n2 * n2 * n1) + s2 / (n1 * n1 * n2)
+    z2 = (p_hat - 0.5) ** 2 / V
+    return check(
+        "bm",
+        row,
+        {
+            "n1": (n1, 0),
+            "n2": (n2, 0),
+            "p_hat_ppm": (p_hat * 1e6, 1),
+            "var_e12": (V * 1e12, 4),
+            "z2_ppm": (z2 * 1e6, ("rel", 1e-4)),
+            "reject_stochastic_equality": (
+                1 if z2 * 1e6 > 3_841_458 else 0, 0
+            ),
+        },
+    )
+
+
+@audit("cliffs_delta_effect")
+def a_cliffs(data: Data, row) -> list[str]:
+    x, y = data.expand_two_groups()
+    ys = np.sort(y)
+    gt = np.searchsorted(ys, x, side="left").sum()       # y < x
+    lt = (len(ys) - np.searchsorted(ys, x, side="right")).sum()  # y > x
+    delta = (int(gt) - int(lt)) / (len(x) * len(y))
+    mag = (
+        "negligible" if abs(delta) < 0.147
+        else "small" if abs(delta) < 0.33
+        else "medium" if abs(delta) < 0.474
+        else "large"
+    )
+    errs = check(
+        "cliffs",
+        row,
+        {"n1": (len(x), 0), "n2": (len(y), 0), "delta_ppm": (delta * 1e6, 2)},
+    )
+    if str(row["magnitude"]) != mag:
+        errs.append(f"magnitude {row['magnitude']} vs {mag}")
+    return errs
+
+
+@audit("hodges_lehmann_shift")
+def a_hl(data: Data, row) -> list[str]:
+    from beacon_data_importer_spark import catalog_r9a as R9A
+
+    o = data.table("orders")
+    c = data.table("customer")
+    m = o.merge(
+        c[["c_custkey", "c_mktsegment"]], left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    m = m[m["c_mktsegment"].isin([R9A._BM_SEG_A, R9A._BM_SEG_B])]
+    b = np.round(m["o_totalprice"].to_numpy() * 100).astype(np.int64) // 100000
+    seg = m["c_mktsegment"].to_numpy()
+    b1 = b[seg == R9A._BM_SEG_A]
+    b2 = b[seg == R9A._BM_SEG_B]
+    from collections import Counter
+
+    h1, h2 = Counter(b1.tolist()), Counter(b2.tolist())
+    diffs = Counter()
+    for v1, c1 in h1.items():
+        for v2, c2 in h2.items():
+            diffs[v1 - v2] += c1 * c2
+    tot = sum(diffs.values())
+    target = (tot + 1) // 2
+    cum = 0
+    hl = None
+    for dd in sorted(diffs):
+        cum += diffs[dd]
+        if cum >= target:
+            hl = dd
+            break
+    return check(
+        "hl",
+        row,
+        {
+            "n_pairs": (tot, 0),
+            "hl_shift_bucket": (hl, 0),
+            "hl_shift_cents": (hl * 100000, 0),
+        },
+    )
+
+
+def _ordinal_pq(data: Data):
+    li = data.table("lineitem")
+    cells = (
+        li.groupby(["l_discount", "l_quantity"]).size().rename("c").reset_index()
+    )
+    d = cells["l_discount"].to_numpy()
+    q = cells["l_quantity"].to_numpy()
+    c = cells["c"].to_numpy().astype(np.float64)
+    w = c[:, None] * c[None, :]
+    gt_d = d[None, :] > d[:, None]
+    eq_d = d[None, :] == d[:, None]
+    P = float(w[gt_d & (q[None, :] > q[:, None])].sum())
+    Q = float(w[gt_d & (q[None, :] < q[:, None])].sum())
+    TY = float(w[gt_d & (q[None, :] == q[:, None])].sum())
+    # tied on d, differing on q: each unordered pair counted once
+    # (matches the SQL join b.d = a.d AND b.q > a.q)
+    TX = float(w[eq_d & (q[None, :] > q[:, None])].sum())
+    return P, Q, TY, TX
+
+
+@audit("kruskal_gamma")
+def a_gamma(data: Data, row) -> list[str]:
+    P, Q, TY, TX = _ordinal_pq(data)
+    return check(
+        "gamma",
+        row,
+        {
+            "concordant": (P, 0),
+            "discordant": (Q, 0),
+            "gamma_ppm": ((P - Q) * 1e6 / (P + Q), 2),
+        },
+    )
+
+
+@audit("somers_d")
+def a_somers(data: Data, row) -> list[str]:
+    P, Q, TY, TX = _ordinal_pq(data)
+    return check(
+        "somers",
+        row,
+        {
+            "concordant": (P, 0),
+            "discordant": (Q, 0),
+            "tied_qty_only": (TY, 0),
+            "tied_disc_only": (TX, 0),
+            "somers_d_qty_given_disc_ppm": ((P - Q) * 1e6 / (P + Q + TY), 2),
+            "somers_d_disc_given_qty_ppm": ((P - Q) * 1e6 / (P + Q + TX), 2),
+        },
+    )
+
+
 if __name__ == "__main__":
     main()
