@@ -3319,5 +3319,366 @@ def a_somers(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — tier r9b: time-series / forecast-eval second wave
+# ===========================================================================
+
+
+def _tdiv2(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@audit("quantile_regression_irls")
+def a_qr_irls(data: Data, row) -> list[str]:
+    day = data.day()
+    tt = day["t"].to_numpy().astype(object)
+    yy = day["y"].to_numpy().astype(object)
+    n = len(yy)
+
+    def wols(w):
+        sw = sum(w)
+        swt = sum(wi * ti for wi, ti in zip(w, tt))
+        swy = sum(wi * yi for wi, yi in zip(w, yy))
+        swtt = sum(wi * ti * ti for wi, ti in zip(w, tt))
+        swty = sum(wi * ti * yi for wi, ti, yi in zip(w, tt, yy))
+        b = _tdiv2((sw * swty - swt * swy) * 10**6, sw * swtt - swt * swt)
+        a = _tdiv2(swy * 10**6 - b * swt, sw)
+        return a, b
+
+    a, b = wols([1] * n)
+    for _ in range(3):
+        w = [
+            _tdiv2(10**12, max(abs(yi * 10**6 - a - b * ti), 10**6))
+            for ti, yi in zip(tt, yy)
+        ]
+        a, b = wols(w)
+    mar = _tdiv2(
+        sum(abs(yi * 10**6 - a - b * ti) for ti, yi in zip(tt, yy)), n
+    )
+    errs = check(
+        "qr",
+        row,
+        {
+            "n_days": (n, 0),
+            "intercept_ppm": (a, 0),
+            "slope_ppm": (b, 0),
+            "mean_abs_resid_e6": (mar, 0),
+        },
+    )
+    # formula sanity: the IRLS line must beat plain OLS on L1 loss
+    ybar = float(np.mean([float(v) for v in yy]))
+    tbar = float(np.mean([float(v) for v in tt]))
+    tf = np.array([float(v) for v in tt])
+    yf = np.array([float(v) for v in yy])
+    bo = float(np.sum((tf - tbar) * (yf - ybar)) / np.sum((tf - tbar) ** 2))
+    ao = ybar - bo * tbar
+    l1_ols = float(np.mean(np.abs(yf - ao - bo * tf)))
+    if mar / 1e6 > l1_ols + 1e-9:
+        errs.append(f"IRLS L1 {mar/1e6} worse than OLS L1 {l1_ols}")
+    return errs
+
+
+def _granger_frame(data: Data):
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    t = (o["o_orderdate"] - o["o_orderdate"].min()).dt.days
+    g = pd.DataFrame({"t": t, "c": cents}).groupby("t").agg(
+        x=("c", "size"), csum=("c", "sum")
+    )
+    g["y"] = g["csum"] // 100000
+    return g.sort_index()
+
+
+@audit("granger_lag1_test")
+def a_granger(data: Data, row) -> list[str]:
+    g = _granger_frame(data)
+    idx = g.index.to_numpy()
+    nxt = {t: i for i, t in enumerate(idx)}
+    a = []  # today's revenue
+    b = []  # yesterday's revenue
+    c = []  # yesterday's order count
+    for t in idx:
+        if t + 1 in nxt:
+            a.append(g["y"].iloc[nxt[t + 1]])
+            b.append(g["y"].iloc[nxt[t]])
+            c.append(g["x"].iloc[nxt[t]])
+    a, b, c = map(lambda v: np.array(v, dtype=np.float64), (a, b, c))
+    n = len(a)
+    # the engine floors each marginal correlation to e6 BEFORE the
+    # partial-correlation identity; replay that one staging step
+    r_yl = math.floor(np.corrcoef(a, b)[0, 1] * 1e6)
+    r_yx = math.floor(np.corrcoef(a, c)[0, 1] * 1e6)
+    r_lx = math.floor(np.corrcoef(b, c)[0, 1] * 1e6)
+    r2r = r_yl * r_yl // 10**6
+    r2u = (
+        (r_yl * r_yl + r_yx * r_yx - (2 * r_yl * r_yx // 10**6) * r_lx)
+        * 10**6
+        // (10**12 - r_lx * r_lx)
+    )
+    f = (r2u - r2r) * (n - 3) * 10**6 // (10**6 - r2u)
+    return check(
+        "granger",
+        row,
+        {
+            "n_pairs": (n, 0),
+            "r2_restricted_ppm": (r2r, 2),
+            "r2_unrestricted_ppm": (r2u, 2),
+            "f_ppm": (f, ("rel", 1e-3)),
+        },
+    )
+
+
+def _ols_resid_e(data: Data):
+    """The _resid_ctes device: D-scaled residuals div 1e9."""
+    day = data.day()
+    tt = day["t"].to_numpy().astype(object)
+    yy = day["y"].to_numpy().astype(object)
+    n = len(yy)
+    s_t, s_y = sum(tt), sum(yy)
+    s_tt = sum(ti * ti for ti in tt)
+    s_ty = sum(ti * yi for ti, yi in zip(tt, yy))
+    dd = n * s_tt - s_t * s_t
+    bb = n * s_ty - s_t * s_y
+    aa = s_y * s_tt - s_t * s_ty
+    es = [
+        _tdiv2(dd * yi - aa - bb * ti, 10**9)
+        for ti, yi in zip(tt, yy)
+    ]
+    return day["t"].to_numpy(), np.array(es, dtype=np.float64)
+
+
+@audit("arch_lm_test")
+def a_arch(data: Data, row) -> list[str]:
+    t, es = _ols_resid_e(data)
+    e2 = np.array([_tdiv2(int(e) * int(e), 10**6) for e in es],
+                  dtype=np.float64)
+    pos = {tv: i for i, tv in enumerate(t)}
+    u, v = [], []
+    for tv in t:
+        if tv + 1 in pos:
+            u.append(e2[pos[tv + 1]])
+            v.append(e2[pos[tv]])
+    u, v = np.array(u), np.array(v)
+    n = len(u)
+    r = math.floor(np.corrcoef(u, v)[0, 1] * 1e6)
+    lm = n * r * r // 10**6
+    return check(
+        "arch",
+        row,
+        {
+            "n_pairs": (n, 0),
+            "lag1_sq_corr_ppm": (r, 2),
+            "lm_ppm": (lm, ("rel", 1e-4)),
+            "reject_no_arch": (1 if lm > 3_841_458 else 0, 0),
+        },
+    )
+
+
+@audit("yule_walker_ar2")
+def a_yw(data: Data, row) -> list[str]:
+    day = data.day()
+    t = day["t"].to_numpy()
+    y = day["y"].to_numpy().astype(np.float64)
+    n = len(y)
+    d = n * y - y.sum()
+    pos = {tv: i for i, tv in enumerate(t)}
+    den = float(np.sum(d * d))
+
+    def ac(lag):
+        s = 0.0
+        for tv in t:
+            if tv + lag in pos:
+                s += d[pos[tv]] * d[pos[tv + lag]]
+        return math.floor(s * 1e6 / den)
+
+    r1, r2 = ac(1), ac(2)
+    phi1 = _tdiv2(r1 * (10**6 - r2) * 10**6, 10**12 - r1 * r1)
+    phi2 = _tdiv2((r2 * 10**6 - r1 * r1) * 10**6, 10**12 - r1 * r1)
+    innov = 10**6 - _tdiv2(phi1 * r1, 10**6) - _tdiv2(phi2 * r2, 10**6)
+    return check(
+        "yw",
+        row,
+        {
+            "r1_ppm": (r1, 1),
+            "r2_ppm": (r2, 1),
+            "phi1_ppm": (phi1, 3),
+            "phi2_ppm": (phi2, 3),
+            "innovation_ratio_ppm": (innov, 4),
+        },
+    )
+
+
+@audit("diebold_mariano_test")
+def a_dm(data: Data, row) -> list[str]:
+    day = data.day()
+    t = day["t"].to_numpy()
+    y = day["y"].to_numpy().astype(np.int64)
+    pos = {tv: i for i, tv in enumerate(t)}
+    ds = []
+    for tv in t:
+        if tv + 1 in pos and tv + 2 in pos:
+            y0, y1, y2 = (
+                int(y[pos[tv]]), int(y[pos[tv + 1]]), int(y[pos[tv + 2]])
+            )
+            ds.append((y2 - 2 * y1 + y0) ** 2 - (y2 - y1) ** 2)
+    m = len(ds)
+    sd = sum(ds)
+    sdd = sum(d * d for d in ds)
+    z2 = _tdiv2(sd * sd * (m - 1) * 10**6, m * sdd - sd * sd)
+    return check(
+        "dm",
+        row,
+        {
+            "n_triples": (m, 0),
+            "loss_diff_sum": (sd, 0),
+            "z2_ppm": (z2, 0),
+            "drift_loss_lower": (1 if sd < 0 else 0, 0),
+        },
+    )
+
+
+@audit("tracking_signal_audit")
+def a_tracking(data: Data, row) -> list[str]:
+    day = data.day()
+    t = day["t"].to_numpy()
+    y = day["y"].to_numpy().astype(np.int64)
+    pos = {tv: i for i, tv in enumerate(t)}
+    errs_seq = [
+        (tv + 1, int(y[pos[tv + 1]]) - int(y[pos[tv]]))
+        for tv in t if tv + 1 in pos
+    ]
+    ce = ca = 0
+    n_alarm = 0
+    final = None
+    worst = (0, None)
+    for i, (tv, e) in enumerate(sorted(errs_seq), 1):
+        ce += e
+        ca += abs(e)
+        ts = _tdiv2(ce * i * 10**6, ca)
+        final = ts
+        if abs(ts) > 4_000_000:
+            n_alarm += 1
+        if abs(ts) > worst[0]:
+            worst = (abs(ts), tv, ts)
+    return check(
+        "tracking",
+        row,
+        {
+            "n_days": (len(errs_seq), 0),
+            "n_alarm_days": (n_alarm, 0),
+            "final_ts_ppm": (final, 0),
+            "worst_day": (worst[1], 0),
+            "worst_ts_ppm": (worst[2], 0),
+        },
+    )
+
+
+@audit("permutation_entropy")
+def a_perm_entropy(data: Data, row) -> list[str]:
+    from collections import Counter
+
+    y = data.day()["y"].to_numpy().astype(np.int64)
+    pats = Counter()
+    for i in range(len(y) - 2):
+        a, b, c = int(y[i]), int(y[i + 1]), int(y[i + 2])
+        pats[(b >= a) * 4 + (c >= a) * 2 + (c >= b)] += 1
+    m = sum(pats.values())
+    h = math.floor(1e6 * math.log(m)) - sum(
+        cnt * math.floor(1e6 * math.log(cnt)) for cnt in pats.values()
+    ) // m
+    return check(
+        "pe",
+        row,
+        {
+            "n_triples": (m, 0),
+            "n_patterns_observed": (len(pats), 0),
+            "h_e6": (h, 1),
+            "normalized_ppm": (h * 10**6 // 1_791_759, 1),
+        },
+    )
+
+
+@audit("sen_slope_seasonal")
+def a_sen_seasonal(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = (
+        pd.DataFrame(
+            {
+                "yr": o["o_orderdate"].dt.year,
+                "mo": o["o_orderdate"].dt.month,
+                "c": cents,
+            }
+        )
+        .groupby(["yr", "mo"])["c"]
+        .sum()
+    )
+    from collections import Counter
+
+    slopes = Counter()
+    for (yr1, mo1), r1 in g.items():
+        for (yr2, mo2), r2 in g.items():
+            if mo2 == mo1 and yr2 > yr1:
+                slopes[_tdiv2((int(r2) - int(r1)) * 10**6,
+                              (yr2 - yr1) * 12)] += 1
+    tot = sum(slopes.values())
+    target = (tot + 1) // 2
+    cum = 0
+    med = None
+    for s in sorted(slopes):
+        cum += slopes[s]
+        if cum >= target:
+            med = s
+            break
+    return check(
+        "sen_seasonal",
+        row,
+        {
+            "n_pairs": (tot, 0),
+            "sen_slope_cents_per_month_e6": (med, 0),
+        },
+    )
+
+
+@audit("ewma_control_chart")
+def a_ewma_cc(data: Data, row) -> list[str]:
+    day = data.day()
+    y = day["y"].to_numpy().astype(object)
+    n = len(y)
+    s = sum(y)
+    q = sum(v * v for v in y)
+    mu = _tdiv2(s * 10**6, n)
+    band2 = _tdiv2(3 * (n * q - s * s) * 10**12, n * n)
+    W = (64, 32, 16, 8, 4, 2, 1)
+    n_mon = 0
+    n_out = 0
+    worst = (-1, None)
+    for i in range(len(y)):
+        if i - 6 < 0:
+            continue
+        z64 = sum(w * int(y[i - j]) for j, w in enumerate(W))
+        z = _tdiv2(z64 * 10**6, 127)
+        dev2 = (z - mu) ** 2
+        n_mon += 1
+        if dev2 > band2:
+            n_out += 1
+        if dev2 > worst[0]:
+            worst = (dev2, int(day["t"].iloc[i]))
+    return check(
+        "ewma_cc",
+        row,
+        {
+            "n_days": (n, 0),
+            "n_monitored": (n_mon, 0),
+            "n_out_of_control": (n_out, 0),
+            "worst_day": (worst[1], 0),
+            "worst_dev2_ratio_ppm": (
+                _tdiv2(worst[0] * 10**6, band2), 0
+            ),
+        },
+    )
+
+
 if __name__ == "__main__":
     main()
