@@ -3680,5 +3680,242 @@ def a_ewma_cc(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — tier r9c: categorical / causal / agreement
+# ===========================================================================
+
+
+@audit("g_test_independence")
+def a_gtest(data: Data, row) -> list[str]:
+    li = data.table("lineitem")
+    cells = li.groupby(["l_returnflag", "l_linestatus"]).size()
+    rm = cells.groupby(level=0).sum()
+    cm = cells.groupby(level=1).sum()
+    n = int(cells.sum())
+    g = sum(
+        2 * int(o) * math.floor(
+            1e6 * math.log(int(o) * n / (int(rm[rf]) * int(cm[ls])))
+        )
+        for (rf, ls), o in cells.items()
+    )
+    df = (len(rm) - 1) * (len(cm) - 1)
+    return check(
+        "gtest",
+        row,
+        {
+            "n_rows": (n, 0),
+            "n_cells": (len(cells), 0),
+            "df": (df, 0),
+            "g_e6": (g, 2),
+        },
+    )
+
+
+@audit("bayesian_shrinkage_rates")
+def a_ebshrink(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    nt = data.table("nation")
+    m = o.merge(
+        c[["c_custkey", "c_nationkey"]], left_on="o_custkey",
+        right_on="c_custkey",
+    ).merge(nt[["n_nationkey", "n_name"]], left_on="c_nationkey",
+            right_on="n_nationkey")
+    per = m.groupby("n_name").agg(
+        n=("o_orderkey", "size"),
+        a=("o_orderpriority", lambda s: int((s == "1-URGENT").sum())),
+    )
+    per["p"] = per["a"] * 1_000_000 // per["n"]
+    k = len(per)
+    m_ppm = int(per["p"].sum()) // k
+    v = int(((per["p"] - m_ppm) ** 2).sum()) // (k - 1)
+    kappa = max(0, m_ppm * (1_000_000 - m_ppm) * 1_000_000 // v - 1_000_000)
+    errs = []
+    got = {r["nation"]: r for r in rows}
+    for nation, rr in per.iterrows():
+        g = got.get(nation)
+        if g is None:
+            errs.append(f"{nation} missing")
+            continue
+        shrunk = (
+            (m_ppm * kappa // 1_000_000 + int(rr["a"]) * 1_000_000)
+            * 1_000_000
+            // (kappa + int(rr["n"]) * 1_000_000)
+        )
+        pw = kappa * 1_000_000 // (kappa + int(rr["n"]) * 1_000_000)
+        if (
+            int(g["raw_ppm"]) != int(rr["p"])
+            or int(g["shrunk_ppm"]) != shrunk
+            or int(g["prior_weight_ppm"]) != pw
+            or int(g["grand_rate_ppm"]) != m_ppm
+        ):
+            errs.append(f"{nation}: {dict(g)} vs ({rr['p']},{shrunk},{pw})")
+    return errs
+
+
+@audit("ratio_metric_delta_ci")
+def a_ratio_ci(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    cust = pd.DataFrame(
+        {"ck": o["o_custkey"], "c": cents}
+    ).groupby("ck").agg(x=("c", "sum"), y=("c", "size"))
+    cust["variant"] = cust.index % 2
+    errs = []
+    got = {int(r["variant"]): r for r in rows}
+    for var, g in cust.groupby("variant"):
+        x = g["x"].to_numpy().astype(np.float64)
+        y = g["y"].to_numpy().astype(np.float64)
+        n = len(g)
+        ratio_c = int(g["x"].sum()) * 100 // int(g["y"].sum())
+        R = x.sum() / y.sum()
+        # delta method: Var(ratio) ~ S/(n*(n-1)*ybar^2) with
+        # S = Sxx - 2R*Sxy + R^2*Syy (per SQL: /(n(n-1)n) then /ybar)
+        cxx = n * np.sum(x * x) - x.sum() ** 2
+        cyy = n * np.sum(y * y) - y.sum() ** 2
+        cxy = n * np.sum(x * y) - x.sum() * y.sum()
+        half = (
+            1.959963
+            * math.sqrt(
+                max(cxx - 2 * R * cxy + R * R * cyy, 0)
+                / (n * (n - 1) * n)
+            )
+            / (y.sum() / n)
+            * 100
+        )
+        r = got.get(int(var))
+        if r is None:
+            errs.append(f"variant {var} missing")
+            continue
+        errs += check(
+            f"ratio v{var}",
+            r,
+            {
+                "n_customers": (n, 0),
+                "revenue_per_order_c": (ratio_c, 0),
+                "ci_half_c": (half, 2),
+            },
+        )
+    return errs
+
+
+@audit("evalue_sensitivity")
+def a_evalue(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    x = (o["o_orderpriority"] == "1-URGENT").to_numpy()
+    y = (
+        np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        > 30_000_000
+    )
+    a = int((x & y).sum())
+    b = int((x & ~y).sum())
+    c = int((~x & y).sum())
+    d = int((~x & ~y).sum())
+    rr = a * (c + d) * 1_000_000 // (c * (a + b))
+    rr_star = rr if rr >= 1_000_000 else 10**12 // rr
+    ev = rr_star + math.floor(math.sqrt(rr_star * (rr_star - 1_000_000)))
+    return check(
+        "evalue",
+        row,
+        {
+            "n_urgent_high": (a, 0),
+            "n_urgent_low": (b, 0),
+            "n_other_high": (c, 0),
+            "n_other_low": (d, 0),
+            "rr_ppm": (rr, 0),
+            "evalue_ppm": (ev, 1),
+        },
+    )
+
+
+@audit("overlap_weights_ato")
+def a_ato(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    li = data.table("lineitem")
+    lat = (
+        li.merge(o[["o_orderkey", "o_orderdate"]], left_on="l_orderkey",
+                 right_on="o_orderkey")
+        .assign(
+            lat=lambda d: (d["l_shipdate"] - d["o_orderdate"]).dt.days
+        )
+        .groupby("l_orderkey")["lat"]
+        .min()
+    )
+    u = o[o["o_orderkey"].isin(lat.index)].copy()
+    u["lat"] = u["o_orderkey"].map(lat)
+    u["bkt"] = (
+        np.round(u["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        // 2_500_000
+    )
+    u["z"] = (u["o_orderpriority"] == "1-URGENT").astype(int)
+    ps = (
+        u.groupby("bkt")["z"].agg(["sum", "size"])
+        .assign(e=lambda d: d["sum"] * 1_000_000 // d["size"])
+    )
+    u["e"] = u["bkt"].map(ps["e"])
+    u = u[(u["e"] > 0) & (u["e"] < 1_000_000)]
+    u["w"] = np.where(u["z"] == 1, 1_000_000 - u["e"], u["e"])
+    t_, c_ = u[u["z"] == 1], u[u["z"] == 0]
+    ato = int((t_["w"] * t_["lat"]).sum()) * 1_000_000 // int(
+        t_["w"].sum()
+    ) - int((c_["w"] * c_["lat"]).sum()) * 1_000_000 // int(c_["w"].sum())
+    naive = int(t_["lat"].sum()) * 1_000_000 // len(t_) - int(
+        c_["lat"].sum()
+    ) * 1_000_000 // len(c_)
+    return check(
+        "ato",
+        row,
+        {
+            "n_treated": (len(t_), 0),
+            "n_control": (len(c_), 0),
+            "ato_latency_days_e6": (ato, 2),
+            "naive_diff_days_e6": (naive, 2),
+        },
+    )
+
+
+@audit("kendall_w_concordance")
+def a_kendall_w(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    m = o.merge(
+        c[["c_custkey", "c_mktsegment"]], left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    cents = np.round(m["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = (
+        pd.DataFrame(
+            {
+                "ym": m["o_orderdate"].dt.year * 100
+                + m["o_orderdate"].dt.month,
+                "seg": m["c_mktsegment"],
+                "c": cents,
+            }
+        )
+        .groupby(["ym", "seg"])["c"]
+        .sum()
+        .reset_index()
+    )
+    full = g.groupby("ym").size()
+    full = set(full[full == 5].index)
+    g = g[g["ym"].isin(full)]
+    n = len(full)
+    # rank within month by (rev, seg)
+    g = g.sort_values(["ym", "c", "seg"])
+    g["r"] = g.groupby("ym").cumcount() + 1
+    rj = g.groupby("seg")["r"].sum()
+    s2 = int(sum((2 * int(v) - n * 6) ** 2 for v in rj))
+    w = 3 * s2 * 1_000_000 // (n * n * 5 * 24)
+    return check(
+        "kendall_w",
+        row,
+        {
+            "n_blocks": (n, 0),
+            "w_ppm": (w, 0),
+            "chi2_ppm": (n * 4 * w, 0),
+        },
+    )
+
+
 if __name__ == "__main__":
     main()
