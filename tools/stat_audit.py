@@ -3917,5 +3917,205 @@ def a_kendall_w(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — tier r9g: AD2 / drift / Sen CI / tau-b / median polish
+# ===========================================================================
+
+
+@audit("anderson_darling_2sample")
+def a_ad2(data: Data, row) -> list[str]:
+    x, y = data.expand_two_groups()
+    n, m = len(x), len(y)
+    N = n + m
+    zs = np.sort(np.concatenate([x, y]))
+    vals = np.unique(zs)
+    xs, ys2 = np.sort(x), np.sort(y)
+    # staged replay: per-stratum e6 floors summed then / (n*m),
+    # cross-checked below against the pure-float Pettitt form
+    a2_e6 = 0
+    for v in vals:
+        c = int(np.searchsorted(zs, v, side="right")
+                - np.searchsorted(zs, v, side="left"))
+        ca = int(np.searchsorted(xs, v, side="right"))
+        cb = int(np.searchsorted(ys2, v, side="right"))
+        H = ca + cb
+        if H < N:
+            a2_e6 += c * (m * ca - n * cb) ** 2 * 1_000_000 // (H * (N - H))
+    a2_e6 //= n * m
+    # textbook float value for the formula-level check
+    a2_float = sum(
+        (int(np.searchsorted(zs, v, side="right"))
+         - int(np.searchsorted(zs, v, side="left")))
+        * (m * int(np.searchsorted(xs, v, side="right"))
+           - n * int(np.searchsorted(ys2, v, side="right"))) ** 2
+        / ((int(np.searchsorted(xs, v, side="right"))
+            + int(np.searchsorted(ys2, v, side="right")))
+           * (N - int(np.searchsorted(xs, v, side="right"))
+              - int(np.searchsorted(ys2, v, side="right"))))
+        for v in vals
+        if int(np.searchsorted(xs, v, side="right"))
+        + int(np.searchsorted(ys2, v, side="right")) < N
+    ) / (n * m)
+    errs = check(
+        "ad2",
+        row,
+        {"n1": (n, 0), "n2": (m, 0), "a2_e6": (a2_e6, 0)},
+    )
+    if abs(a2_float * 1e6 - a2_e6) > 200:
+        errs.append(f"staged {a2_e6} vs float {a2_float*1e6:.0f}")
+    return errs
+
+
+@audit("page_hinkley_drift")
+def a_page_hinkley(data: Data, row) -> list[str]:
+    day = data.day()
+    y = day["y"].to_numpy().astype(np.int64)
+    t = day["t"].to_numpy()
+    lam = (int(y.sum()) * 1_000_000 // len(y)) // 10
+    cy = 0
+    mm = 0
+    mn = 0
+    n_alarm = 0
+    first = -1
+    maxph = None
+    for i in range(len(y)):
+        cy += int(y[i])
+        d = int(y[i]) * 1_000_000 - cy * 1_000_000 // (i + 1)
+        mm += d
+        mn = min(mn, mm)
+        ph = mm - mn
+        maxph = ph if maxph is None else max(maxph, ph)
+        if ph > lam:
+            n_alarm += 1
+            if first < 0:
+                first = int(t[i])
+    return check(
+        "ph",
+        row,
+        {
+            "n_days": (len(y), 0),
+            "lambda_e6": (lam, 0),
+            "n_alarm_days": (n_alarm, 0),
+            "first_alarm_day": (first, 0),
+            "max_ph_e6": (maxph, 0),
+        },
+    )
+
+
+@audit("theil_sen_ci")
+def a_tsci(data: Data, row) -> list[str]:
+    y = _months(data).astype(np.int64)
+    n = len(y)
+    slopes = sorted(
+        _tdiv2((int(y[j]) - int(y[i])) * 10**6, j - i)
+        for i in range(n) for j in range(i + 1, n)
+    )
+    ns = len(slopes)
+    c_alpha = math.floor(
+        math.sqrt(3.841458 * n * (n - 1) * (2 * n + 5) / 18.0)
+    )
+    r_lo = max(1, (ns - c_alpha) // 2)
+    r_hi = min(ns, (ns + c_alpha) // 2 + 1)
+    r_med = (ns + 1) // 2
+    return check(
+        "tsci",
+        row,
+        {
+            "n_months": (n, 0),
+            "n_pairs": (ns, 0),
+            "c_alpha": (c_alpha, 0),
+            "sen_slope_cents_per_month_e6": (slopes[r_med - 1], 0),
+            "ci_lo_e6": (slopes[r_lo - 1], 0),
+            "ci_hi_e6": (slopes[r_hi - 1], 0),
+        },
+    )
+
+
+@audit("kendall_tau_b")
+def a_taub(data: Data, row) -> list[str]:
+    P, Q, TY, TX = _ordinal_pq(data)
+    taub = (P - Q) / math.sqrt((P + Q + TX) * (P + Q + TY))
+    return check(
+        "taub",
+        row,
+        {
+            "concordant": (P, 0),
+            "discordant": (Q, 0),
+            "tied_disc_only": (TX, 0),
+            "tied_qty_only": (TY, 0),
+            "tau_b_ppm": (taub * 1e6, 2),
+        },
+    )
+
+
+@audit("median_polish_lite")
+def a_median_polish(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    m = o.merge(
+        c[["c_custkey", "c_mktsegment"]], left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    cents = np.round(m["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = (
+        pd.DataFrame(
+            {
+                "ym": m["o_orderdate"].dt.year * 100
+                + m["o_orderdate"].dt.month,
+                "seg": m["c_mktsegment"],
+                "v": cents,
+            }
+        )
+        .groupby(["ym", "seg"])["v"]
+        .sum()
+        .reset_index()
+    )
+    full = g.groupby("ym").size()
+    g = g[g["ym"].isin(set(full[full == 5].index))]
+    piv = g.pivot(index="ym", columns="seg", values="v").astype(np.int64)
+
+    def lowmed_series(s, tie):
+        order = sorted(zip(s, tie))
+        return order[(len(order) + 1) // 2 - 1][0]
+
+    # sweep 1: row medians (rank 3 of 5, ties by seg)
+    re1 = {}
+    for ym, rr in piv.iterrows():
+        re1[ym] = sorted(zip(rr.to_numpy(), rr.index))[2][0]
+    s1 = piv.sub(pd.Series(re1), axis=0)
+    # col medians (lower median, ties by ym)
+    ce1 = {
+        seg: lowmed_series(s1[seg].to_numpy(), s1.index)
+        for seg in s1.columns
+    }
+    s2 = s1.sub(pd.Series(ce1), axis=1)
+    re2 = {}
+    for ym, rr in s2.iterrows():
+        re2[ym] = sorted(zip(rr.to_numpy(), rr.index))[2][0]
+    s3 = s2.sub(pd.Series(re2), axis=0)
+    ce2 = {
+        seg: lowmed_series(s3[seg].to_numpy(), s3.index)
+        for seg in s3.columns
+    }
+    resid = s3.sub(pd.Series(ce2), axis=1)
+    errs = []
+    got = {r["segment"]: r for r in rows}
+    for seg in piv.columns:
+        r = got.get(seg)
+        eff = int(ce1[seg] + ce2[seg])
+        ar = np.abs(resid[seg].to_numpy().astype(np.int64))
+        if r is None:
+            errs.append(f"{seg} missing")
+        elif (
+            int(r["segment_effect_c"]) != eff
+            or int(r["max_abs_resid_c"]) != int(ar.max())
+            or int(r["mean_abs_resid_c"]) != int(ar.sum()) // len(ar)
+        ):
+            errs.append(
+                f"{seg}: {dict(r)} vs eff {eff} max {ar.max()}"
+            )
+    return errs
+
+
 if __name__ == "__main__":
     main()
