@@ -347,7 +347,7 @@ def _gumbel_sql(dialect: str) -> str:
         CAST((s * 1000000){div}n AS BIGINT) AS mean_e6,
         CAST(floor(1000000
           * sqrt(6e0 * CAST(n * q - CAST(s AS {big}) * s AS DOUBLE)
-                 / (CAST(n AS DOUBLE) * n * (n - 1)))
+                 / (CAST(n AS DOUBLE) * (n - 1)))
           / {_PI}) AS BIGINT) AS scale_e6
       FROM st
     ),
@@ -378,7 +378,12 @@ def _gumbel_sql(dialect: str) -> str:
 def q_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel fit of 30-day block maxima of daily revenue by method of
     moments: σ̂ = s√6/π and μ̂ = m̄ − γσ̂ with π and Euler's γ as
-    shared double LITERALS (data-dependent math is only the exact
+    shared double LITERALS.  (Round-11 fix, caught by
+    tools/stat_audit.py's independent replay: the sample variance
+    radicand divided by n²(n−1) instead of n(n−1), shrinking σ̂ — and
+    the 100-block return level — by √n.  Both engines shared the
+    bug, so oracle parity was green the whole time; the r9 ratio-CI
+    √n defect was the same class.) (data-dependent math is only the exact
     integer mean/variance; one sqrt on an exact radicand, one floor
     per parameter), plus the 100-block return level μ̂ + 4.6001·σ̂
     (−ln(−ln(0.99)) baked as a literal).  This is the capacity

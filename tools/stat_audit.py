@@ -4117,5 +4117,189 @@ def a_median_polish(data: Data, rows) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — tier r9h: modern dependence, combined tests, EVT
+# ===========================================================================
+
+
+@audit("chatterjee_xi")
+def a_xi(data: Data, rows) -> list[str]:
+    g = _granger_frame(data).reset_index()
+    errs = []
+    got = {r["direction"]: r for r in rows}
+
+    def xi(xcol, ycol, label):
+        d = g.sort_values([xcol, "t"]).reset_index(drop=True)
+        yy = d[ycol].to_numpy()
+        n = len(yy)
+        r = np.array([int(np.sum(yy <= v)) for v in yy], dtype=np.int64)
+        l = np.array([int(np.sum(yy >= v)) for v in yy], dtype=np.int64)
+        num = int(np.abs(np.diff(r)).sum())
+        den = 2 * int(np.sum(l * (n - l)))
+        xi_ppm = 1_000_000 - n * num * 1_000_000 // den
+        rr = got.get(label)
+        if rr is None:
+            errs.append(f"{label} missing")
+        elif int(rr["n_days"]) != n or int(rr["xi_ppm"]) != xi_ppm:
+            errs.append(f"{label}: {dict(rr)} vs ({n},{xi_ppm})")
+
+    xi("x", "y", "y_on_x")
+    xi("y", "x", "x_on_y")
+    return errs
+
+
+@audit("lepage_test")
+def a_lepage(data: Data, row) -> list[str]:
+    g = data.two_group_hist()
+    n1 = int(g["c1"].sum())
+    n2 = int(g["c2"].sum())
+    N = n1 + n2
+    lt = (g["c1"].cumsum() - g["c1"] + g["c2"].cumsum() - g["c2"]).to_numpy()
+    cb = (g["c1"] + g["c2"]).to_numpy()
+    r2 = 2 * lt + cb + 1
+    a2 = np.minimum(r2, 2 * (N + 1) - r2)
+
+    def z2(score):
+        s1 = int((g["c1"].to_numpy() * score).sum())
+        T = int((cb * score).sum())
+        s2 = int((cb * score * score).sum())
+        num = (N * s1 - n1 * T) ** 2 // (n1 * n2)
+        return num * (N - 1) * 1_000_000 // (N * s2 - T * T)
+
+    zw, za = z2(r2), z2(a2)
+    return check(
+        "lepage",
+        row,
+        {
+            "n1": (n1, 0),
+            "n2": (n2, 0),
+            "wilcoxon_z2_ppm": (zw, 1),
+            "ansari_z2_ppm": (za, 1),
+            "lepage_l_ppm": (zw + za, 2),
+            "reject_same_loc_scale": (
+                1 if zw + za > 5_991_464 else 0, 0
+            ),
+        },
+    )
+
+
+@audit("quade_test")
+def a_quade(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    m = o.merge(
+        c[["c_custkey", "c_mktsegment"]], left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    cents = np.round(m["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = (
+        pd.DataFrame(
+            {
+                "ym": m["o_orderdate"].dt.year * 100
+                + m["o_orderdate"].dt.month,
+                "seg": m["c_mktsegment"],
+                "rev": cents,
+            }
+        )
+        .groupby(["ym", "seg"])["rev"]
+        .sum()
+        .reset_index()
+    )
+    full = g.groupby("ym").size()
+    g = g[g["ym"].isin(set(full[full == 5].index))]
+    g = g.sort_values(["ym", "rev", "seg"])
+    g["r"] = g.groupby("ym").cumcount() + 1
+    rng = g.groupby("ym")["rev"].agg(lambda s: int(s.max() - s.min()))
+    q = {
+        ym: i + 1
+        for i, (ym, _) in enumerate(
+            sorted(rng.items(), key=lambda kv: (kv[1], kv[0]))
+        )
+    }
+    g["s2"] = g["ym"].map(q) * (2 * g["r"] - 6)
+    n = g["ym"].nunique()
+    A2 = int((g["s2"] ** 2).sum())
+    SB2 = int((g.groupby("seg")["s2"].sum() ** 2).sum())
+    f = (n - 1) * SB2 * 1_000_000 // (n * A2 - SB2)
+    return check(
+        "quade",
+        row,
+        {
+            "n_blocks": (n, 0),
+            "quade_f_ppm": (f, 0),
+            "reject_equal_segments": (
+                1 if 4 * f > 9_487_729 else 0, 0
+            ),
+        },
+    )
+
+
+@audit("gumbel_block_maxima")
+def a_gumbel(data: Data, row) -> list[str]:
+    day = data.day()
+    blk = day.assign(b=day["t"] // 30).groupby("b")["y"].max()
+    mx = blk.to_numpy().astype(np.float64)
+    n = len(mx)
+    mean = mx.mean()
+    var = mx.var(ddof=1)
+    scale = math.sqrt(6 * var) / math.pi
+    loc = mean - 0.5772156649015329 * scale
+    rl = loc + 4.600149226776579 * scale
+    return check(
+        "gumbel",
+        row,
+        {
+            "n_blocks": (n, 0),
+            "loc_e6": (loc * 1e6, 3),
+            "scale_e6": (scale * 1e6, 2),
+            "return_level_100_e6": (rl * 1e6, 4),
+            "observed_max_e6": (int(mx.max()) * 1_000_000, 0),
+        },
+    )
+
+
+@audit("pot_mean_excess")
+def a_pot(data: Data, row) -> list[str]:
+    y = data.day()["y"].to_numpy().astype(np.int64)
+    n = len(y)
+    # threshold: first distinct value whose cumulative count reaches
+    # 90% (cum*10 >= 9*n)
+    vals, counts = np.unique(y, return_counts=True)
+    cum = np.cumsum(counts)
+    u = int(vals[np.argmax(cum * 10 >= 9 * n)])
+    e = (y[y > u] - u).astype(object)
+    k = len(e)
+    s = int(sum(e))
+    q = int(sum(v * v for v in e))
+    # exact integer staging replay
+    m_e6 = s * 10**6 // k
+    m2v = (s * s * 10**6) // (k * q - s * s) * (k - 1) // k
+    xi_i = (10**6 - m2v) // 2
+    sigma_i = m_e6 * (10**6 + m2v) // (2 * 10**6)
+    # float formula cross-check
+    ef = np.array([float(v) for v in e])
+    mf, vf = ef.mean(), ef.var(ddof=1)
+    errs = check(
+        "pot",
+        row,
+        {
+            "threshold": (u, 0),
+            "n_exceedances": (k, 0),
+            "mean_excess_e6": (m_e6, 0),
+            "xi_ppm": (xi_i, 0),
+            "sigma_e6": (sigma_i, 0),
+            "heavy_tail": (1 if xi_i > 0 else 0, 0),
+        },
+    )
+    if abs((1 - mf * mf / vf) / 2 * 1e6 - xi_i) > 5:
+        errs.append(f"xi staging {xi_i} vs float {(1-mf*mf/vf)/2*1e6:.0f}")
+    if abs(mf * (1 + mf * mf / vf) / 2 * 1e6 - sigma_i) > 300:
+        errs.append(
+            f"sigma staging {sigma_i} vs float "
+            f"{mf*(1+mf*mf/vf)/2*1e6:.0f}"
+        )
+    return errs
+
+
 if __name__ == "__main__":
     main()
