@@ -294,10 +294,14 @@ def _levene_sql(dialect: str) -> str:
       FROM grp g CROSS JOIN tot t
     )
     SELECT CAST(t.nt AS BIGINT) AS n_items, t.k AS n_groups,
-      CAST((b.ssb_e6{div}(t.k - 1))
+      -- Round-11 fix (caught by tools/stat_audit.py): ssb_e6 and
+      -- ssw*1e6 sit on the SAME e6 scale, so the old quotient was the
+      -- plain truncated F (≈2), not ppm — the 2995732 gate could
+      -- never fire.  Scale the numerator by 1e6 before dividing.
+      CAST((CAST(b.ssb_e6{div}(t.k - 1) AS {big}) * 1000000)
            {div} ((t.ssw * 1000000){div}(t.nt - t.k)) AS BIGINT)
         AS f_ppm,
-      ((b.ssb_e6{div}(t.k - 1))
+      ((CAST(b.ssb_e6{div}(t.k - 1) AS {big}) * 1000000)
        {div} ((t.ssw * 1000000){div}(t.nt - t.k)) > 2995732)
         AS significant_95
     FROM tot t CROSS JOIN ssb b

@@ -832,10 +832,14 @@ def _bartlett_sql(dialect: str) -> str:
     gi AS (
       SELECT grp, n,
         -- (n-1)·ln(s_i²) with s_i² = (n·q − s²)/(n(n−1)): per-term
-        -- floored micro-nats (woe_iv device)
+        -- floored micro-nats (woe_iv device).  Round-11 fix (caught
+        -- by tools/stat_audit.py): the divisor was n·n·(n−1) — i.e.
+        -- ln(s_i²/n) — inflating the statistic by Σ(nᵢ−1)ln(nᵢ) and
+        -- forcing reject=true; both engines shared it, so parity was
+        -- green (the gumbel √n class).
         (n - 1) * CAST(floor(1000000 * ln(
           CAST(n * q - CAST(s AS {big}) * s AS DOUBLE)
-          / CAST(CAST(n AS {big}) * n * (n - 1) AS DOUBLE))) AS BIGINT)
+          / CAST(CAST(n AS {big}) * (n - 1) AS DOUBLE))) AS BIGINT)
           AS term_e6,
         CAST(n * q - CAST(s AS {big}) * s AS {big}) AS disp,
         n - 1 AS dof

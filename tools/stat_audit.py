@@ -4301,5 +4301,173 @@ def a_pot(data: Data, row) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — classical-test sweep 1 (r5-r8 tiers)
+# ===========================================================================
+
+
+@audit("welch_t_test")
+def a_welch(data: Data, row) -> list[str]:
+    x, y = data.expand_two_groups()  # $10 units already
+    n1, n2 = len(x), len(y)
+    m1, m2 = x.mean(), y.mean()
+    v1, v2 = np.var(x, ddof=1), np.var(y, ddof=1)
+    t2 = (m1 - m2) ** 2 / (v1 / n1 + v2 / n2)
+    return check(
+        "welch",
+        row,
+        {
+            "n_a": (n1, 0),
+            "n_b": (n2, 0),
+            "mean_diff_e6": ((m1 - m2) * 1e6, 2),
+            "t2_ppm": (t2 * 1e6, ("rel", 1e-4)),
+            "significant_95": (1 if t2 * 1e6 > 3_841_600 else 0, 0),
+        },
+    )
+
+
+@audit("anova_oneway")
+def a_anova(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    m = o.merge(
+        c[["c_custkey", "c_mktsegment"]], left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    v = np.round(m["o_totalprice"].to_numpy() * 100)
+    seg = m["c_mktsegment"].to_numpy()
+    k = len(np.unique(seg))
+    n = len(v)
+    grand = v.mean()
+    ssb = sum(
+        len(v[seg == s]) * (v[seg == s].mean() - grand) ** 2
+        for s in np.unique(seg)
+    )
+    ssw = sum(
+        np.sum((v[seg == s] - v[seg == s].mean()) ** 2)
+        for s in np.unique(seg)
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    eta2 = ssb / (ssb + ssw)
+    return check(
+        "anova",
+        row,
+        {
+            "n_groups": (k, 0),
+            "n_rows": (n, 0),
+            "f_micro": (f * 1e6, 3),
+            "eta2_micro": (eta2 * 1e6, 3),
+        },
+    )
+
+
+@audit("bartlett_test")
+def a_bartlett(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    nt = data.table("nation")
+    rg = data.table("region")
+    m = (
+        o.merge(c[["c_custkey", "c_nationkey"]], left_on="o_custkey",
+                right_on="c_custkey")
+        .merge(nt[["n_nationkey", "n_regionkey"]], left_on="c_nationkey",
+               right_on="n_nationkey")
+        .merge(rg[["r_regionkey", "r_name"]], left_on="n_regionkey",
+               right_on="r_regionkey")
+    )
+    v = np.round(m["o_totalprice"].to_numpy() * 100).astype(np.int64) // 1000
+    grp = m["r_name"].to_numpy()
+    groups = [v[grp == g].astype(np.float64) for g in np.unique(grp)]
+    k = len(groups)
+    N = sum(len(g) for g in groups)
+    sp2_num = sum((len(g) - 1) * np.var(g, ddof=1) for g in groups)
+    dof = N - k
+    # textbook (uncorrected) Bartlett numerator:
+    # (N-k) ln(s_p^2) - sum (n_i-1) ln(s_i^2)
+    num = dof * math.log(sp2_num / dof) - sum(
+        (len(g) - 1) * math.log(np.var(g, ddof=1)) for g in groups
+    )
+    return check(
+        "bartlett",
+        row,
+        {
+            "n_total": (N, 0),
+            "k_groups": (k, 0),
+            # each of the k per-group ln terms floors once but is
+            # WEIGHTED by (n_i - 1), so the staging drift bound is
+            # sum(n_i - 1) = N - k units (observed ~400 at sf0.001);
+            # the bug this audit caught was 8.5e9 units away.
+            "bartlett_raw_e6": (num * 1e6, N - k),
+        },
+    )
+
+
+@audit("levene_test")
+def a_levene(data: Data, row) -> list[str]:
+    li = data.table("lineitem")
+    v = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64) // 100
+    g = li["l_returnflag"].to_numpy()
+    zs = []
+    for gv in np.unique(g):
+        vals = np.sort(v[g == gv])
+        med = vals[(len(vals) + 1) // 2 - 1]
+        zs.append(np.abs(v[g == gv] - med).astype(np.float64))
+    k = len(zs)
+    N = sum(len(z) for z in zs)
+    grand = np.concatenate(zs).mean()
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zs)
+    ssw = sum(np.sum((z - z.mean()) ** 2) for z in zs)
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    return check(
+        "levene",
+        row,
+        {
+            "n_items": (N, 0),
+            "n_groups": (k, 0),
+            "f_ppm": (f * 1e6, ("rel", 2e-3)),
+            "significant_95": (1 if f * 1e6 > 2_995_732 else 0, 0),
+        },
+    )
+
+
+@audit("jarque_bera_test")
+def a_jb(data: Data, row) -> list[str]:
+    y = data.day()["y"].to_numpy().astype(object)
+    n = len(y)
+    S = sum(y)
+    # exact staged replay: deviations scaled to (n*y - S) then
+    # COMPRESSED by //1000 (keeps the 4th-power sums inside
+    # DECIMAL(38) at sf >= 0.1); the compression is a deterministic
+    # documented quantization — it biases the moment ratios ~0.5-1%
+    # at sf0.001, which the float cross-check below bounds.
+    ds = [_tdiv2(n * v - S, 1000) for v in y]
+    m2 = sum(d * d for d in ds)
+    m3 = sum(d * d * d for d in ds)
+    m4 = sum(d * d * d * d for d in ds)
+    r = _tdiv2(m3 * 10**6, m2)
+    skew2 = _tdiv2(_tdiv2(r * r, m2) * n, 10**6)
+    exkurt = _tdiv2(m4 * n * 10**6, m2 * m2) - 3_000_000
+    jb = _tdiv2(n * (skew2 + _tdiv2(_tdiv2(exkurt * exkurt, 10**6), 4)), 6)
+    errs = check(
+        "jb",
+        row,
+        {
+            "n_days": (n, 0),
+            "skew2_ppm": (skew2, 0),
+            "exkurt_ppm": (exkurt, 0),
+            "jb_ppm": (jb, 0),
+            "reject_normality": (1 if jb > 5_991_464 else 0, 0),
+        },
+    )
+    yf = np.array([float(v) for v in y])
+    d = yf - yf.mean()
+    s2f = float(np.mean(d**3)) ** 2 / float(np.mean(d**2)) ** 3
+    ekf = float(np.mean(d**4)) / float(np.mean(d**2)) ** 2 - 3.0
+    jbf = n * (s2f / 6 + ekf * ekf / 24)
+    if abs(jbf * 1e6 - jb) / max(jbf * 1e6, 1) > 0.02:
+        errs.append(f"staged {jb} vs float {jbf*1e6:.0f} (>2%)")
+    return errs
+
+
 if __name__ == "__main__":
     main()
