@@ -4469,5 +4469,178 @@ def a_jb(data: Data, row) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — classical-test sweep 2
+# ===========================================================================
+
+
+@audit("ks_two_sample")
+def a_ks2(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    sel = o[o["o_orderstatus"].isin(["F", "O"])]
+    x = np.round(sel["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = (sel["o_orderstatus"] == "F").to_numpy()
+    x1, x2 = np.sort(x[g]), np.sort(x[~g])
+    n1, n2 = len(x1), len(x2)
+    vals = np.unique(x)
+    c1 = np.searchsorted(x1, vals, side="right")
+    c2 = np.searchsorted(x2, vals, side="right")
+    dnum = int(np.max(np.abs(c1.astype(object) * n2 - c2.astype(object) * n1)))
+    # asymptotic 5%: D > 1.358*sqrt((n1+n2)/(n1 n2));
+    # engine gate: dnum^2*1e6 > 1844439*n1*n2*(n1+n2)  (1.358^2*1e6)
+    rej = 1 if dnum * dnum * 10**6 > 1_844_439 * n1 * n2 * (n1 + n2) else 0
+    return check(
+        "ks2",
+        row,
+        {
+            "n1": (n1, 0),
+            "n2": (n2, 0),
+            "d_num": (dnum, 0),
+            "d_ppm": (dnum * 10**6 // (n1 * n2), 0),
+            "reject_05": (rej, 0),
+        },
+    )
+
+
+@audit("mood_median_test")
+def a_mood(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    nt = data.table("nation")
+    rg = data.table("region")
+    m = (
+        o.merge(c[["c_custkey", "c_nationkey"]], left_on="o_custkey",
+                right_on="c_custkey")
+        .merge(nt[["n_nationkey", "n_regionkey"]], left_on="c_nationkey",
+               right_on="n_nationkey")
+        .merge(rg[["r_regionkey", "r_name"]], left_on="n_regionkey",
+               right_on="r_regionkey")
+    )
+    vb = np.round(m["o_totalprice"].to_numpy() * 100).astype(np.int64) // 100000
+    grp = m["r_name"].to_numpy()
+    sv = np.sort(vb)
+    med = sv[(len(sv) + 1) // 2 - 1]
+    chi2 = 0
+    ca = int((vb > med).sum())
+    cb = int((vb < med).sum())
+    tt = ca + cb
+    for gv in np.unique(grp):
+        a = int(((grp == gv) & (vb > med)).sum())
+        b = int(((grp == gv) & (vb < med)).sum())
+        ab = a + b
+        chi2 += (a * tt - ab * ca) ** 2 * 10**6 // (tt * ab * ca)
+        chi2 += (b * tt - ab * cb) ** 2 * 10**6 // (tt * ab * cb)
+    return check(
+        "mood",
+        row,
+        {
+            "median_bucket_c": (int(med) * 100000, 0),
+            "n_classified": (tt, 0),
+            "chi2_ppm": (chi2, 0),
+            "reject_equal_medians": (1 if chi2 > 9_487_729 else 0, 0),
+        },
+    )
+
+
+@audit("grubbs_outlier")
+def a_grubbs(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = pd.DataFrame(
+        {"day": o["o_orderdate"].dt.normalize(), "c": cents}
+    ).groupby("day")["c"].sum()
+    rev = g.to_numpy().astype(object)
+    n = len(rev)
+    s = sum(rev)
+    q = sum(v * v for v in rev)
+    a = [v * n - s for v in rev]
+    # worst day by |a| desc, day asc
+    order = sorted(range(n), key=lambda i: (-abs(a[i]), g.index[i]))
+    i = order[0]
+    g2 = a[i] * a[i] * (n - 1) * 10**6 // (n * (n * q - s * s))
+    return check(
+        "grubbs",
+        row,
+        {
+            "revenue_cents": (int(rev[i]), 0),
+            "g2_ppm": (g2, 0),
+            "outlier_4sigma": (
+                1 if a[i] * a[i] * (n - 1) > 16 * n * (n * q - s * s)
+                else 0, 0,
+            ),
+        },
+    )
+
+
+@audit("durbin_watson_test")
+def a_dw(data: Data, row) -> list[str]:
+    t, es = _ols_resid_e(data)
+    pos = {tv: i for i, tv in enumerate(t)}
+    num = 0
+    npairs = 0
+    for tv in t:
+        if tv + 1 in pos:
+            d = int(es[pos[tv + 1]]) - int(es[pos[tv]])
+            num += d * d
+            npairs += 1
+    den = sum(int(e) * int(e) for e in es)
+    dw = num * 10**6 // den
+    # float cross-check of the DW definition on the same residuals
+    dwf = float(num) / float(den)
+    errs = check(
+        "dw",
+        row,
+        {
+            "n_days": (len(t), 0),
+            "n_pairs": (npairs, 0),
+            "dw_ppm": (dw, 0),
+            "positive_autocorr_side": (1 if dw < 10**6 else 0, 0),
+        },
+    )
+    if abs(dwf * 1e6 - dw) > 2:
+        errs.append(f"staging {dw} vs float {dwf*1e6:.0f}")
+    return errs
+
+
+@audit("ljung_box_test")
+def a_ljung_box(data: Data, rows) -> list[str]:
+    day = data.day()
+    t = day["t"].to_numpy()
+    y = day["y"].to_numpy().astype(object)
+    n = len(y)
+    s = sum(y)
+    d = [n * v - s for v in y]
+    pos = {tv: i for i, tv in enumerate(t)}
+    den = sum(v * v for v in d)
+    r = {}
+    pairs = {}
+    for k in range(1, 11):
+        num = 0
+        cnt = 0
+        for tv in t:
+            if tv + k in pos:
+                num += d[pos[tv]] * d[pos[tv + k]]
+                cnt += 1
+        r[k] = _tdiv2(num * 10**6, den)
+        pairs[k] = cnt
+    qsum = sum(_tdiv2(r[k] * r[k], n - k) for k in range(1, 11))
+    q_ppm = _tdiv2(n * (n + 2) * qsum, 10**6)
+    errs = []
+    if len(rows) != 10:
+        errs.append(f"{len(rows)} rows vs 10")
+    for rr in rows:
+        k = int(rr["lag"])
+        if (
+            int(rr["pairs"]) != pairs[k]
+            or int(rr["r_ppm"]) != r[k]
+            or int(rr["q_ppm"]) != q_ppm
+        ):
+            errs.append(
+                f"lag {k}: {dict(rr)} vs (r {r[k]}, pairs {pairs[k]},"
+                f" q {q_ppm})"
+            )
+    return errs
+
+
 if __name__ == "__main__":
     main()
