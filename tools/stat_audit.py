@@ -4642,5 +4642,228 @@ def a_ljung_box(data: Data, rows) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — classical-test sweep 3: fits, breaks, long memory
+# ===========================================================================
+
+
+@audit("weibull_survival_fit")
+def a_weibull(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    li = data.table("lineitem")
+    m = li.merge(o[["o_orderkey", "o_orderdate"]], left_on="l_orderkey",
+                 right_on="o_orderkey")
+    lat = (m["l_shipdate"] - m["o_orderdate"]).dt.days.to_numpy()
+    lat = lat[lat >= 1]
+    vals, counts = np.unique(lat, return_counts=True)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    # one point per DISTINCT latency, cumulative (highest) rank,
+    # Bernard median ranks: 1-F = (10n-10i+7)/(10n+4)
+    xs, ys = [], []
+    for v, i in zip(vals, cum):
+        xs.append(math.floor(1e6 * math.log(v)))
+        ys.append(
+            math.floor(
+                1e6 * math.log(-math.log((10 * n - 10 * int(i) + 7)
+                                         / (10 * n + 4)))
+            )
+        )
+    m_ = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    shape = _tdiv2((m_ * sxy - sx * sy) * 10**6, m_ * sxx - sx * sx)
+    inter = _tdiv2(sy - _tdiv2(shape * sx, 10**6), m_)
+    return check(
+        "weibull",
+        row,
+        {
+            "n_points": (m_, 0),
+            "shape_ppm": (shape, 0),
+            "intercept_e6": (inter, 0),
+        },
+    )
+
+
+def _space_tokens(data: Data):
+    """heaps/zipf convention: plain space split, empties dropped, NO
+    lowercasing (string_split(text, ' '))."""
+    d = data.table("documents").sort_values("doc_id")
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        yield doc_id, [w for w in text.split(" ") if w != ""]
+
+
+@audit("heaps_law_fit")
+def a_heaps(data: Data, row) -> list[str]:
+    seen = set()
+    cum_tok = 0
+    xs, ys = [], []
+    cum_voc = 0
+    for doc_id, toks in _space_tokens(data):
+        cum_tok += len(toks)
+        for w in toks:
+            if w not in seen:
+                seen.add(w)
+                cum_voc += 1
+        if cum_voc > 0:
+            xs.append(math.floor(math.log(cum_tok) * 1e6))
+            ys.append(math.floor(math.log(cum_voc) * 1e6))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    beta = (n * sxy - sx * sy) * 10**6 // (n * sxx - sx * sx)
+    return check(
+        "heaps",
+        row,
+        {
+            "n_points": (n, 0),
+            "beta_ppm": (beta, 0),
+            "vocab_size": (cum_voc, 0),
+            "n_tokens": (cum_tok, 0),
+        },
+    )
+
+
+@audit("zipf_slope_audit")
+def a_zipf(data: Data, row) -> list[str]:
+    from collections import Counter
+
+    freq = Counter()
+    for _, toks in _space_tokens(data):
+        freq.update(toks)
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    xs = [math.floor(math.log(r) * 1e6) for r in range(1, len(ranked) + 1)]
+    ys = [math.floor(math.log(c) * 1e6) for _, c in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = _tdiv2((n * sxy - sx * sy) * 10**6, n * sxx - sx * sx)
+    return check(
+        "zipf",
+        row,
+        {"n_ranks": (n, 0), "slope_ppm": (slope, 0)},
+    )
+
+
+@audit("breusch_pagan_test")
+def a_bp(data: Data, row) -> list[str]:
+    t, es = _ols_resid_e(data)
+    gv = np.array([_tdiv2(int(e) * int(e), 10**6) for e in es],
+                  dtype=np.float64)
+    tf = t.astype(np.float64)
+    n = len(t)
+    # staged squared correlation of g on t (floor the slope-ratio
+    # first, then multiply — replay the SQL staging)
+    stg = int(n * np.sum(tf * gv) - tf.sum() * gv.sum())
+    stt = int(n * np.sum(tf * tf) - tf.sum() ** 2)
+    sgg = int(n * np.sum(gv * gv) - gv.sum() ** 2)
+    r2 = _tdiv2(_tdiv2(stg * 10**6, stt) * stg, sgg)
+    return check(
+        "bp",
+        row,
+        {
+            "n_days": (n, 0),
+            "r2_ppm": (r2, 1),
+            "lm_ppm": (n * r2, n),
+            "reject_homoskedastic": (
+                1 if n * r2 > 3_841_458 else 0, 0
+            ),
+        },
+    )
+
+
+@audit("chow_break_test")
+def a_chow(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = (
+        pd.DataFrame(
+            {
+                "ym": o["o_orderdate"].dt.year * 100
+                + o["o_orderdate"].dt.month,
+                "c": cents,
+            }
+        )
+        .groupby("ym")["c"]
+        .sum()
+        .sort_index()
+    )
+    y = (g // 100000).to_numpy().astype(np.float64)
+    tt = np.arange(1, len(y) + 1, dtype=np.float64)
+    ym = g.index.to_numpy()
+
+    def sse(mask):
+        x1, y1 = tt[mask], y[mask]
+        n = len(x1)
+        sxx = n * np.sum(x1 * x1) - x1.sum() ** 2
+        sxy = n * np.sum(x1 * y1) - x1.sum() * y1.sum()
+        syy = n * np.sum(y1 * y1) - y1.sum() ** 2
+        return math.floor((syy - sxy * sxy / sxx) / n)
+
+    n = len(y)
+    sse_p = sse(np.ones(n, dtype=bool))
+    sse_a = sse(ym < 199801)
+    sse_b = sse(ym >= 199801)
+    f = math.floor(
+        1e6 * ((sse_p - sse_a - sse_b) / 2.0)
+        / ((sse_a + sse_b) / (n - 4))
+    )
+    return check(
+        "chow",
+        row,
+        {
+            "n": (n, 0),
+            "sse_p": (sse_p, 1),
+            "sse_a": (sse_a, 1),
+            "sse_b": (sse_b, 1),
+            "f_e6": (f, ("rel", 1e-4)),
+            "reject_05": (1 if f > 3_110_766 else 0, 0),
+        },
+    )
+
+
+@audit("hurst_exponent")
+def a_hurst(data: Data, row) -> list[str]:
+    y = data.day()["y"].to_numpy().astype(object)
+    xs, ys = [], []
+    for w in (16, 32, 64, 128):
+        rs_vals = []
+        for b in range(len(y) // w):
+            blk = y[b * w : (b + 1) * w]
+            S = sum(blk)
+            q = sum(v * v for v in blk)
+            cd = 0
+            mx = mn = 0
+            for v in blk:
+                cd += w * v - S
+                mx = max(mx, cd)
+                mn = min(mn, cd)
+            rs_vals.append(
+                math.floor(
+                    1e6 * (mx - mn) / math.sqrt(float(q * w - S * S))
+                )
+            )
+        mean_rs = sum(rs_vals) // len(rs_vals)
+        xs.append(math.floor(1e6 * math.log(w)))
+        ys.append(math.floor(1e6 * math.log(mean_rs / 1e6)))
+    k = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    h = (k * sxy - sx * sy) * 10**6 // (k * sxx - sx * sx)
+    return check(
+        "hurst",
+        row,
+        {
+            "n_window_sizes": (k, 0),
+            "hurst_ppm": (h, 0),
+            "persistent_memory": (1 if h > 500_000 else 0, 0),
+        },
+    )
+
+
 if __name__ == "__main__":
     main()
