@@ -4865,5 +4865,243 @@ def a_hurst(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — classical-test sweep 4: trend / rank / changepoint / ACF
+# ===========================================================================
+
+
+@audit("mk_trend_test")
+def a_mk_monthly(data: Data, row) -> list[str]:
+    y = _months(data).astype(np.int64)
+    n = len(y)
+    sgn = np.sign(y[None, :] - y[:, None])
+    s = int(np.triu(sgn, 1).sum())
+    _, counts = np.unique(y, return_counts=True)
+    tie = int(sum(t * (t - 1) * (2 * t + 5) for t in counts if t > 1))
+    var18 = n * (n - 1) * (2 * n + 5) - tie
+    sig = (
+        1
+        if abs(s) > 1
+        and 18 * (abs(s) - 1) ** 2 * 10**6 > 3_841_600 * var18
+        else 0
+    )
+    return check(
+        "mk_m",
+        row,
+        {
+            "n_periods": (n, 0),
+            "s_stat": (s, 0),
+            "var_s_x18": (var18, 0),
+            "trend": (int(np.sign(s)), 0),
+            "significant_95": (sig, 0),
+        },
+    )
+
+
+@audit("theil_sen_trend")
+def a_theil_sen(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    base = pd.Timestamp("1992-01-01")
+    g = (
+        pd.DataFrame(
+            {
+                "yr": o["o_orderdate"].dt.year,
+                "ep": (o["o_orderdate"] - base).dt.days,
+                "c": cents,
+            }
+        )
+        .groupby(["yr", "ep"])["c"]
+        .sum()
+        .reset_index()
+    )
+    errs = []
+    got = {int(r["yr"]): r for r in rows}
+    for yr, gy in g.groupby("yr"):
+        ep = gy["ep"].to_numpy()
+        x = gy["c"].to_numpy().astype(np.float64)
+        slopes = []
+        for i in range(len(ep)):
+            for j in range(i + 1, len(ep)):
+                slopes.append(
+                    (
+                        math.floor(1e6 * (x[j] - x[i]) / (ep[j] - ep[i])),
+                        ep[i],
+                        ep[j],
+                    )
+                )
+        slopes.sort()
+        np_ = len(slopes)
+        med = slopes[(np_ + 1) // 2 - 1][0]
+        r = got.get(int(yr))
+        if r is None:
+            errs.append(f"yr {yr} missing")
+        elif int(r["n_pairs"]) != np_ or int(
+            r["slope_micro_cents_per_day"]
+        ) != med:
+            errs.append(f"yr {yr}: {dict(r)} vs ({np_},{med})")
+    return errs
+
+
+@audit("spearman_rho")
+def a_spearman(data: Data, row) -> list[str]:
+    li = data.table("lineitem")
+    x = np.round(li["l_quantity"].to_numpy() * 100).astype(np.int64)
+    y = np.round(li["l_discount"].to_numpy() * 100).astype(np.int64)
+    rx = 2 * pd.Series(x).rank(method="average").to_numpy()
+    ry = 2 * pd.Series(y).rank(method="average").to_numpy()
+    n = len(x)
+    sxy = float(np.sum((rx - rx.mean()) * (ry - ry.mean())))
+    sxx = float(np.sum((rx - rx.mean()) ** 2))
+    syy = float(np.sum((ry - ry.mean()) ** 2))
+    rho = sxy / math.sqrt(sxx * syy)
+    return check(
+        "spearman",
+        row,
+        {
+            "n_rows": (n, 0),
+            "num_sign": (int(np.sign(sxy)), 0),
+            "rho_micro": (rho * 1e6, 2),
+        },
+    )
+
+
+@audit("runs_test")
+def a_runs_median(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = pd.DataFrame(
+        {"day": o["o_orderdate"].dt.normalize(), "c": cents}
+    ).groupby("day")["c"].sum().sort_index()
+    rev = g.to_numpy().astype(np.int64)
+    sv = np.sort(rev)
+    med = sv[(len(sv) + 1) // 2 - 1]
+    sg = (rev[rev != med] > med).astype(int)
+    n = len(sg)
+    n1 = int(sg.sum())
+    n2 = n - n1
+    r = 1 + int(np.sum(sg[1:] != sg[:-1]))
+    num = r * n - (n + 2 * n1 * n2)
+    sig = (
+        1
+        if num * num * (n - 1) * 10**6
+        > 3_841_600 * (2 * n1 * n2) * (2 * n1 * n2 - n)
+        else 0
+    )
+    return check(
+        "runs",
+        row,
+        {
+            "n_days": (n, 0),
+            "n_above": (n1, 0),
+            "n_below": (n2, 0),
+            "n_runs": (r, 0),
+            "z_sign": (int(np.sign(num)), 0),
+            "significant_95": (sig, 0),
+        },
+    )
+
+
+@audit("pettitt_changepoint")
+def a_pettitt(data: Data, row) -> list[str]:
+    day = data.day()
+    t = day["t"].to_numpy()
+    y = day["y"].to_numpy()
+    n = len(y)
+    r2 = 2 * pd.Series(y).rank(method="average").to_numpy()
+    # U_t = sum_{i<=t} 2r_i - t*(n+1)*2/2... SQL: cum(r2) - idx*(n+1)
+    cum = np.cumsum(r2)
+    idx = np.arange(1, n + 1)
+    u = cum - idx * (n + 1)
+    order = sorted(range(n), key=lambda i: (-abs(u[i]), t[i]))
+    i = order[0]
+    k = abs(u[i])
+    rej = (
+        1
+        if 6 * k * k * 10**6 > 3_688_879 * (n**3 + n**2)
+        else 0
+    )
+    return check(
+        "pettitt",
+        row,
+        {
+            "n_days": (n, 0),
+            "change_day": (int(t[i]), 0),
+            "k_stat": (int(k), 0),
+            "level_drop_side": (1 if u[i] > 0 else 0, 0),
+            "reject_no_change": (rej, 0),
+        },
+    )
+
+
+@audit("acf_daily_revenue")
+def a_acf(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = pd.DataFrame(
+        {"d": o["o_orderdate"], "c": cents}
+    ).groupby("d")["c"].sum().sort_index()
+    y = g.to_numpy().astype(object)
+    n = len(y)
+    S = sum(y)
+    Q = sum(v * v for v in y)
+    errs = []
+    got = {int(r["lag"]): r for r in rows}
+    # ROW-index lags (row_number order), not calendar
+    for k in (1, 7, 28):
+        a = y[:-k]
+        b = y[k:]
+        p = sum(u * v for u, v in zip(a, b))
+        sh, st_ = sum(a), sum(b)
+        npairs = n - k
+        r_ppm = _tdiv2(
+            (n * n * p - n * S * (sh + st_) + npairs * S * S) * 10**6,
+            n * n * Q - n * S * S,
+        )
+        r = got.get(k)
+        if r is None:
+            errs.append(f"lag {k} missing")
+        elif int(r["n_pairs"]) != npairs or int(r["r_ppm"]) != r_ppm:
+            errs.append(f"lag {k}: {dict(r)} vs ({npairs},{r_ppm})")
+    return errs
+
+
+@audit("pacf_durbin_levinson")
+def a_pacf(data: Data, rows) -> list[str]:
+    day = data.day()
+    t = day["t"].to_numpy()
+    y = day["y"].to_numpy().astype(object)
+    n = len(y)
+    S = sum(y)
+    d = [n * v - S for v in y]
+    pos = {tv: i for i, tv in enumerate(t)}
+    den = sum(v * v for v in d)
+    rho = []
+    for k in range(1, 7):
+        num = sum(
+            d[pos[tv]] * d[pos[tv + k]] for tv in t if tv + k in pos
+        )
+        rho.append(_tdiv2(num * 10**6, den) / 1e6)
+    # Durbin-Levinson on the floored rhos
+    phi = [rho[0]]
+    for k in range(2, 7):
+        num = rho[k - 1] - sum(
+            phi[j] * rho[k - 2 - j] for j in range(k - 1)
+        )
+        den_dl = 1.0 - sum(phi[j] * rho[j] for j in range(k - 1))
+        pkk = num / den_dl
+        phi = [phi[j] - pkk * phi[k - 2 - j] for j in range(k - 1)] + [pkk]
+    errs = []
+    got = {int(r["lag"]): r for r in rows}
+    for lag in range(1, 7):
+        r = got.get(lag)
+        want = math.floor(1e6 * phi[lag - 1])
+        if r is None:
+            errs.append(f"lag {lag} missing")
+        elif abs(int(r["pacf_e6"]) - want) > 1:
+            errs.append(f"lag {lag}: {r['pacf_e6']} vs {want}")
+    return errs
+
+
 if __name__ == "__main__":
     main()
