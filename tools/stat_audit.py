@@ -5103,5 +5103,205 @@ def a_pacf(data: Data, rows) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — AB/experimentation family
+# ===========================================================================
+
+import hashlib as _hl
+
+
+def _md5mod(salt: str, key, mod: int) -> int:
+    return (
+        int(_hl.md5(f"{salt}|{key}".encode()).hexdigest()[:15], 16) % mod
+    )
+
+
+@audit("ab_test_ztest")
+def a_ab_ztest(data: Data, row) -> list[str]:
+    ev = data.table("events")
+    per = ev.groupby("user_id")["event_type"].agg(
+        conv=lambda s: int((s == "purchase").any())
+    )
+    grp = per.index % 2
+    n_a, c_a = int((grp == 0).sum()), int(per[grp == 0]["conv"].sum())
+    n_b, c_b = int((grp == 1).sum()), int(per[grp == 1]["conv"].sum())
+    pa, pb = c_a / n_a, c_b / n_b
+    pool = (c_a + c_b) / (n_a + n_b)
+    want = {
+        "n_a": (n_a, 0),
+        "c_a": (c_a, 0),
+        "n_b": (n_b, 0),
+        "c_b": (c_b, 0),
+        "rate_a_ppm": (pa * 1e6, 1),
+        "rate_b_ppm": (pb * 1e6, 1),
+    }
+    if 0 < pool < 1:
+        z = (pb - pa) / math.sqrt(
+            pool * (1 - pool) * (1 / n_a + 1 / n_b)
+        )
+        want["z_e6"] = (z * 1e6, 2)
+    # degenerate pool (everyone/no-one converts, possible at tiny SF):
+    # the z denominator is 0 and both engines emit the same non-finite
+    # sentinel — the counts above are the audit surface.
+    return check("ab_z", row, want)
+
+
+@audit("wilson_score_interval")
+def a_wilson(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    nt = data.table("nation")
+    rg = data.table("region")
+    m = (
+        o.merge(c[["c_custkey", "c_nationkey"]], left_on="o_custkey",
+                right_on="c_custkey")
+        .merge(nt[["n_nationkey", "n_regionkey"]], left_on="c_nationkey",
+               right_on="n_nationkey")
+        .merge(rg[["r_regionkey", "r_name"]], left_on="n_regionkey",
+               right_on="r_regionkey")
+    )
+    z2 = 3.841458
+    errs = []
+    got = {r["region"]: r for r in rows}
+    for region, g in m.groupby("r_name"):
+        n = len(g)
+        a = int((g["o_orderpriority"] == "1-URGENT").sum())
+        center = (a + z2 / 2) / (n + z2) * 1e6
+        half = math.sqrt(z2 * (a * (n - a) / n + z2 / 4)) / (n + z2) * 1e6
+        r = got.get(region)
+        if r is None:
+            errs.append(f"{region} missing")
+            continue
+        errs += check(
+            f"wilson {region}",
+            r,
+            {
+                "n": (n, 0),
+                "a": (a, 0),
+                "p_ppm": (a * 1_000_000 // n, 0),
+                "wilson_lo_ppm": (center - half, 3),
+                "wilson_hi_ppm": (center + half, 3),
+            },
+        )
+    return errs
+
+
+@audit("srm_check")
+def a_srm(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    grp = np.array(
+        [_md5mod("29", int(k), 2) for k in o["o_orderkey"]]
+    )
+    n = len(grp)
+    n_a = int((grp == 0).sum())
+    chi2 = (2 * n_a - n) ** 2 * 1_000_000 // n
+    return check(
+        "srm",
+        row,
+        {
+            "n": (n, 0),
+            "n_a": (n_a, 0),
+            "n_b": (n - n_a, 0),
+            "chi2_ppm": (chi2, 0),
+            "srm_flag": (1 if chi2 > 10_827_566 else 0, 0),
+        },
+    )
+
+
+@audit("ab_power_analysis")
+def a_ab_power(data: Data, rows) -> list[str]:
+    ev = data.table("events")
+    p1 = int((ev["event_type"] == "purchase").sum()) * 1_000_000 // len(ev)
+    p2 = p1 + p1 * 100_000 // 1_000_000
+    errs = []
+    got = {int(r["power_pct"]): r for r in rows}
+    for pct, zsum in ((80, 2_801_585), (90, 3_241_515)):
+        # ceil-divided n per arm from the two-proportion formula
+        num = (
+            zsum * zsum * (p1 * (1_000_000 - p1) + p2 * (1_000_000 - p2))
+            + (p2 - p1) ** 2 * 10**12
+            - 1
+        )
+        n_arm = num // ((p2 - p1) ** 2 * 10**12)
+        r = got.get(pct)
+        if r is None:
+            errs.append(f"power {pct} missing")
+        elif (
+            int(r["p1_ppm"]) != p1
+            or int(r["p2_ppm"]) != p2
+            or int(r["n_per_arm"]) != n_arm
+        ):
+            errs.append(f"{pct}: {dict(r)} vs ({p1},{p2},{n_arm})")
+        # float sanity: textbook n = (z_a+z_b)^2 (p1q1+p2q2)/delta^2
+        pf1, pf2 = p1 / 1e6, p2 / 1e6
+        nf = (zsum / 1e6) ** 2 * (
+            pf1 * (1 - pf1) + pf2 * (1 - pf2)
+        ) / (pf2 - pf1) ** 2
+        if abs(nf - n_arm) > 2:
+            errs.append(f"{pct}: staged {n_arm} vs float {nf:.1f}")
+    return errs
+
+
+@audit("cuped_variance_reduction")
+def a_cuped_vr(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    yr = o["o_orderdate"].dt.year.to_numpy()
+    df = pd.DataFrame(
+        {
+            "ck": o["o_custkey"].to_numpy(),
+            "x": np.where(yr == 1997, cents, 0),
+            "y": np.where(yr == 1998, cents, 0),
+        }
+    ).groupby("ck").sum()
+    df = df // 1000
+    grp = np.array([_md5mod("13", int(k), 2) for k in df.index])
+    x = df["x"].to_numpy().astype(np.float64)
+    y = df["y"].to_numpy().astype(np.float64)
+    n = len(x)
+    cxy = n * np.sum(x * y) - x.sum() * y.sum()
+    cxx = n * np.sum(x * x) - x.sum() ** 2
+    cyy = n * np.sum(y * y) - y.sum() ** 2
+    theta = cxy / cxx
+    rho2 = cxy * cxy / (cxx * cyy)
+    t_, c_ = grp == 1, grp == 0
+    naive = y[t_].mean() - y[c_].mean()
+    # exact staged integers for the adjusted difference (theta floors
+    # to ppm BEFORE multiplying the floored mean gap)
+    xi = df["x"].to_numpy().astype(object)
+    yi = df["y"].to_numpy().astype(object)
+    nt, nc = int(t_.sum()), int(c_.sum())
+    sxt, sxc = sum(xi[t_]), sum(xi[c_])
+    syt, syc = sum(yi[t_]), sum(yi[c_])
+    sx, sy = sum(xi), sum(yi)
+    sxx = sum(v * v for v in xi)
+    syy = sum(v * v for v in yi)
+    sxy = sum(a * b for a, b in zip(xi, yi))
+    theta_ppm = _tdiv2((n * sxy - sx * sy) * 10**6, n * sxx - sx * sx)
+    naive_i = _tdiv2(syt * 10**6, nt) - _tdiv2(syc * 10**6, nc)
+    cuped_i = naive_i - _tdiv2(
+        theta_ppm
+        * (_tdiv2(sxt * 10**6, nt) - _tdiv2(sxc * 10**6, nc)),
+        10**6,
+    )
+    errs = check(
+        "cuped_vr",
+        row,
+        {
+            "n_units": (n, 0),
+            "n_treat": (nt, 0),
+            "n_control": (nc, 0),
+            "theta_ppm": (theta_ppm, 0),
+            "rho2_ppm": (rho2 * 1e6, 2),
+            "naive_diff_e6": (naive_i, 0),
+            "cuped_diff_e6": (cuped_i, 0),
+        },
+    )
+    if abs((naive - theta * (x[t_].mean() - x[c_].mean())) * 1e6
+           - cuped_i) > 5000:
+        errs.append("staged cuped far from float formula")
+    return errs
+
+
 if __name__ == "__main__":
     main()
