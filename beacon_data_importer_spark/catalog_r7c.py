@@ -331,8 +331,15 @@ def _cramers_sql(dialect: str) -> str:
     SELECT n.n AS n_items,
       CAST((SELECT count(*) FROM rt) AS INT) AS n_rows_dim,
       CAST((SELECT count(*) FROM ct) AS INT) AS n_cols_dim,
-      CAST(t.chi2n_ppm {div} n.n AS BIGINT) AS chi2_ppm,
-      CAST(t.chi2n_ppm {div} (CAST(n.n AS {big}) * n.n) AS BIGINT)
+      -- Round-11 fix (caught by tools/stat_audit.py): the summed
+      -- per-cell terms (O·n − r·c)²/(n·r·c) ARE chi-square already —
+      -- the old extra div n.n emitted chi2/n (which is V² for this
+      -- 2-level min-dim) as "chi2" and chi2/n² as "v2".  V² divides
+      -- by n·(min(r,c) − 1).
+      CAST(t.chi2n_ppm AS BIGINT) AS chi2_ppm,
+      CAST(t.chi2n_ppm {div} (CAST(n.n AS {big})
+           * (least((SELECT count(*) FROM rt),
+                    (SELECT count(*) FROM ct)) - 1)) AS BIGINT)
         AS v2_ppm
     FROM terms t CROSS JOIN n
     """

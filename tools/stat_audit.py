@@ -5303,5 +5303,168 @@ def a_cuped_vr(data: Data, row) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — categorical-test family
+# ===========================================================================
+
+
+@audit("chi_square_independence")
+def a_chi2_ind(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    m = o.merge(
+        c[["c_custkey", "c_mktsegment"]], left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    cells = m.groupby(["c_mktsegment", "o_orderpriority"]).size()
+    rt = cells.groupby(level=0).sum()
+    ct = cells.groupby(level=1).sum()
+    n = int(cells.sum())
+    errs = []
+    got = {(r["seg"], r["pri"]): r for r in rows}
+    for (seg, pri), obs in cells.items():
+        e = int(rt[seg]) * int(ct[pri]) / n
+        term = (int(obs) - e) ** 2 / e
+        r = got.get((seg, pri))
+        if r is None:
+            errs.append(f"cell {seg},{pri} missing")
+            continue
+        errs += check(
+            f"chi2 {seg},{pri}",
+            r,
+            {
+                "o": (int(obs), 0),
+                "expected_e2": (e * 100, 1),
+                "chi2_term_e6": (term * 1e6, 2),
+            },
+        )
+    return errs
+
+
+@audit("cramers_v")
+def a_cramers(data: Data, row) -> list[str]:
+    li = data.table("lineitem")
+    cells = li.groupby(["l_returnflag", "l_linestatus"]).size()
+    rt = cells.groupby(level=0).sum()
+    ct = cells.groupby(level=1).sum()
+    n = int(cells.sum())
+    chi2 = sum(
+        (int(obs) * n - int(rt[rf]) * int(ct[ls])) ** 2
+        / (n * int(rt[rf]) * int(ct[ls]))
+        for (rf, ls), obs in cells.items()
+    )
+    v2 = chi2 / (n * (min(len(rt), len(ct)) - 1))
+    return check(
+        "cramers",
+        row,
+        {
+            "n_items": (n, 0),
+            "n_rows_dim": (len(rt), 0),
+            "n_cols_dim": (len(ct), 0),
+            "chi2_ppm": (chi2 * 1e6, 3),
+            "v2_ppm": (v2 * 1e6, 2),
+        },
+    )
+
+
+@audit("fisher_exact_2x2")
+def a_fisher(data: Data, row) -> list[str]:
+    ev = data.table("events")
+    per = ev.groupby("user_id")["event_type"].agg(
+        c=lambda s: 1 if int((s == "purchase").sum()) >= 17 else 0
+    )
+    variant = per.index % 2
+    a = int(per[variant == 1]["c"].sum())
+    r1 = int((variant == 1).sum())
+    r2 = int((variant == 0).sum())
+    c1 = int(per["c"].sum())
+    nn = r1 + r2
+    kmax = min(r1, c1)
+    # exact hypergeometric upper tail P(X >= a)
+    denom = math.comb(nn, c1)
+    ptail = sum(
+        math.comb(r1, k) * math.comb(r2, c1 - k)
+        for k in range(a, kmax + 1)
+        if c1 - k <= r2
+    ) / denom
+    return check(
+        "fisher",
+        row,
+        {
+            "heavy_in_b": (a, 0),
+            "n_b": (r1, 0),
+            "n_a": (r2, 0),
+            "heavy_total": (c1, 0),
+            "p_one_sided_e6": (ptail * 1e6, 3),
+            "reject_at_5pct": (1 if ptail < 0.05 else 0, 0),
+        },
+    )
+
+
+@audit("mcnemar_test")
+def a_mcnemar(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    yr = o["o_orderdate"].dt.year
+    per = pd.DataFrame(
+        {"ck": o["o_custkey"], "y97": (yr == 1997).astype(int),
+         "y98": (yr == 1998).astype(int)}
+    ).groupby("ck").max()
+    b = int(((per["y97"] == 1) & (per["y98"] == 0)).sum())
+    c = int(((per["y97"] == 0) & (per["y98"] == 1)).sum())
+    both = int(((per["y97"] == 1) & (per["y98"] == 1)).sum())
+    neither = int(((per["y97"] == 0) & (per["y98"] == 0)).sum())
+    chi2 = (
+        0 if b + c == 0
+        else (abs(b - c) - 1) ** 2 * 1_000_000 // (b + c)
+    )
+    return check(
+        "mcnemar",
+        row,
+        {
+            "n_both": (both, 0),
+            "n_97_only": (b, 0),
+            "n_98_only": (c, 0),
+            "n_neither": (neither, 0),
+            "chi2_ppm": (chi2, 0),
+        },
+    )
+
+
+@audit("cochran_armitage_trend")
+def a_cat(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    s = (o["o_orderdate"].dt.year - 1995).to_numpy().astype(object)
+    hit = (o["o_orderpriority"] == "1-URGENT").to_numpy().astype(object)
+    nn = len(s)
+    rr = int(sum(hit))
+    sr = int(sum(si * h for si, h in zip(s, hit)))
+    sn = int(sum(s))
+    ssn = int(sum(si * si for si in s))
+    num = nn * sr - rr * sn
+    z2 = num * num * nn * 1_000_000 // (
+        rr * (nn - rr) * (nn * ssn - sn * sn)
+    )
+    # float textbook cross-check of the CA z^2
+    pbar = rr / nn
+    z2f = (
+        (sr - pbar * sn) ** 2
+        / (pbar * (1 - pbar) * (ssn - sn * sn / nn))
+    )
+    errs = check(
+        "ca_trend",
+        row,
+        {
+            "n_orders": (nn, 0),
+            "n_urgent": (rr, 0),
+            "trend_num": (num, 0),
+            "z2_ppm": (z2, 0),
+            "reject_no_trend": (1 if z2 > 3_841_600 else 0, 0),
+        },
+    )
+    if abs(z2f * 1e6 - z2) > 10:
+        errs.append(f"staged {z2} vs float {z2f*1e6:.0f}")
+    return errs
+
+
 if __name__ == "__main__":
     main()
