@@ -5361,7 +5361,8 @@ def a_cramers(data: Data, row) -> list[str]:
             "n_items": (n, 0),
             "n_rows_dim": (len(rt), 0),
             "n_cols_dim": (len(ct), 0),
-            "chi2_ppm": (chi2 * 1e6, 3),
+            # one ppm floor per cell (6 cells)
+            "chi2_ppm": (chi2 * 1e6, 6),
             "v2_ppm": (v2 * 1e6, 2),
         },
     )
