@@ -5467,5 +5467,200 @@ def a_cat(data: Data, row) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — causal & multi-group family
+# ===========================================================================
+
+
+@audit("cohens_kappa")
+def a_cohens_kappa(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    a = (
+        np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        > 15_000_000
+    ).astype(int)
+    b = o["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy().astype(int)
+    n = len(a)
+    n11 = int(((a == 1) & (b == 1)).sum())
+    n10 = int(((a == 1) & (b == 0)).sum())
+    n01 = int(((a == 0) & (b == 1)).sum())
+    n00 = int(((a == 0) & (b == 0)).sum())
+    # staged replay (e11/e00 floor to integers BEFORE the ppm scale —
+    # a deliberate convention whose drift is ~2e6/n ppm)
+    po_ppm = (n11 + n00) * 1_000_000 // n
+    e11 = (n11 + n10) * (n11 + n01) // n
+    e00 = (n01 + n00) * (n10 + n00) // n
+    pe_ppm = (e11 + e00) * 1_000_000 // n
+    kappa_ppm = _tdiv2((po_ppm - pe_ppm) * 1_000_000, 1_000_000 - pe_ppm)
+    errs = check(
+        "kappa",
+        row,
+        {
+            "n_orders": (n, 0),
+            "n11": (n11, 0),
+            "n10": (n10, 0),
+            "n01": (n01, 0),
+            "n00": (n00, 0),
+            "po_ppm": (po_ppm, 0),
+            "pe_ppm": (pe_ppm, 0),
+            "kappa_ppm": (kappa_ppm, 0),
+        },
+    )
+    pe_f = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    kf = ((n11 + n00) / n - pe_f) / (1 - pe_f)
+    if abs(kf * 1e6 - kappa_ppm) > 4 * 1e6 / n + 10:
+        errs.append(f"staged {kappa_ppm} vs float {kf*1e6:.0f}")
+    return errs
+
+
+@audit("friedman_test")
+def a_friedman(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    m = o.merge(
+        c[["c_custkey", "c_mktsegment"]], left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    cents = np.round(m["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = (
+        pd.DataFrame(
+            {
+                "ym": m["o_orderdate"].dt.year * 100
+                + m["o_orderdate"].dt.month,
+                "seg": m["c_mktsegment"],
+                "rev": cents,
+            }
+        )
+        .groupby(["ym", "seg"])["rev"]
+        .sum()
+        .reset_index()
+    )
+    full = g.groupby("ym").size()
+    g = g[g["ym"].isin(set(full[full == 5].index))]
+    g = g.sort_values(["ym", "rev", "seg"])
+    g["r"] = g.groupby("ym").cumcount() + 1
+    n = g["ym"].nunique()
+    k = 5
+    sr2 = int((g.groupby("seg")["r"].sum() ** 2).sum())
+    chi2 = 12 * sr2 * 1_000_000 // (n * k * (k + 1)) - 3 * n * (k + 1) * 1_000_000
+    return check(
+        "friedman",
+        row,
+        {
+            "n_blocks": (n, 0),
+            "n_treatments": (k, 0),
+            "chi2_ppm": (chi2, 0),
+            "significant_95": (1 if chi2 > 9_487_729 else 0, 0),
+        },
+    )
+
+
+@audit("jonckheere_terpstra")
+def a_jt(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    g = o["o_orderdate"].dt.year.to_numpy()
+    v = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64) // 1000
+    groups = sorted(np.unique(g))
+    # JT = sum over group pairs a<b of U_ab (Mann-Whitney with 1/2 ties)
+    jt2 = 0  # doubled
+    for i, ga in enumerate(groups):
+        va = np.sort(v[g == ga])
+        for gb in groups[i + 1 :]:
+            vb = v[g == gb]
+            lt = np.searchsorted(va, vb, side="left").sum()
+            eq = (
+                np.searchsorted(va, vb, side="right").sum() - lt
+            )
+            jt2 += 2 * int(lt) + int(eq)
+    ns = np.array([int((g == gg).sum()) for gg in groups], dtype=object)
+    N = int(ns.sum())
+    mean2 = (N * N - int(sum(n * n for n in ns))) // 2
+    var72 = N * N * (2 * N + 3) - int(
+        sum(n * n * (2 * n + 3) for n in ns)
+    )
+    z2 = (jt2 - mean2) ** 2 * 18_000_000 // var72
+    return check(
+        "jt",
+        row,
+        {
+            "k_groups": (len(groups), 0),
+            "n_total": (N, 0),
+            "jt2": (jt2, 0),
+            "mean2": (mean2, 0),
+            "z2_ppm": (z2, 0),
+            "increasing_side": (1 if jt2 > mean2 else 0, 0),
+        },
+    )
+
+
+@audit("did_estimate")
+def a_did(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(object)
+    treat = (o["o_custkey"].to_numpy() % 2).astype(int)
+    errs = []
+    got = {r["scenario"]: r for r in rows}
+    for scen, cutoff in (("actual", "1999-01-01"), ("placebo", "1997-01-01")):
+        post = (o["o_orderdate"] >= pd.Timestamp(cutoff)).to_numpy()
+        ms = {}
+        for tv in (0, 1):
+            for pv in (0, 1):
+                mask = (treat == tv) & (post == pv)
+                s = sum(cents[mask])
+                ms[(tv, pv)] = s * 1000 // int(mask.sum())
+        did = (ms[(1, 1)] - ms[(1, 0)]) - (ms[(0, 1)] - ms[(0, 0)])
+        r = got.get(scen)
+        if r is None:
+            errs.append(f"{scen} missing")
+            continue
+        errs += check(
+            f"did {scen}",
+            r,
+            {
+                "m_c_pre_mc": (ms[(0, 0)], 0),
+                "m_c_post_mc": (ms[(0, 1)], 0),
+                "m_t_pre_mc": (ms[(1, 0)], 0),
+                "m_t_post_mc": (ms[(1, 1)], 0),
+                "did_mc": (did, 0),
+            },
+        )
+    return errs
+
+
+@audit("iv_wald_estimate")
+def a_iv_wald(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    per = pd.Series(cents).groupby(o["o_custkey"].to_numpy()).sum()
+    ck = c["c_custkey"].to_numpy()
+    y = c["c_custkey"].map(per).fillna(0).astype(np.int64).to_numpy()
+    z = np.array([_md5mod("ivz", int(k), 2) for k in ck])
+    xr = np.array(
+        [
+            int(_hl.md5(f"ivx|{int(k)}".encode()).hexdigest()[:15], 16)
+            % 1_000_000
+            for k in ck
+        ]
+    )
+    x = (xr < np.where(z == 1, 700_000, 300_000)).astype(int)
+    n1, n0 = int((z == 1).sum()), int((z == 0).sum())
+    sx1, sx0 = int(x[z == 1].sum()), int(x[z == 0].sum())
+    sy1, sy0 = int(y[z == 1].sum()), int(y[z == 0].sum())
+    fs = _tdiv2((sx1 * n0 - sx0 * n1) * 1_000_000, n1 * n0)
+    itt = _tdiv2((sy1 * n0 - sy0 * n1) * 1_000_000, n1 * n0)
+    wald = _tdiv2((sy1 * n0 - sy0 * n1) * 1_000_000, sx1 * n0 - sx0 * n1)
+    return check(
+        "iv",
+        row,
+        {
+            "n": (n1 + n0, 0),
+            "first_stage_ppm": (fs, 0),
+            "itt_uppm_c": (itt, 0),
+            "wald_effect_mc": (wald, 0),
+        },
+    )
+
+
 if __name__ == "__main__":
     main()
