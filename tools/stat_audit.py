@@ -5662,5 +5662,139 @@ def a_iv_wald(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — survival-analysis family
+# ===========================================================================
+
+
+def _surv_frame(data: Data, with_group=False):
+    o = data.table("orders")
+    li = data.table("lineitem")
+    fs = li.groupby("l_orderkey")["l_shipdate"].min()
+    m = o[o["o_orderkey"].isin(fs.index)].copy()
+    m["t"] = (m["o_orderkey"].map(fs) - m["o_orderdate"]).dt.days
+    cut = o["o_orderdate"].max()
+    m["c"] = (cut - m["o_orderdate"]).dt.days
+    m["obs_t"] = np.minimum(m["t"], m["c"])
+    m["ev"] = (m["t"] <= m["c"]).astype(int)
+    if with_group:
+        m["grp"] = m["o_orderpriority"].isin(
+            ["1-URGENT", "2-HIGH"]
+        ).astype(int)
+    return m
+
+
+@audit("kaplan_meier")
+def a_km(data: Data, rows) -> list[str]:
+    m = _surv_frame(data)
+    byt = m.groupby("obs_t").agg(n_sub=("ev", "size"), d=("ev", "sum"))
+    byt = byt.sort_index(ascending=False)
+    byt["n_risk"] = byt["n_sub"].cumsum()
+    byt = byt.sort_index()
+    errs = []
+    got = {int(r["t_days"]): r for r in rows}
+    cum = 0
+    for t, rr in byt.iterrows():
+        if int(rr["d"]) == 0:
+            continue
+        n_risk, d = int(rr["n_risk"]), int(rr["d"])
+        if d < n_risk:
+            cum += math.floor(1e6 * math.log(1.0 - d / n_risk))
+            want_log = cum
+        else:
+            want_log = None
+        r = got.get(int(t))
+        if r is None:
+            errs.append(f"t={t} missing")
+            continue
+        ok_null = r["log_surv_micro"] is None or (
+            isinstance(r["log_surv_micro"], float)
+            and math.isnan(r["log_surv_micro"])
+        )
+        if (
+            int(r["n_at_risk"]) != n_risk
+            or int(r["n_events"]) != d
+            or int(r["n_censored"]) != int(rr["n_sub"]) - d
+            or (want_log is None) != ok_null
+            or (want_log is not None
+                and int(r["log_surv_micro"]) != want_log)
+        ):
+            errs.append(f"t={t}: {dict(r)} vs ({n_risk},{d},{want_log})")
+    return errs
+
+
+@audit("nelson_aalen_hazard")
+def a_na(data: Data, rows) -> list[str]:
+    m = _surv_frame(data)
+    byt = m.groupby("obs_t").agg(n_sub=("ev", "size"), d=("ev", "sum"))
+    byt = byt.sort_index(ascending=False)
+    byt["n_risk"] = byt["n_sub"].cumsum()
+    byt = byt.sort_index()
+    errs = []
+    got = {int(r["t_days"]): r for r in rows}
+    cum = 0
+    for t, rr in byt.iterrows():
+        if int(rr["d"]) == 0:
+            continue
+        n_risk, d = int(rr["n_risk"]), int(rr["d"])
+        cum += d * 1_000_000 // n_risk
+        r = got.get(int(t))
+        if r is None:
+            errs.append(f"t={t} missing")
+        elif (
+            int(r["n_risk"]) != n_risk
+            or int(r["n_events"]) != d
+            or int(r["cum_hazard_e6"]) != cum
+        ):
+            errs.append(f"t={t}: {dict(r)} vs ({n_risk},{d},{cum})")
+    return errs
+
+
+@audit("logrank_test")
+def a_logrank(data: Data, row) -> list[str]:
+    m = _surv_frame(data, with_group=True)
+    byt = m.groupby("obs_t").agg(
+        s1=("grp", "sum"),
+        st=("grp", "size"),
+        d1=("ev", lambda s: 0),  # placeholder, fixed below
+        dt=("ev", "sum"),
+    )
+    d1 = m[m["grp"] == 1].groupby("obs_t")["ev"].sum()
+    byt["d1"] = d1.reindex(byt.index).fillna(0).astype(int)
+    byt = byt.sort_index(ascending=False)
+    byt["n1"] = byt["s1"].cumsum()
+    byt["nt"] = byt["st"].cumsum()
+    byt = byt.sort_index()
+    o1 = 0
+    e1 = 0
+    v = 0
+    for t, rr in byt.iterrows():
+        dt_, n1, nt = int(rr["dt"]), int(rr["n1"]), int(rr["nt"])
+        if dt_ == 0:
+            continue
+        o1 += int(rr["d1"])
+        e1 += math.floor(1e6 * dt_ * n1 / nt)
+        if nt > 1:
+            v += math.floor(
+                1e12 * dt_ * n1 * (nt - n1) * (nt - dt_)
+                / (nt * nt * (nt - 1))
+            )
+    chi2 = (o1 * 1_000_000 - e1) ** 2 * 1_000_000 // v
+    return check(
+        "logrank",
+        row,
+        {
+            "o1": (o1, 0),
+            "e1_e6": (e1, 2),
+            "v_e12": (v, 2),
+            "chi2_e6": (chi2, ("rel", 1e-5)),
+            "reject_05": (
+                1 if (o1 * 1_000_000 - e1) ** 2 * 1_000_000
+                > 3_841_459 * v else 0, 0,
+            ),
+        },
+    )
+
+
 if __name__ == "__main__":
     main()
