@@ -5796,5 +5796,139 @@ def a_logrank(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — forecast-evaluation family
+# ===========================================================================
+
+
+@audit("mase_forecast_audit")
+def a_mase(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    mkey = (
+        o["o_orderdate"].dt.year * 12 + o["o_orderdate"].dt.month - 1
+    )
+    g = pd.Series(cents).groupby(mkey.to_numpy()).sum().sort_index()
+    ms = g.index.to_numpy()
+    rev = g.to_numpy().astype(np.int64)
+    pos = {m: i for i, m in enumerate(ms)}
+    es = en = 0
+    n = 0
+    for i, m in enumerate(ms):
+        # lag windows are ROW lags over m order; the WHERE requires the
+        # row-lagged month keys to be exactly m-12 / m-1
+        if i >= 12 and ms[i - 12] == m - 12 and i >= 1 and ms[i - 1] == m - 1:
+            es += abs(int(rev[i]) - int(rev[i - 12]))
+            en += abs(int(rev[i]) - int(rev[i - 1]))
+            n += 1
+    return check(
+        "mase",
+        row,
+        {
+            "n_months": (n, 0),
+            "sum_abs_err_seasonal": (es, 0),
+            "sum_abs_err_naive": (en, 0),
+            "mase_ppm": (es * 1_000_000 // en, 0),
+        },
+    )
+
+
+@audit("theil_u2_forecast_audit")
+def a_theil_u2(data: Data, row) -> list[str]:
+    day = data.day()
+    t = day["t"].to_numpy()
+    y = day["y"].to_numpy().astype(np.int64)
+    pos = {tv: i for i, tv in enumerate(t)}
+    sd = sn = 0
+    n = 0
+    for tv in t:
+        if tv + 1 in pos and tv + 2 in pos:
+            y0, y1, y2 = (
+                int(y[pos[tv]]), int(y[pos[tv + 1]]), int(y[pos[tv + 2]])
+            )
+            sd += (2 * y1 - y0 - y2) ** 2
+            sn += (y1 - y2) ** 2
+            n += 1
+    return check(
+        "u2",
+        row,
+        {
+            "n_triples": (n, 0),
+            "sse_drift": (sd, 0),
+            "sse_naive": (sn, 0),
+            "u2_sq_ppm": (sd * 1_000_000 // sn, 0),
+            "drift_beats_naive": (
+                1 if sd * 1_000_000 // sn < 1_000_000 else 0, 0
+            ),
+        },
+    )
+
+
+@audit("croston_intermittent")
+def a_croston(data: Data, row) -> list[str]:
+    li = data.table("lineitem")
+    sk = li["l_suppkey"].min()
+    sel = li[li["l_suppkey"] == sk]
+    q100 = np.round(sel["l_quantity"].to_numpy() * 100).astype(np.int64)
+    g = (
+        pd.DataFrame({"d": sel["l_shipdate"].to_numpy(), "q": q100})
+        .groupby("d")["q"]
+        .sum()
+        .sort_index()
+    )
+    base = pd.Timestamp("1995-01-01")
+    ts = [(pd.Timestamp(d) - base).days for d in g.index]
+    qs = [int(v) for v in g.to_numpy()]
+    ivs = [ts[i + 1] - ts[i] for i in range(len(ts) - 1)]
+    p = sum(ivs) * 1_000_000 // len(ivs)
+    z = qs[0]
+    for qv in qs[1:]:
+        z = (100_000 * qv + 900_000 * z) // 1_000_000
+    for iv in ivs:
+        p = (100_000 * iv * 1_000_000 + 900_000 * p) // 1_000_000
+    return check(
+        "croston",
+        row,
+        {
+            "demand_days": (len(qs), 0),
+            "size_ewma_c": (z, 0),
+            "interval_ewma_ppm": (p, 0),
+            "demand_rate_c_per_day": (z * 1_000_000 // p, 0),
+        },
+    )
+
+
+@audit("holt_linear_forecast")
+def a_holt_linear(data: Data, rows) -> list[str]:
+    y = [int(v) for v in _months(data)]
+    n = len(y)
+    # exact ppm integer recursion (alpha=0.3, beta=0.1)
+    l, b = y[0], y[1] - y[0]
+    pred = {1: None}
+    for i in range(1, n):
+        pred[i + 1] = l + b
+        l_new = _tdiv2(300_000 * y[i] + 700_000 * (l + b), 1_000_000)
+        b = _tdiv2(100_000 * (l_new - l) + 900_000 * b, 1_000_000)
+        l = l_new
+    for h in (1, 2, 3):
+        pred[n + h] = l + h * b
+    errs = []
+    if len(rows) != n + 3:
+        errs.append(f"{len(rows)} rows vs {n + 3}")
+    for r in rows:
+        tt = int(r["t"])
+        want = pred.get(tt)
+        got = r["pred_c"]
+        isnull = got is None or (
+            isinstance(got, float) and math.isnan(got)
+        )
+        if want is None:
+            if not isnull:
+                errs.append(f"t={tt}: expected NULL, got {got}")
+        elif isnull or int(got) != want:
+            errs.append(f"t={tt}: pred {got} vs {want}")
+    return errs
+
+
 if __name__ == "__main__":
     main()
