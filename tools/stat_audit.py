@@ -5930,5 +5930,93 @@ def a_holt_linear(data: Data, rows) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — sketch & richness family
+# ===========================================================================
+
+
+@audit("cms_frequency_audit")
+def a_cms(data: Data, rows) -> list[str]:
+    from collections import Counter
+
+    li = data.table("lineitem")
+    pk = li["l_partkey"].to_numpy()
+    cells = [Counter() for _ in range(3)]
+    for k in pk:
+        for d in range(3):
+            cells[d][_md5mod(str(31 + d), int(k), 1024)] += 1
+    exact = Counter(int(k) for k in pk)
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    errs = []
+    got = {int(r["partkey"]): r for r in rows}
+    for k, ec in top:
+        est = min(
+            cells[d][_md5mod(str(31 + d), k, 1024)] for d in range(3)
+        )
+        r = got.get(k)
+        if r is None:
+            errs.append(f"partkey {k} missing")
+        elif int(r["exact_cnt"]) != ec or int(r["est_cnt"]) != est:
+            errs.append(f"{k}: {dict(r)} vs ({ec},{est})")
+        elif est < ec:
+            errs.append(f"{k}: CMS underestimates ({est} < {ec})")
+    return errs
+
+
+@audit("capture_recapture_estimate")
+def a_capture(data: Data, row) -> list[str]:
+    c = data.table("customer")
+    o = data.table("orders")
+    active = np.unique(
+        o.merge(c[["c_custkey"]], left_on="o_custkey",
+                right_on="c_custkey")["c_custkey"].to_numpy()
+    )
+    s1 = np.array(
+        [_md5mod("cr1", int(k), 1_000_000) < 400_000 for k in active]
+    )
+    s2 = np.array(
+        [_md5mod("cr2", int(k), 1_000_000) < 400_000 for k in active]
+    )
+    n1, n2, m = int(s1.sum()), int(s2.sum()), int((s1 & s2).sum())
+    chapman = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    return check(
+        "capture",
+        row,
+        {
+            "true_n": (len(active), 0),
+            "n1": (n1, 0),
+            "n2": (n2, 0),
+            "m": (m, 0),
+            "chapman_est": (chapman, 0),
+        },
+    )
+
+
+@audit("chao1_unseen_vocab")
+def a_chao1(data: Data, row) -> list[str]:
+    from collections import Counter
+
+    freq = Counter()
+    for _, toks in _space_tokens(data):
+        freq.update(toks)
+    V = len(freq)
+    N = sum(freq.values())
+    f1 = sum(1 for v in freq.values() if v == 1)
+    f2 = sum(1 for v in freq.values() if v == 2)
+    chao1 = V + f1 * f1 // (2 * max(f2, 1))
+    return check(
+        "chao1",
+        row,
+        {
+            "vocab_observed": (V, 0),
+            "n_tokens": (N, 0),
+            "f1": (f1, 0),
+            "f2": (f2, 0),
+            "chao1_est": (chao1, 0),
+            "gt_unseen_ppm": (f1 * 1_000_000 // N, 0),
+        },
+    )
+
+
 if __name__ == "__main__":
     main()
