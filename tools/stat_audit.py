@@ -6018,5 +6018,134 @@ def a_chao1(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — drift / resampling / order-stat CI family
+# ===========================================================================
+
+
+@audit("benford_digit_audit")
+def a_benford(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    cents = cents[o["o_totalprice"].to_numpy() > 0]
+    digits = np.array([int(str(int(v))[0]) for v in cents])
+    n = len(digits)
+    errs = []
+    got = {int(r["digit"]): r for r in rows}
+    for d in range(1, 10):
+        cnt = int((digits == d).sum())
+        r = got.get(d)
+        if r is None:
+            if cnt:
+                errs.append(f"digit {d} missing")
+            continue
+        want_b = math.floor(math.log(1 + 1 / d) / math.log(10) * 1e6)
+        if (
+            int(r["n"]) != cnt
+            or int(r["observed_ppm"]) != cnt * 1_000_000 // n
+            or int(r["benford_ppm"]) != want_b
+        ):
+            errs.append(f"digit {d}: {dict(r)} vs ({cnt},{want_b})")
+    return errs
+
+
+@audit("psi_drift_audit")
+def a_psi(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    bins = np.minimum(10, cents // 5_000_000)
+    pre = (o["o_orderdate"] < pd.Timestamp("1998-01-01")).to_numpy()
+    bvals = sorted(set(bins.tolist()))
+    nb = len(bvals)
+    tp, tq = int(pre.sum()), int((~pre).sum())
+    errs = []
+    got = {int(r["bin"]): r for r in rows}
+    total = 0
+    terms = {}
+    for b in bvals:
+        n_pre = int((pre & (bins == b)).sum())
+        n_post = int((~pre & (bins == b)).sum())
+        p = (n_pre + 1) * 1_000_000 // (tp + nb)
+        q = (n_post + 1) * 1_000_000 // (tq + nb)
+        term = (p - q) * math.floor(1e6 * math.log(p / q))
+        terms[b] = (n_pre, n_post, p, q, term)
+        total += term
+    for b, (n_pre, n_post, p, q, term) in terms.items():
+        r = got.get(b)
+        if r is None:
+            errs.append(f"bin {b} missing")
+        elif (
+            int(r["n_pre"]) != n_pre
+            or int(r["p_ppm"]) != p
+            or int(r["q_ppm"]) != q
+            or int(r["psi_term_e12"]) != term
+            or int(r["psi_total_e12"]) != total
+        ):
+            errs.append(f"bin {b}: {dict(r)} vs {terms[b]} tot {total}")
+    return errs
+
+
+@audit("median_ci_order_stat")
+def a_median_ci(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    v = np.sort(
+        np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        // 1000
+    )
+    n = len(v)
+    halfw = math.floor(math.sqrt(n) * 1_959_964 / 1_000_000)
+    l_rank = (n - halfw) // 2
+    u_rank = n + 1 - l_rank
+    m_rank = (n + 1) // 2
+    return check(
+        "median_ci",
+        row,
+        {
+            "n_orders": (n, 0),
+            "l_rank": (l_rank, 0),
+            "u_rank": (u_rank, 0),
+            "median_c": (int(v[m_rank - 1]) * 1000, 0),
+            "ci_lo_c": (int(v[l_rank - 1]) * 1000, 0),
+            "ci_hi_c": (int(v[u_rank - 1]) * 1000, 0),
+        },
+    )
+
+
+@audit("bootstrap_ci_revenue")
+def a_bootstrap(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    prio = o["o_orderpriority"].to_numpy()
+    keys = o["o_orderkey"].to_numpy()
+    # Poisson(1) weights via the md5 CDF thresholds (shared literals)
+    TH = [367879441, 735758882, 919698603, 980993098, 996340153]
+    errs = []
+    got = {r["prio"]: r for r in rows}
+    for p in np.unique(prio):
+        mask = prio == p
+        means = []
+        for b in range(32):
+            sw = swx = 0
+            for k, x in zip(keys[mask], cents[mask]):
+                h = (
+                    int(_hl.md5(f"{int(k)}|{b}".encode()).hexdigest()[:15],
+                        16) % 1_000_000_000
+                )
+                w = next(
+                    (i for i, t_ in enumerate(TH) if h < t_), 5
+                )
+                sw += w
+                swx += w * int(x)
+            means.append(swx // sw)
+        means.sort()
+        lo, hi = means[1], means[30]
+        r = got.get(p)
+        if r is None:
+            errs.append(f"prio {p} missing")
+        elif int(r["boot_lo_c"]) != lo:
+            errs.append(f"{p}: lo {r['boot_lo_c']} vs {lo}")
+    return errs
+
+
 if __name__ == "__main__":
     main()
