@@ -6147,5 +6147,146 @@ def a_bootstrap(data: Data, rows) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — stratified-table & repeated-binary family
+# ===========================================================================
+
+
+def _region_2x2(data: Data):
+    o = data.table("orders")
+    c = data.table("customer")
+    nt = data.table("nation")
+    rg = data.table("region")
+    m = (
+        o.merge(c[["c_custkey", "c_nationkey"]], left_on="o_custkey",
+                right_on="c_custkey")
+        .merge(nt[["n_nationkey", "n_regionkey"]], left_on="c_nationkey",
+               right_on="n_nationkey")
+        .merge(rg[["r_regionkey", "r_name"]], left_on="n_regionkey",
+               right_on="r_regionkey")
+    )
+    x = (m["o_orderpriority"] == "1-URGENT").to_numpy().astype(int)
+    y = (
+        np.round(m["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        > 30_000_000
+    ).astype(int)
+    out = {}
+    for s in np.unique(m["r_name"]):
+        mk = (m["r_name"] == s).to_numpy()
+        a = int((x[mk] & y[mk]).sum())
+        b = int((x[mk] & (1 - y[mk])).sum())
+        cc = int(((1 - x[mk]) & y[mk]).sum())
+        d = int(((1 - x[mk]) & (1 - y[mk])).sum())
+        out[s] = (a, b, cc, d, a + b + cc + d)
+    return out
+
+
+@audit("mantel_haenszel_cmh")
+def a_cmh(data: Data, row) -> list[str]:
+    tabs = _region_2x2(data)
+    sa_e6 = sum(t[0] for t in tabs.values()) * 10**6
+    orn = sum(t[0] * t[3] * 10**6 // t[4] for t in tabs.values())
+    ord_ = sum(t[1] * t[2] * 10**6 // t[4] for t in tabs.values())
+    se = sum(
+        (t[0] + t[1]) * (t[0] + t[2]) * 10**6 // t[4]
+        for t in tabs.values()
+    )
+    sv = sum(
+        (t[0] + t[1]) * (t[2] + t[3]) * (t[0] + t[2]) * (t[1] + t[3])
+        * 10**12 // (t[4] * t[4] * (t[4] - 1))
+        for t in tabs.values()
+    )
+    chi2 = (abs(sa_e6 - se) - 500_000) ** 2 * 10**6 // sv
+    errs = check(
+        "cmh",
+        row,
+        {
+            "n_strata": (len(tabs), 0),
+            "or_mh_ppm": (orn * 10**6 // ord_, 0),
+            "cmh_chi2_ppm": (chi2, 0),
+        },
+    )
+    # float textbook cross-check (continuity-corrected CMH)
+    saf = sum(t[0] for t in tabs.values())
+    sef = sum(
+        (t[0] + t[1]) * (t[0] + t[2]) / t[4] for t in tabs.values()
+    )
+    svf = sum(
+        (t[0] + t[1]) * (t[2] + t[3]) * (t[0] + t[2]) * (t[1] + t[3])
+        / (t[4] ** 2 * (t[4] - 1))
+        for t in tabs.values()
+    )
+    chif = (abs(saf - sef) - 0.5) ** 2 / svf
+    if abs(chif * 1e6 - chi2) > 50:
+        errs.append(f"staged {chi2} vs float {chif*1e6:.0f}")
+    return errs
+
+
+@audit("page_trend_test")
+def a_page(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = (
+        pd.DataFrame(
+            {
+                "yr": o["o_orderdate"].dt.year,
+                "mo": o["o_orderdate"].dt.month,
+                "c": cents,
+            }
+        )
+        .groupby(["yr", "mo"])["c"]
+        .sum()
+        .reset_index()
+    )
+    full = g.groupby("yr").size()
+    g = g[g["yr"].isin(set(full[full == 12].index))]
+    g = g.sort_values(["yr", "c", "mo"])
+    g["r"] = g.groupby("yr").cumcount() + 1
+    L = int((g["mo"] * g["r"]).sum())
+    b = g["yr"].nunique()
+    lmean = b * 12 * 13 * 13 // 4
+    z2 = (4 * L - b * 12 * 13 * 13) ** 2 * 9 * 10**6 // (
+        b * 12 * 12 * 13 * (12 * 12 - 1)
+    )
+    return check(
+        "page",
+        row,
+        {
+            "n_years": (b, 0),
+            "k_months": (12, 0),
+            "l_stat": (L, 0),
+            "l_mean": (lmean, 0),
+            "z2_ppm": (z2, 0),
+        },
+    )
+
+
+@audit("cochran_q_test")
+def a_cochran_q(data: Data, row) -> list[str]:
+    ev = data.table("events")
+    x = (
+        ev.groupby(["user_id", "event_type"]).size().rename("n")
+        .reset_index()
+    )
+    x["b"] = (x["n"] >= 13).astype(int)
+    cj = x.groupby("event_type")["b"].sum()
+    ru = x.groupby("user_id")["b"].sum()
+    k = len(cj)
+    T = int(cj.sum())
+    sc2 = int((cj**2).sum())
+    sr2 = int((ru**2).sum())
+    q = (k - 1) * (k * sc2 - T * T) * 10**6 // (k * T - sr2)
+    return check(
+        "cochran_q",
+        row,
+        {
+            "k_treatments": (k, 0),
+            "n_successes": (T, 0),
+            "q_ppm": (q, 0),
+            "reject_equal_rates": (1 if q > 9_487_729 else 0, 0),
+        },
+    )
+
+
 if __name__ == "__main__":
     main()
