@@ -19,7 +19,7 @@ instruments measuring the same quantity"):
   manufacture agreement.
 * ``gwet_ac1_agreement`` — Gwet's AC1, the "paradox-resistant" kappa:
   chance agreement is estimated from the probability a rater marks a
-  category at random (π_c(1−π_c) weighting), so高-prevalence tables
+  category at random (π_c(1−π_c) weighting), so high-prevalence tables
   that drive κ toward 0 despite near-perfect raw agreement (the
   Feinstein-Cicchetti kappa paradox) read correctly.
 * ``weighted_kappa_ordinal`` — Cohen's κ_w with LINEAR and QUADRATIC
@@ -116,8 +116,12 @@ def _kripp_sql(dialect: str) -> str:
       FROM co WHERE c1 <> c2
     ),
     de AS (
-      SELECT CAST(sum(CAST(a.nc AS {big}) * b.nc) AS {big}) AS d_exp
-      FROM marg a JOIN marg b ON a.c <> b.c
+      -- sum over c != k of n_c*n_k = (sum n_c)^2 - sum n_c^2: the
+      -- algebraic identity replaces the (tiny but flagged) <> pair
+      -- join with one aggregate
+      SELECT CAST(sum(CAST(nc AS {big})) * sum(CAST(nc AS {big}))
+                  - sum(CAST(nc AS {big}) * nc) AS {big}) AS d_exp
+      FROM marg
     )
     SELECT n.n{div}2 AS n_units,
       CAST((dis.d_obs * 1000000){div}n.n AS BIGINT) AS d_obs_e6,
@@ -265,12 +269,16 @@ def _wkappa_sql(dialect: str) -> str:
       FROM co
     ),
     exp AS (
+      -- expected disagreement over the literal 5x5 ordinal grid,
+      -- equi-joined to the row/column margins (no cross join)
       SELECT
-        CAST(sum(abs(a.c - b.c) * CAST(a.r AS {big}) * b.cc) AS {big})
+        CAST(sum(abs(g.i - g.j) * CAST(a.r AS {big}) * b.cc) AS {big})
           AS dl_exp,
-        CAST(sum((a.c - b.c) * (a.c - b.c)
+        CAST(sum((g.i - g.j) * (g.i - g.j)
                  * CAST(a.r AS {big}) * b.cc) AS {big}) AS dq_exp
-      FROM rc a CROSS JOIN rc b
+      FROM (VALUES (1, 1), (1, 2), (1, 3), (1, 4), (1, 5), (2, 1), (2, 2), (2, 3), (2, 4), (2, 5), (3, 1), (3, 2), (3, 3), (3, 4), (3, 5), (4, 1), (4, 2), (4, 3), (4, 4), (4, 5), (5, 1), (5, 2), (5, 3), (5, 4), (5, 5)) AS g(i, j)
+      JOIN rc a ON a.c = g.i
+      JOIN rc b ON b.c = g.j
     )
     SELECT nn.n AS n_units,
       CAST(1000000 - (obs.dl_obs * CAST(nn.n AS {big}) * 1000000)

@@ -128,11 +128,27 @@ def _rank_pair_cte(dialect: str) -> str:
       FROM {src} CROSS JOIN {qsrc}
       WHERE e.vec_id != 0
     ),
+    -- depth-{{d}} prefixes via ORDER BY + LIMIT (TakeOrdered in Spark:
+    -- per-partition partial top-k + driver merge — no global sort task;
+    -- only ranks <= depth matter to RBO, so the full corpus rank never
+    -- needs to exist)
+    top_cos AS (
+      SELECT vec_id, cos FROM scored
+      ORDER BY cos DESC, vec_id LIMIT {_RBO_DEPTH}
+    ),
+    top_dot AS (
+      SELECT vec_id, dot FROM scored
+      ORDER BY dot DESC, vec_id LIMIT {_RBO_DEPTH}
+    ),
     ranked AS (
-      SELECT vec_id,
-        row_number() OVER (ORDER BY cos DESC, vec_id) AS ra,
-        row_number() OVER (ORDER BY dot DESC, vec_id) AS rb
-      FROM scored
+      SELECT c.vec_id,
+        CAST(c.ra AS BIGINT) AS ra, CAST(d.rb AS BIGINT) AS rb
+      FROM (SELECT vec_id,
+              row_number() OVER (ORDER BY cos DESC, vec_id) AS ra
+            FROM top_cos) c
+      JOIN (SELECT vec_id,
+              row_number() OVER (ORDER BY dot DESC, vec_id) AS rb
+            FROM top_dot) d ON d.vec_id = c.vec_id
     )"""
 
 
@@ -155,9 +171,7 @@ def _rbo_sql(dialect: str) -> str:
       FROM contrib
     ),
     ov AS (
-      SELECT CAST(count(*) AS BIGINT) AS overlap_at_depth
-      FROM ranked
-      WHERE ra <= {_RBO_DEPTH} AND rb <= {_RBO_DEPTH}
+      SELECT CAST(count(*) AS BIGINT) AS overlap_at_depth FROM ranked
     )
     SELECT d.n_agree AS n_items_in_both_prefixes,
       o.overlap_at_depth,
@@ -184,9 +198,10 @@ def q_rbo_ranking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10× a rank-20 disagreement.  Emitted alongside the plain
     overlap@{d} so the two reads can disagree instructively.
 
-    Scale: one linear scoring pass (JVM fold, no UDF), two bounded
-    global rank windows (k-bounded consumers downstream), a {d}-row
-    literal join.  1 row out.
+    Scale: one linear scoring pass (JVM fold, no UDF), two
+    TakeOrdered depth-{d} prefixes (per-partition partial top-k +
+    driver merge — the full corpus ranking never materializes), a
+    {d}-row equi-join against the literal tail table.  1 row out.
 
     Reference parity: beyond-reference ANN-audit tier."""
     _views(spark, sf_dir, "embeddings")

@@ -454,6 +454,21 @@ def test_no_single_partition_windows():
         "foster_stuart_records", "mosum_changepoint",
         "runs_up_down_test", "holt_damped_forecast", "theta_forecast",
         "seasonal_strength_audit",
+        # r11a: cumulative windows over the DISTINCT $10-bucket frame
+        # (cvm/bws/siegel_tukey — the dunn/ansari class) and the
+        # rank map over the calendar-day frame (l_moments)
+        "cramer_von_mises_2sample", "bws_test", "siegel_tukey_test",
+        "l_moments_ratios",
+        # r11c: 25-row nation rank (join_count)
+        "join_count_bw_region",
+        # r11d: top-2-source rank over the 20-source frame
+        # (chao_shared); $10-bucket decile reads (qte — the median_ci
+        # class); calendar-day tail rank (cvar).  rbo_ranking_overlap
+        # computes TakeOrdered depth-20 prefixes first; the remaining
+        # row_number windows run over those LIMIT-20 frames — bounded
+        # by the literal k, not by data.
+        "chao_shared_species", "rbo_ranking_overlap",
+        "quantile_treatment_effects", "expected_shortfall_cvar",
         # r10c: p-rank over the ≤25-nation test frame (the
         # holm/fdr_bh class)
         "benjamini_yekutieli_audit",
