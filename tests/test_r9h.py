@@ -128,8 +128,11 @@ def test_gumbel_identities(spark, day):
     vals = list(blocks.values())
     n = len(vals)
     mean = sum(vals) / n
+    # sample variance (round-11 fix: this test used to divide by an
+    # extra n, mirroring the engine's own defect — stat_audit caught
+    # both; see PERF.md round-11 audit sweep)
     var = (n * sum(v * v for v in vals) - sum(vals) ** 2) / (
-        n * n * (n - 1)
+        n * (n - 1)
     )
     scale = math.sqrt(6 * var) / math.pi
     loc = mean - 0.5772156649015329 * scale
