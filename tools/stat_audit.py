@@ -6288,5 +6288,218 @@ def a_cochran_q(data: Data, row) -> list[str]:
     )
 
 
+# ===========================================================================
+# audits — count-model / posthoc / partial-correlation family
+# ===========================================================================
+
+
+@audit("negative_binomial_overdispersion")
+def a_nb_over(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    per = o.groupby("o_custkey").size()
+    x = c["c_custkey"].map(per).fillna(0).astype(int).to_numpy(dtype=object)
+    n = len(x)
+    sx = int(sum(x))
+    sxx = int(sum(v * v for v in x))
+    disp = (n * sxx - sx * sx) * 10**6 // (n * sx)
+    errs = check(
+        "nb",
+        row,
+        {
+            "n_customers": (n, 0),
+            "n_orders": (sx, 0),
+            "mean_ppm": (sx * 10**6 // n, 0),
+            "dispersion_ppm": (disp, 0),
+            "overdispersed": (1 if disp > 10**6 else 0, 0),
+        },
+    )
+    # MoM NB fit cross-check: r = mean^2/(var - mean) in float
+    xf = np.array([float(v) for v in x])
+    mean, var = xf.mean(), xf.var()
+    if var > mean and row["nb_r_ppm"] is not None:
+        rf = mean * mean / (var - mean)
+        if abs(rf * 1e6 - int(row["nb_r_ppm"])) > max(10, rf * 1e6 * 1e-4):
+            errs.append(f"nb_r {row['nb_r_ppm']} vs float {rf*1e6:.0f}")
+    return errs
+
+
+@audit("poisson_zero_inflation_audit")
+def a_zi(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    sel = o[o["o_orderdate"].dt.year == 1997]
+    per = sel.groupby("o_custkey").size()
+    k = c["c_custkey"].map(per).fillna(0).astype(int)
+    n = len(k)
+    z = int((k == 0).sum())
+    tot = int(k.sum())
+    lam = tot * 10**6 // n
+    lnp0 = math.floor(1e6 * math.log(z / n))
+    return check(
+        "zi",
+        row,
+        {
+            "n_customers": (n, 0),
+            "n_zero": (z, 0),
+            "lambda_e6": (lam, 0),
+            "ln_p0_obs_e6": (lnp0, 0),
+            "zi_score_e6": (lnp0 + lam, 0),
+            "excess_zeros": (1 if lnp0 + lam > 0 else 0, 0),
+        },
+    )
+
+
+@audit("tukey_hsd")
+def a_tukey(data: Data, rows) -> list[str]:
+    tabs = {}
+    o = data.table("orders")
+    c = data.table("customer")
+    nt = data.table("nation")
+    rg = data.table("region")
+    m = (
+        o.merge(c[["c_custkey", "c_nationkey"]], left_on="o_custkey",
+                right_on="c_custkey")
+        .merge(nt[["n_nationkey", "n_regionkey"]], left_on="c_nationkey",
+               right_on="n_nationkey")
+        .merge(rg[["r_regionkey", "r_name"]], left_on="n_regionkey",
+               right_on="r_regionkey")
+    )
+    v = np.round(m["o_totalprice"].to_numpy() * 100).astype(np.int64) // 1000
+    grp = m["r_name"].to_numpy()
+    for g in np.unique(grp):
+        vals = v[grp == g].astype(object)
+        tabs[g] = (len(vals), int(sum(vals)), int(sum(x * x for x in vals)))
+    n_tot = sum(t[0] for t in tabs.values())
+    kk = len(tabs)
+    ssw = sum((t[2] * t[0] - t[1] * t[1]) // t[0] for t in tabs.values())
+    errs = []
+    got = {(r["region_a"], r["region_b"]): r for r in rows}
+    names = sorted(tabs)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            na, sa, _ = tabs[a]
+            nb, sb, _ = tabs[b]
+            contrast = (sa * nb - sb * na) ** 2 // ((na * nb) * (na + nb))
+            sig = (
+                1
+                if contrast * 2 * (n_tot - kk) * 10**6 > 14_884_164 * ssw
+                else 0
+            )
+            r = got.get((a, b))
+            if r is None:
+                errs.append(f"pair {a},{b} missing")
+                continue
+            if (
+                int(r["contrast_stat"]) != contrast
+                or bool(r["significant"]) != bool(sig)
+            ):
+                errs.append(f"{a},{b}: {dict(r)} vs ({contrast},{sig})")
+    # float sanity: q^2/2 gate 14.884164 is (q_{0.05,5,inf}=3.858)^2
+    if abs(3.858**2 - 14.884164) > 0.01:
+        errs.append("gate constant drifted")
+    return errs
+
+
+@audit("dunn_posthoc")
+def a_dunn(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    nt = data.table("nation")
+    rg = data.table("region")
+    m = (
+        o.merge(c[["c_custkey", "c_nationkey"]], left_on="o_custkey",
+                right_on="c_custkey")
+        .merge(nt[["n_nationkey", "n_regionkey"]], left_on="c_nationkey",
+               right_on="n_nationkey")
+        .merge(rg[["r_regionkey", "r_name"]], left_on="n_regionkey",
+               right_on="r_regionkey")
+    )
+    v = np.round(m["o_totalprice"].to_numpy() * 100).astype(np.int64) // 1000
+    grp = m["r_name"].to_numpy()
+    r2 = 2 * pd.Series(v).rank(method="average").to_numpy()
+    nn = len(v)
+    _, counts = np.unique(v, return_counts=True)
+    ties = int(sum(int(c_) ** 3 - int(c_) for c_ in counts))
+    gsum = {}
+    for g in np.unique(grp):
+        mk = grp == g
+        gsum[g] = (int(mk.sum()), int(r2[mk].sum()))
+    errs = []
+    got = {(r["region_a"], r["region_b"]): r for r in rows}
+    names = sorted(gsum)
+    vfac = (nn * (nn + 1) * (nn - 1) - ties) // (3 * (nn - 1))
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            na, s2a = gsum[a]
+            nb, s2b = gsum[b]
+            rd = _tdiv2((s2a * nb - s2b * na) * 10**6, na * nb)
+            var2 = vfac * (na + nb) * 10**6 // (na * nb)
+            z2 = rd * rd // var2
+            r = got.get((a, b))
+            if r is None:
+                errs.append(f"pair {a},{b} missing")
+                continue
+            if (
+                int(r["rank_diff2_ppm"]) != rd
+                or int(r["var2_ppm"]) != var2
+                or int(r["z2_ppm"]) != z2
+            ):
+                errs.append(f"{a},{b}: {dict(r)} vs ({rd},{var2},{z2})")
+    return errs
+
+
+@audit("partial_correlation_triples")
+def a_partial_corr(data: Data, rows) -> list[str]:
+    li = data.table("lineitem")
+    base = li["l_shipdate"].min()
+    t = (li["l_shipdate"] - base).dt.days
+    ep = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    dc = np.round(li["l_discount"].to_numpy() * 100).astype(np.int64)
+    g = pd.DataFrame({"t": t, "x": 1, "epc": ep, "z": dc}).groupby("t").agg(
+        x=("x", "sum"), epc=("epc", "sum"), z=("z", "sum")
+    )
+    g["y"] = g["epc"] // 100000
+    x = g["x"].to_numpy().astype(np.float64)
+    y = g["y"].to_numpy().astype(np.float64)
+    z = g["z"].to_numpy().astype(np.float64)
+    r_xy = math.floor(np.corrcoef(x, y)[0, 1] * 1e6)
+    r_xz = math.floor(np.corrcoef(x, z)[0, 1] * 1e6)
+    r_yz = math.floor(np.corrcoef(y, z)[0, 1] * 1e6)
+
+    def arm(rm, ra, rb):
+        num = _tdiv2(rm * 10**6 - ra * rb, 10**6)
+        den = (
+            _tdiv2(10**12 - ra * ra, 10**6)
+            * _tdiv2(10**12 - rb * rb, 10**6)
+        )
+        p2 = _tdiv2(
+            _tdiv2((rm * 10**6 - ra * rb) ** 2, den), 10**6
+        )
+        return num, p2
+
+    want = {
+        "orders_revenue_given_discount": (r_xy,) + arm(r_xy, r_xz, r_yz),
+        "orders_discount_given_revenue": (r_xz,) + arm(r_xz, r_xy, r_yz),
+        "revenue_discount_given_orders": (r_yz,) + arm(r_yz, r_xy, r_xz),
+    }
+    errs = []
+    got = {r["pair"]: r for r in rows}
+    cols = list(rows[0].keys())
+    for pair, (rm, num, p2) in want.items():
+        r = got.get(pair)
+        if r is None:
+            errs.append(f"{pair} missing")
+            continue
+        vals = list(r.values())
+        if (
+            abs(int(vals[2]) - rm) > 1
+            or abs(int(vals[3]) - num) > 2
+            or abs(int(vals[4]) - p2) > 4
+        ):
+            errs.append(f"{pair}: {vals[2:]} vs ({rm},{num},{p2})")
+    return errs
+
+
 if __name__ == "__main__":
     main()
