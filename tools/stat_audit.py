@@ -6501,5 +6501,165 @@ def a_partial_corr(data: Data, rows) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — stationarity / seasonal MK / Lorenz / conformal family
+# ===========================================================================
+
+
+@audit("kpss_stationarity")
+def a_kpss(data: Data, row) -> list[str]:
+    day = data.day()
+    t = day["t"].to_numpy()
+    y = day["y"].to_numpy().astype(object)
+    n = len(y)
+    S = sum(y)
+    d = [n * v - S for v in y]
+    pos = {tv: i for i, tv in enumerate(t)}
+    g0 = sum(v * v for v in d)
+    # Bartlett-kernel long-run variance, bandwidth 4 (weights (5-l)/5
+    # folded as 5*g0 + 2*sum (5-l) g_l, all over 5)
+    ln_num = 5 * g0
+    for l in range(1, 5):
+        gl = sum(d[pos[tv]] * d[pos[tv + l]] for tv in t if tv + l in pos)
+        ln_num += 2 * (5 - l) * gl
+    cum = 0
+    sc2 = 0
+    for v in d:
+        cum += v
+        sc2 += cum * cum
+    eta = sc2 * 5 * 10**6 // (n * ln_num)
+    return check(
+        "kpss",
+        row,
+        {
+            "n_days": (n, 0),
+            "kpss_eta_ppm": (eta, 0),
+            "reject_level_stationary": (1 if eta > 463_000 else 0, 0),
+        },
+    )
+
+
+@audit("seasonal_mk_trend")
+def a_smk(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = (
+        pd.DataFrame(
+            {
+                "yr": o["o_orderdate"].dt.year,
+                "mo": o["o_orderdate"].dt.month,
+                "c": cents,
+            }
+        )
+        .groupby(["yr", "mo"])["c"]
+        .sum()
+        .reset_index()
+    )
+    s = 0
+    for mo, gm in g.groupby("mo"):
+        ys = gm.sort_values("yr")["c"].to_numpy()
+        for i in range(len(ys)):
+            for j in range(i + 1, len(ys)):
+                s += int(np.sign(int(ys[j]) - int(ys[i])))
+    var18 = int(
+        sum(
+            len(gm) * (len(gm) - 1) * (2 * len(gm) + 5)
+            for _, gm in g.groupby("mo")
+        )
+    )
+    z2 = (abs(s) - 1) ** 2 * 18 * 10**6 // var18
+    return check(
+        "smk",
+        row,
+        {
+            "s_stat": (s, 0),
+            "var18": (var18, 0),
+            "z2_ppm": (z2, 0),
+            "increasing_side": (1 if s > 0 else 0, 0),
+        },
+    )
+
+
+@audit("gini_lorenz_audit")
+def a_gini_lorenz(data: Data, rows) -> list[str]:
+    v = np.sort(_cust_values(data)).astype(object)
+    n = len(v)
+    s = int(sum(v))
+    # exact Gini via sorted prefix identity: pm = sum_{i<j}(v_j - v_i)
+    pref = 0
+    pm = 0
+    for i, val in enumerate(v):
+        pm += i * int(val) - pref
+        pref += int(val)
+    gini = pm * 10**6 // (n * s)
+    errs = []
+    got = {int(r["decile"]): r for r in rows}
+    cumv = np.cumsum([int(x) for x in v])
+    for d in range(1, 11):
+        # first index where pop*10 >= d*n
+        k = (d * n + 9) // 10
+        pop = k
+        rev = int(cumv[k - 1])
+        r = got.get(d)
+        if r is None:
+            errs.append(f"decile {d} missing")
+            continue
+        if (
+            int(r["pop_share_ppm"]) != pop * 10**6 // n
+            or int(r["rev_share_ppm"]) != rev * 10**6 // s
+            or int(r["gini_ppm"]) != gini
+        ):
+            errs.append(
+                f"decile {d}: {dict(r)} vs ({pop*10**6//n},"
+                f"{rev*10**6//s},{gini})"
+            )
+    return errs
+
+
+@audit("conformal_interval_audit")
+def a_conformal(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    li = data.table("lineitem")
+    fs = li.groupby("l_orderkey")["l_shipdate"].min()
+    m = o[o["o_orderkey"].isin(fs.index)].copy()
+    m["y"] = (m["o_orderkey"].map(fs) - m["o_orderdate"]).dt.days
+    m["bucket"] = [
+        _md5mod("41", int(k), 10) for k in m["o_orderkey"]
+    ]
+    errs = []
+    got = {r["grp"]: r for r in rows}
+    for grp, g in m.groupby("o_orderpriority"):
+        train = g[g["bucket"] <= 5]
+        pred = (int(train["y"].sum()) + 100000 * len(train)) // len(
+            train
+        ) - 100000
+        calib = g[g["bucket"].isin([6, 7])].copy()
+        calib["r"] = (calib["y"] - pred).abs()
+        n_cal = len(calib)
+        k = ((n_cal + 1) * 9 + 9) // 10
+        ranked = calib.sort_values(["r", "o_orderkey"])
+        qhat = int(ranked["r"].iloc[k - 1])
+        test = g[g["bucket"] >= 8]
+        ncov = int(((test["y"] - pred).abs() <= qhat).sum())
+        r = got.get(grp)
+        if r is None:
+            errs.append(f"{grp} missing")
+            continue
+        if (
+            int(r["n_train"]) != len(train)
+            or int(r["pred_days"]) != pred
+            or int(r["n_cal"]) != n_cal
+            or int(r["k_order_stat"]) != k
+            or int(r["qhat_days"]) != qhat
+            or int(r["n_test"]) != len(test)
+            or int(r["n_covered"]) != ncov
+        ):
+            errs.append(
+                f"{grp}: {dict(r)} vs ({len(train)},{pred},{n_cal},"
+                f"{k},{qhat},{len(test)},{ncov})"
+            )
+    return errs
+
+
 if __name__ == "__main__":
     main()
