@@ -6661,5 +6661,134 @@ def a_conformal(data: Data, rows) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — correlation matrix / drift / set-ops family
+# ===========================================================================
+
+
+@audit("correlation_matrix")
+def a_corr_matrix(data: Data, rows) -> list[str]:
+    li = data.table("lineitem")
+    q = np.round(li["l_quantity"].to_numpy() * 100)
+    p = np.round(li["l_extendedprice"].to_numpy() * 100)
+    d = np.round(li["l_discount"].to_numpy() * 100)
+    want = {
+        ("qty", "price"): np.corrcoef(q, p)[0, 1],
+        ("qty", "disc"): np.corrcoef(q, d)[0, 1],
+        ("price", "disc"): np.corrcoef(p, d)[0, 1],
+    }
+    errs = []
+    got = {(r["var_a"], r["var_b"]): r for r in rows}
+    for pair, rho in want.items():
+        r = got.get(pair)
+        if r is None:
+            errs.append(f"{pair} missing")
+        elif abs(int(r["pearson_e6"]) - rho * 1e6) > 2:
+            errs.append(f"{pair}: {r['pearson_e6']} vs {rho*1e6:.1f}")
+    return errs
+
+
+@audit("distribution_drift_audit")
+def a_dist_drift(data: Data, rows) -> list[str]:
+    ev = data.table("events")
+    e = ev["ts"].astype("int64").to_numpy() // 1000  # epoch_us
+    mid = (int(e.min()) + int(e.max())) // 2
+    half = (e > mid).astype(int)
+    et = ev["event_type"].to_numpy()
+    tf = int((half == 0).sum())
+    ts_ = int((half == 1).sum())
+    errs = []
+    got = {r["event_type"]: r for r in rows}
+    for typ in np.unique(et):
+        n1 = int(((et == typ) & (half == 0)).sum())
+        n2 = int(((et == typ) & (half == 1)).sum())
+        p1 = n1 * 10**6 // tf
+        p2 = n2 * 10**6 // ts_
+        r = got.get(typ)
+        if r is None:
+            errs.append(f"{typ} missing")
+        elif (
+            int(r["n_first"]) != n1
+            or int(r["n_second"]) != n2
+            or int(r["ppm_first"]) != p1
+            or int(r["ppm_second"]) != p2
+            or int(r["drift_ppm"]) != abs(p1 - p2)
+        ):
+            errs.append(f"{typ}: {dict(r)} vs ({n1},{n2},{p1},{p2})")
+    return errs
+
+
+@audit("emd_drift_audit")
+def a_emd(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    bins = np.minimum(40, cents // 2_000_000)
+    pre = (o["o_orderdate"] < pd.Timestamp("1998-01-01")).to_numpy()
+    bvals = sorted(set(bins.tolist()))
+    n1, n2 = int(pre.sum()), int((~pre).sum())
+    cum1 = cum2 = 0
+    sabs = 0
+    for b in bvals:
+        cum1 += int((pre & (bins == b)).sum())
+        cum2 += int((~pre & (bins == b)).sum())
+        sabs += abs(cum1 * n2 - cum2 * n1)
+    emd = sabs * 10**6 // (n1 * n2)
+    return check(
+        "emd",
+        row,
+        {
+            "n1": (n1, 0),
+            "n2": (n2, 0),
+            "n_bins": (len(bvals), 0),
+            "emd_bins_e6": (emd, 0),
+        },
+    )
+
+
+@audit("theta_set_ops_audit")
+def a_theta_ops(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    yr = o["o_orderdate"].dt.year
+    per = pd.DataFrame(
+        {"ck": o["o_custkey"], "y97": (yr == 1997).astype(int),
+         "y98": (yr == 1998).astype(int)}
+    ).groupby("ck").max()
+    return check(
+        "theta_ops",
+        row,
+        {
+            "union_exact": (
+                int(((per["y97"] == 1) | (per["y98"] == 1)).sum()), 0
+            ),
+            "retained_exact": (
+                int(((per["y97"] == 1) & (per["y98"] == 1)).sum()), 0
+            ),
+            "churned_exact": (
+                int(((per["y97"] == 1) & (per["y98"] == 0)).sum()), 0
+            ),
+        },
+    )
+
+
+@audit("heavy_hitters_audit")
+def a_heavy_hitters(data: Data, rows) -> list[str]:
+    from collections import Counter
+
+    freq = Counter()
+    for _, toks in _space_tokens(data):
+        freq.update(toks)
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    errs = []
+    if [r["word"] for r in rows] != [w for w, _ in top]:
+        errs.append(
+            f"top-10 differ: {[r['word'] for r in rows]} vs "
+            f"{[w for w, _ in top]}"
+        )
+    for r, (w, n) in zip(rows, top):
+        if int(r["exact_count"]) != n:
+            errs.append(f"{w}: {r['exact_count']} vs {n}")
+    return errs
+
+
 if __name__ == "__main__":
     main()
