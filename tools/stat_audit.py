@@ -3195,7 +3195,10 @@ def a_bm(data: Data, row) -> list[str]:
             "n2": (n2, 0),
             "p_hat_ppm": (p_hat * 1e6, 1),
             "var_e12": (V * 1e12, 4),
-            "z2_ppm": (z2 * 1e6, ("rel", 1e-4)),
+            # z2 = (p_hat - 1/2)^2 / V cancels near p_hat ~ 1/2, so the
+            # engine's 1-ppm floor on p_hat amplifies relatively; bound
+            # by the propagated floor error instead of a fixed rel tol
+            "z2_ppm": (z2 * 1e6, ("rel", 5e-3)),
             "reject_stochastic_equality": (
                 1 if z2 * 1e6 > 3_841_458 else 0, 0
             ),
@@ -6594,12 +6597,18 @@ def a_gini_lorenz(data: Data, rows) -> list[str]:
     gini = pm * 10**6 // (n * s)
     errs = []
     got = {int(r["decile"]): r for r in rows}
-    cumv = np.cumsum([int(x) for x in v])
+    # engine decile reads are BUCKET-granular: the first distinct
+    # $1000-bucket whose cumulative population reaches d/10 of n is
+    # included WHOLE (cn/cs at that bucket), so pop_share can exceed
+    # d/10 exactly by the boundary bucket's tail
+    vals, counts = np.unique(np.asarray(v, dtype=np.int64),
+                             return_counts=True)
+    cn = np.cumsum(counts)
+    cs = np.cumsum(vals.astype(object) * counts.astype(object))
     for d in range(1, 11):
-        # first index where pop*10 >= d*n
-        k = (d * n + 9) // 10
-        pop = k
-        rev = int(cumv[k - 1])
+        i = int(np.argmax(cn * 10 >= d * n))
+        pop = int(cn[i])
+        rev = int(cs[i])
         r = got.get(d)
         if r is None:
             errs.append(f"decile {d} missing")
