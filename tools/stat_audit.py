@@ -6799,5 +6799,273 @@ def a_heavy_hitters(data: Data, rows) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — causal weighting / uplift / Bayesian AB / multiplicity
+# ===========================================================================
+
+
+@audit("ipw_treatment_effect")
+def a_ipw(data: Data, row) -> list[str]:
+    ev = data.table("events")
+    per = ev.groupby("user_id").agg(
+        n_events=("event_type", "size"),
+        t=("event_type", lambda s: int((s == "signup").any())),
+    )
+    y = ev[ev["event_type"] == "purchase"].copy()
+    y["yc"] = np.round(y["value"].to_numpy() * 100).astype(np.int64)
+    ysum = y.groupby("user_id")["yc"].sum()
+    per["y"] = per.index.map(ysum).fillna(0).astype(int)
+    per["band"] = np.floor(np.log2(per["n_events"].to_numpy())).astype(int)
+    n_ok = 0
+    bands = 0
+    nt = nc = yt = yc_ = wt = wc = 0
+    for b, g in per.groupby("band"):
+        ntd = int(g["t"].sum())
+        ncd = len(g) - ntd
+        if ntd == 0 or ncd == 0:
+            continue
+        bands += 1
+        n_ok += len(g)
+        nt += ntd
+        nc += ncd
+        ytd = int(g[g["t"] == 1]["y"].sum())
+        ycd = int(g[g["t"] == 0]["y"].sum())
+        yt += ytd
+        yc_ += ycd
+        wt += ytd * len(g) * 1_000_000 // ntd
+        wc += ycd * len(g) * 1_000_000 // ncd
+    if bands == 0:
+        # no band carries BOTH arms (true at sf0.001 where every user
+        # signed up): the engine emits the degenerate NULL row
+        errs = []
+        if int(row["bands_used"]) != 0:
+            errs.append(f"bands_used {row['bands_used']} vs 0")
+        for col in ("n_users", "n_treated", "naive_diff_microcents",
+                    "ipw_ate_microcents"):
+            v = row[col]
+            if v is not None and not (
+                isinstance(v, float) and math.isnan(v)
+            ):
+                errs.append(f"{col}: expected NULL, got {v}")
+        return errs
+    return check(
+        "ipw",
+        row,
+        {
+            "n_users": (n_ok, 0),
+            "bands_used": (bands, 0),
+            "n_treated": (nt, 0),
+            "naive_diff_microcents": (
+                yt * 1_000_000 // nt - yc_ * 1_000_000 // nc, 0
+            ),
+            "ipw_ate_microcents": (wt // n_ok - wc // n_ok, 0),
+        },
+    )
+
+
+@audit("qini_uplift")
+def a_qini(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    spend = pd.Series(cents).groupby(o["o_custkey"].to_numpy()).sum()
+    ck = c["c_custkey"].to_numpy()
+    t_ = np.array([_md5mod("trt", int(k), 2) for k in ck])
+    neg_score = -np.round(c["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    y = c["c_custkey"].map(spend).fillna(0).astype(int).to_numpy()
+    df = pd.DataFrame({"k": ck, "t": t_, "ns": neg_score, "y": y})
+    df = df.sort_values(["ns", "k"]).reset_index(drop=True)
+    n = len(df)
+    # ntile(10) row allocation: first (n mod 10) tiles get ceil(n/10)
+    base = n // 10
+    extra = n % 10
+    dec = np.concatenate(
+        [
+            np.full(base + (1 if i < extra else 0), i + 1, dtype=int)
+            for i in range(10)
+        ]
+    )
+    df["decile"] = dec
+    errs = []
+    got = {int(r["decile"]): r for r in rows}
+    cum = 0
+    for d in range(1, 11):
+        g = df[df["decile"] == d]
+        n_t = int(g["t"].sum())
+        n_c = len(g) - n_t
+        avg_t = int(g[g["t"] == 1]["y"].sum()) // n_t if n_t else 0
+        avg_c = int(g[g["t"] == 0]["y"].sum()) // n_c if n_c else 0
+        cum += avg_t - avg_c
+        r = got.get(d)
+        if r is None:
+            errs.append(f"decile {d} missing")
+            continue
+        if (
+            int(r["n_t"]) != n_t
+            or int(r["n_c"]) != n_c
+            or int(r["avg_t_c"]) != avg_t
+            or int(r["avg_c_c"]) != avg_c
+            or int(r["cum_uplift_c"]) != cum
+        ):
+            errs.append(f"decile {d}: {dict(r)} vs ({n_t},{n_c},{avg_t},{avg_c},{cum})")
+    return errs
+
+
+@audit("bayes_ab_prob_superiority")
+def a_bayes_ab(data: Data, row) -> list[str]:
+    ev = data.table("events")
+    per = ev.groupby(["user_id"])["event_type"].agg(
+        c=lambda s: 1 if int((s == "purchase").sum()) >= 14 else 0
+    )
+    variant = per.index % 2
+    n_a = int((variant == 0).sum())
+    c_a = int(per[variant == 0]["c"].sum())
+    n_b = int((variant == 1).sum())
+    c_b = int(per[variant == 1]["c"].sum())
+    aa, ba = 1 + c_a, 1 + n_a - c_a
+    ab, bb = 1 + c_b, 1 + n_b - c_b
+    # exact P(p_b > p_a) for Beta posteriors via the standard sum
+    from math import lgamma, exp
+
+    def lbeta(x, y):
+        return lgamma(x) + lgamma(y) - lgamma(x + y)
+
+    prob = sum(
+        exp(
+            lbeta(aa + i, ba + bb)
+            - math.log(bb + i)
+            - lbeta(1 + i, bb)
+            - lbeta(aa, ba)
+        )
+        for i in range(ab)
+    )
+    return check(
+        "bayes_ab",
+        row,
+        {
+            "n_a": (n_a, 0),
+            "c_a": (c_a, 0),
+            "n_b": (n_b, 0),
+            "c_b": (c_b, 0),
+            "prob_b_beats_a_e6": (prob * 1e6, 3),
+            "ship_b": (1 if prob > 0.95 else 0, 0),
+            "ship_a": (1 if prob < 0.05 else 0, 0),
+        },
+    )
+
+
+def _nation_ztests(data: Data):
+    """Shared per-nation two-proportion z replay (the BY/holm/BH arm
+    device)."""
+    o = data.table("orders")
+    li = data.table("lineitem")
+    c = data.table("customer")
+    ret = (
+        li.assign(ret=(li["l_returnflag"] == "R").astype(int))
+        .groupby("l_orderkey")["ret"]
+        .max()
+    )
+    po = o[o["o_orderkey"].isin(ret.index)][
+        ["o_orderkey", "o_custkey"]
+    ].copy()
+    po["ret"] = po["o_orderkey"].map(ret).astype(int)
+    po = po.merge(
+        c[["c_custkey", "c_nationkey"]], left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    po["arm"] = po["c_custkey"] % 2
+    stats = []
+    for nk, g in po.groupby("c_nationkey"):
+        ga, gb = g[g["arm"] == 0], g[g["arm"] == 1]
+        na, nb = len(ga), len(gb)
+        ca, cb = int(ga["ret"].sum()), int(gb["ret"].sum())
+        if na and nb and 0 < ca + cb < na + nb:
+            pool = (ca + cb) / (na + nb)
+            z = abs(
+                (cb / nb - ca / na)
+                / math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+            )
+            stats.append((nk, math.floor(z * 1e6)))
+    stats.sort(key=lambda s: (-s[1], s[0]))
+    return stats
+
+
+@audit("holm_bonferroni")
+def a_holm(data: Data, rows) -> list[str]:
+    from statistics import NormalDist
+
+    stats = _nation_ztests(data)
+    m = len(stats)
+    nd = NormalDist()
+    rejected = {}
+    all_pass = 1
+    for i, (nk, z) in enumerate(stats, 1):
+        thr = math.floor(nd.inv_cdf(1 - 0.05 / (2 * (m - i + 1))) * 1e6)
+        all_pass = min(all_pass, 1 if z >= thr else 0)
+        rejected[nk] = all_pass
+    errs = []
+    got = {int(r["nationkey"]): r for r in rows}
+    for nk, z in stats:
+        r = got.get(nk)
+        if r is None:
+            errs.append(f"nation {nk} missing")
+        elif abs(int(r["z_abs_e6"]) - z) > 2 or int(r["rejected"]) != rejected[nk]:
+            errs.append(f"nation {nk}: {dict(r)} vs (z {z}, rej {rejected[nk]})")
+    return errs
+
+
+@audit("fdr_bh_audit")
+def a_bh(data: Data, rows) -> list[str]:
+    from statistics import NormalDist
+
+    stats = _nation_ztests(data)
+    m = len(stats)
+    nd = NormalDist()
+    kmax = 0
+    for i, (nk, z) in enumerate(stats, 1):
+        thr = math.floor(nd.inv_cdf(1 - 0.10 * i / (2 * m)) * 1e6)
+        if z >= thr:
+            kmax = i
+    rejected = {
+        nk: (1 if i <= kmax else 0) for i, (nk, z) in enumerate(stats, 1)
+    }
+    errs = []
+    got = {int(r["nationkey"]): r for r in rows}
+    for i, (nk, z) in enumerate(stats, 1):
+        r = got.get(nk)
+        if r is None:
+            errs.append(f"nation {nk} missing")
+        elif abs(int(r["z_abs_e6"]) - z) > 2 or int(r["rejected"]) != rejected[nk]:
+            errs.append(f"nation {nk}: {dict(r)} vs (z {z}, rej {rejected[nk]})")
+    return errs
+
+
+@audit("rdd_estimate")
+def a_rdd(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    per = o.groupby("o_custkey").size()
+    bal = np.round(c["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    y = c["c_custkey"].map(per).fillna(0).astype(int).to_numpy()
+    errs = []
+    for r in rows:
+        bw = int(r["bandwidth_cents"])
+        mk = (bal >= -bw) & (bal < bw)
+        left = mk & (bal < 0)
+        right = mk & (bal >= 0)
+        nl, nr = int(left.sum()), int(right.sum())
+        ml = int(y[left].sum()) * 1_000_000 // nl
+        mr = int(y[right].sum()) * 1_000_000 // nr
+        if (
+            int(r["n_left"]) != nl
+            or int(r["n_right"]) != nr
+            or int(r["mean_left_ppm"]) != ml
+            or int(r["mean_right_ppm"]) != mr
+            or int(r["effect_ppm"]) != mr - ml
+        ):
+            errs.append(f"bw {bw}: {dict(r)} vs ({nl},{nr},{ml},{mr})")
+    return errs
+
+
 if __name__ == "__main__":
     main()
