@@ -7067,5 +7067,126 @@ def a_rdd(data: Data, rows) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — SPRT / Simpson / burstiness family
+# ===========================================================================
+
+
+@audit("sprt_boundary_crossing")
+def a_sprt(data: Data, row) -> list[str]:
+    o = data.table("orders")
+    g = (
+        pd.DataFrame(
+            {
+                "t": (o["o_orderdate"] - o["o_orderdate"].min()).dt.days,
+                "u": (o["o_orderpriority"] == "1-URGENT").astype(int),
+            }
+        )
+        .groupby("t")
+        .agg(m=("u", "size"), a=("u", "sum"))
+        .sort_index()
+    )
+    llr = 0
+    decision = None
+    dday = None
+    dllr = None
+    for t_, r in g.iterrows():
+        llr += int(r["a"]) * 200_670 + (int(r["m"]) - int(r["a"])) * (
+            -50_011
+        )
+        if decision is None and (llr >= 2_944_438 or llr <= -2_944_438):
+            decision = "accept_h1" if llr >= 2_944_438 else "accept_h0"
+            dday, dllr = int(t_), llr
+    if decision is None:
+        decision = "continue"
+        dday, dllr = int(g.index[-1]), llr
+    return check(
+        "sprt",
+        row,
+        {
+            "n_days": (len(g), 0),
+            "decision_day": (dday, 0),
+            "llr_e6": (dllr, 0),
+        },
+    ) + (
+        [f"decision {row['decision']} vs {decision}"]
+        if str(row["decision"]) != decision
+        else []
+    )
+
+
+@audit("simpson_paradox_audit")
+def a_simpson(data: Data, rows) -> list[str]:
+    li = data.table("lineitem")
+    o = data.table("orders")
+    c = data.table("customer")
+    m = li.merge(
+        o[["o_orderkey", "o_custkey"]], left_on="l_orderkey",
+        right_on="o_orderkey",
+    ).merge(
+        c[["c_custkey", "c_nationkey"]], left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    x = np.round(m["l_discount"].to_numpy() * 100).astype(object)
+    y = np.round(m["l_extendedprice"].to_numpy() * 100).astype(object)
+    nk = m["c_nationkey"].to_numpy()
+
+    def sign_cov(xs, ys):
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        v = n * sxy - sx * sy
+        return (1 if v > 0 else -1 if v < 0 else 0)
+
+    pooled = sign_cov(list(x), list(y))
+    errs = []
+    got = {int(r["nationkey"]): r for r in rows}
+    for nkv in np.unique(nk):
+        mk = nk == nkv
+        ssign = sign_cov(list(x[mk]), list(y[mk]))
+        r = got.get(int(nkv))
+        if r is None:
+            errs.append(f"nation {nkv} missing")
+        elif (
+            int(r["stratum_sign"]) != ssign
+            or int(r["pooled_sign"]) != pooled
+        ):
+            errs.append(f"nation {nkv}: {dict(r)} vs ({ssign},{pooled})")
+    return errs
+
+
+@audit("word_burstiness_audit")
+def a_burstiness(data: Data, rows) -> list[str]:
+    from collections import Counter
+
+    d = data.table("documents")
+    nd = d["doc_id"].nunique()
+    per = Counter()
+    for doc_id, toks in _space_tokens(data):
+        for w, cnt in Counter(toks).items():
+            per[(w, doc_id)] = cnt
+    stats = {}
+    for (w, _), cnt in per.items():
+        s0, s1, s2 = stats.get(w, (0, 0, 0))
+        stats[w] = (s0 + 1, s1 + cnt, s2 + cnt * cnt)
+    top = sorted(stats.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    errs = []
+    if [r["word"] for r in rows] != [w for w, _ in top]:
+        errs.append(f"top-20 differ")
+    got = {r["word"]: r for r in rows}
+    for w, (npres, s, q) in top:
+        r = got.get(w)
+        if r is None:
+            continue
+        disp = (nd * q - s * s) * 1_000_000 // (s * (nd - 1))
+        if (
+            int(r["n_docs_present"]) != npres
+            or int(r["n_occurrences"]) != s
+            or int(r["dispersion_ppm"]) != disp
+        ):
+            errs.append(f"{w}: {dict(r)} vs ({npres},{s},{disp})")
+    return errs
+
+
 if __name__ == "__main__":
     main()
