@@ -7188,5 +7188,68 @@ def a_burstiness(data: Data, rows) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — order-statistic summaries
+# ===========================================================================
+
+
+@audit("exact_quantiles")
+def a_exact_quantiles(data: Data, rows) -> list[str]:
+    li = data.table("lineitem")
+    errs = []
+    got = {r["returnflag"]: r for r in rows}
+    for rf, g in li.groupby("l_returnflag"):
+        q50 = math.floor(
+            float(np.quantile(g["l_quantity"].to_numpy(), 0.5,
+                              method="linear")) * 100
+        )
+        p90 = math.floor(
+            float(np.quantile(g["l_extendedprice"].to_numpy(), 0.9,
+                              method="linear")) * 100
+        )
+        r = got.get(rf)
+        if r is None:
+            errs.append(f"{rf} missing")
+        elif (
+            abs(int(r["median_qty_cents"]) - q50) > 1
+            or abs(int(r["p90_price_cents"]) - p90) > 1
+        ):
+            errs.append(f"{rf}: {dict(r)} vs ({q50},{p90})")
+    return errs
+
+
+@audit("winsorized_mean_revenue")
+def a_winsor(data: Data, rows) -> list[str]:
+    o = data.table("orders")
+    c = data.table("customer")
+    m = o.merge(
+        c[["c_custkey", "c_mktsegment"]], left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    v = np.round(m["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    seg = m["c_mktsegment"].to_numpy()
+    errs = []
+    got = {r["mktsegment"]: r for r in rows}
+    for s in np.unique(seg):
+        vals = np.sort(v[seg == s]).astype(object)
+        n = len(vals)
+        lo = int(vals[(5 * n + 99) // 100 - 1])
+        hi = int(vals[(95 * n) // 100])
+        wins = sum(min(max(int(x), lo), hi) for x in vals)
+        r = got.get(s)
+        if r is None:
+            errs.append(f"{s} missing")
+        elif (
+            int(r["n_orders"]) != n
+            or int(r["lo_cents"]) != lo
+            or int(r["hi_cents"]) != hi
+            or int(r["winsorized_mean_microdollars"]) != wins * 10000 // n
+            or int(r["raw_mean_microdollars"])
+            != int(sum(int(x) for x in vals)) * 10000 // n
+        ):
+            errs.append(f"{s}: {dict(r)} vs ({n},{lo},{hi})")
+    return errs
+
+
 if __name__ == "__main__":
     main()
