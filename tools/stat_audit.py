@@ -7251,5 +7251,118 @@ def a_winsor(data: Data, rows) -> list[str]:
     return errs
 
 
+# ===========================================================================
+# audits — seasonality grid / spectral / score calibration
+# ===========================================================================
+
+
+@audit("hourly_seasonality")
+def a_hourly(data: Data, rows) -> list[str]:
+    ev = data.table("events")
+    wd = ev["ts"].dt.dayofweek.to_numpy() + 1  # isodow
+    hr = ev["ts"].dt.hour.to_numpy()
+    tot = len(ev)
+    from collections import Counter
+
+    cnt = Counter(zip(wd.tolist(), hr.tolist()))
+    errs = []
+    got = {(int(r["weekday"]), int(r["hour_of_day"])): r for r in rows}
+    if len(rows) != len(cnt):
+        errs.append(f"{len(rows)} rows vs {len(cnt)} cells")
+    for (w, h), n in cnt.items():
+        r = got.get((w, h))
+        if r is None:
+            errs.append(f"cell ({w},{h}) missing")
+        elif (
+            int(r["n_events"]) != n
+            or int(r["share_ppm"]) != n * 1_000_000 // tot
+        ):
+            errs.append(f"({w},{h}): {dict(r)} vs {n}")
+    return errs
+
+
+@audit("seasonal_periodogram_audit")
+def a_periodogram(data: Data, rows) -> list[str]:
+    day = data.day()
+    t = day["t"].to_numpy()
+    y = day["y"].to_numpy().astype(np.float64)
+    n = len(y)
+    d = n * y - y.sum()
+    errs = []
+    got = {int(r["period"]): r for r in rows}
+    powers = {}
+    for p in (7, 30, 91, 365):
+        # engine folds LITERAL e6 trig values at r = t mod p; replay
+        # with real trig (the literals are floor(1e6*cos) — relative
+        # drift < 2e-6 per term, washed out by the // 1e6 compression)
+        ang = 2 * math.pi * (t % p) / p
+        cc = float(np.sum(d * np.cos(ang)))
+        ss = float(np.sum(d * np.sin(ang)))
+        powers[p] = (cc / 1e0) ** 2 + (ss / 1e0) ** 2
+    mp = max(powers.values())
+    for p in (7, 30, 91, 365):
+        r = got.get(p)
+        if r is None:
+            errs.append(f"period {p} missing")
+            continue
+        rel = powers[p] / mp
+        if abs(int(r["rel_power_ppm"]) - rel * 1e6) > 2000:
+            errs.append(
+                f"period {p}: rel {r['rel_power_ppm']} vs {rel*1e6:.0f}"
+            )
+        if bool(r["dominant"]) != (powers[p] == mp):
+            errs.append(f"period {p}: dominant mismatch")
+    return errs
+
+
+@audit("score_calibration")
+def a_score_cal(data: Data, rows) -> list[str]:
+    d = data.table("documents")
+    scores = {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        s = text.strip()
+        if not s:
+            continue
+        from collections import Counter
+
+        tf = Counter(
+            int(_hl.md5(f"0|{w}".encode()).hexdigest()[:15], 16) % 16
+            for w in _re.split(r"\s+", s.lower())
+        )
+        n = sum(tf.values())
+        num = sum(
+            (int(_hl.md5(f"w|{b}".encode()).hexdigest()[:8], 16) % 2001
+             - 1000) * c
+            for b, c in tf.items()
+        )
+        scores[doc_id] = math.floor(num / (1000 * n) * 1e6)
+    sdf = pd.DataFrame(
+        {"doc_id": list(scores), "sc": list(scores.values())}
+    ).sort_values(["sc", "doc_id"]).reset_index(drop=True)
+    n = len(sdf)
+    base, extra = n // 10, n % 10
+    sdf["bin"] = np.concatenate(
+        [np.full(base + (1 if i < extra else 0), i + 1, dtype=int)
+         for i in range(10)]
+    )
+    nchars = dict(zip(d["doc_id"], d["n_chars"]))
+    errs = []
+    got = {int(r["bin"]): r for r in rows}
+    for b, g in sdf.groupby("bin"):
+        nb = len(g)
+        mean = math.floor(int(g["sc"].sum()) / nb)
+        lab = sum(1 for k in g["doc_id"] if nchars[k] >= 500)
+        r = got.get(int(b))
+        if r is None:
+            errs.append(f"bin {b} missing")
+        elif (
+            int(r["n_docs"]) != nb
+            or abs(int(r["mean_score_e6"]) - mean) > 1
+            or int(r["label_rate_ppm"]) != lab * 1_000_000 // nb
+        ):
+            errs.append(f"bin {b}: {dict(r)} vs ({nb},{mean},{lab})")
+    return errs
+
+
 if __name__ == "__main__":
     main()
