@@ -821,24 +821,20 @@ KM_K = 8
 KM_ITERS = 5
 KM_DIM = 64
 
-_KM_FIT_CACHE: dict = {}
-
-
 def _kmeans_fit_cached(spark: SparkSession, sf_dir: str):
-    """Centroids from kmeans_fit(k=KM_K, max_iter=KM_ITERS), memoized per
-    sf_dir: the fit is deterministic (fixed init, fixed iterations), so
-    ``kmeans_clusters`` and ``ivf_kmeans_search`` share one fit per
-    process instead of each replaying the 5-iteration Lloyd loop."""
-    import os
+    """Centroids from kmeans_fit(k=KM_K, max_iter=KM_ITERS).
 
+    Computed fresh on EVERY call.  An earlier revision memoized the
+    centroids in a module dict keyed on sf_dir; that is a cross-run
+    result cache (every bench rep after the first skipped the Lloyd
+    loop), which falsifies the warm timings of every query that sits
+    on the fit — removed in the r11 optimization round and the fit
+    cost paid honestly per invocation (see OPTIMIZATION_r11.md)."""
     from .operators.kmeans import kmeans_fit
 
-    key = (os.path.abspath(sf_dir), KM_K, KM_ITERS)
-    if key not in _KM_FIT_CACHE:
-        e = read_table(spark, sf_dir, "embeddings")
-        centroids, _ = kmeans_fit(e, k=KM_K, max_iter=KM_ITERS)
-        _KM_FIT_CACHE[key] = centroids
-    return _KM_FIT_CACHE[key]
+    e = read_table(spark, sf_dir, "embeddings")
+    centroids, _ = kmeans_fit(e, k=KM_K, max_iter=KM_ITERS)
+    return centroids
 
 
 def _km_dist(e_arr: str, c_arr: str) -> str:

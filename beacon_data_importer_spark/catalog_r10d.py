@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import query
-from .catalog_r8e import _cos_e6
+from .catalog_r8e import _cos_e6, _cos_e6_pre, _dot, _norm
 from .catalog_r9e import _cent_assign_ctes
 from .sources.parquet import read_table
 
@@ -72,18 +72,24 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
 
 def _core_sql(dialect: str) -> str:
     div = " div " if dialect == "spark" else " // "
-    cos_ab = _cos_e6(dialect, "ea.embedding", "eb.embedding")
+    cos_ab = _cos_e6_pre(
+        dialect, "ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm"
+    )
     return f"""
     WITH {_cent_assign_ctes(dialect)},
-    nn AS (
-      SELECT a.vec_id, a.cell_id,
-        1000000 - {cos_ab} AS dist_e6,
-        row_number() OVER (PARTITION BY a.vec_id
-          ORDER BY {cos_ab} DESC, b.vec_id) AS rn
+    pairc AS (
+      SELECT a.vec_id, a.cell_id, b.vec_id AS bid, {cos_ab} AS cos_e6
       FROM assign a
-      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embn ea ON ea.vec_id = a.vec_id
       JOIN assign b ON b.cell_id = a.cell_id AND b.vec_id <> a.vec_id
-      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      JOIN embn eb ON eb.vec_id = b.vec_id
+    ),
+    nn AS (
+      SELECT vec_id, cell_id,
+        1000000 - cos_e6 AS dist_e6,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos_e6 DESC, bid) AS rn
+      FROM pairc
     ),
     core AS (
       SELECT vec_id, cell_id, dist_e6 AS core_dist_e6
@@ -133,18 +139,24 @@ def q_hdbscan_core_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _recip_sql(dialect: str) -> str:
     div = " div " if dialect == "spark" else " // "
-    cos_ab = _cos_e6(dialect, "ea.embedding", "eb.embedding")
+    cos_ab = _cos_e6_pre(
+        dialect, "ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm"
+    )
     return f"""
     WITH {_cent_assign_ctes(dialect)},
+    pairc AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, {cos_ab} AS cos_e6
+      FROM assign a
+      JOIN embn ea ON ea.vec_id = a.vec_id
+      JOIN assign b ON b.cell_id = a.cell_id AND b.vec_id <> a.vec_id
+      JOIN embn eb ON eb.vec_id = b.vec_id
+    ),
     knn AS (
       SELECT src, dst FROM (
-        SELECT a.vec_id AS src, b.vec_id AS dst,
-          row_number() OVER (PARTITION BY a.vec_id
-            ORDER BY {cos_ab} DESC, b.vec_id) AS rn
-        FROM assign a
-        JOIN embeddings ea ON ea.vec_id = a.vec_id
-        JOIN assign b ON b.cell_id = a.cell_id AND b.vec_id <> a.vec_id
-        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        SELECT src, dst,
+          row_number() OVER (PARTITION BY src
+            ORDER BY cos_e6 DESC, dst) AS rn
+        FROM pairc
       ) t WHERE rn <= {_KNN_K}
     )
     SELECT CAST(count(*) AS BIGINT) AS n_edges,
@@ -273,34 +285,44 @@ def q_centroid_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _overlap_sql(dialect: str) -> str:
     div = " div " if dialect == "spark" else " // "
-    cos_eq = _cos_e6(dialect, "e.embedding", "q.embedding")
-    dot_expr = (
-        "aggregate(zip_with(e.embedding, q.embedding,"
-        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-        if dialect == "spark"
-        else "list_dot_product(e.embedding::DOUBLE[],"
-        " q.embedding::DOUBLE[])"
-    )
     # The test corpus is unit-norm (cosine == dot, overlap trivially
     # 1.0), so the instrument is CALIBRATED against an injected
     # deterministic norm profile: corpus vector e gets length factor
     # (4 + vec_id % 5)/4 ∈ {1.0 .. 2.0}.  On a production corpus the
     # injection is dropped and the raw dot is ranked.
-    dot_expr = f"(CAST(4 + e.vec_id % 5 AS DOUBLE) / 4 * {dot_expr})"
+    #
+    # r11: the raw dot is computed ONCE per pair in ``pd`` and reused
+    # by BOTH rankings (cosine = dot/(nrm·qnrm) with precomputed
+    # norms, ranked-dot = factor·dot) — the pair stage previously
+    # paid four interpreted folds per pair (dot + two self-dots for
+    # the cosine, plus a second dot for the MIPS ranking); the values
+    # are bit-identical (same ops, same order).
     return f"""
-    WITH qs AS (
-      SELECT vec_id, embedding FROM embeddings
+    WITH embn AS (
+      SELECT vec_id, embedding, {_norm(dialect, "embedding")} AS nrm
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, embedding, nrm FROM embn
       WHERE vec_id % {_OVERLAP_QUERY_MOD} = 0
     ),
-    scored AS (
+    pd AS (
       SELECT q.vec_id AS query_id, e.vec_id,
-        row_number() OVER (PARTITION BY q.vec_id
-          ORDER BY {cos_eq} DESC, e.vec_id) AS rn_cos,
-        row_number() OVER (PARTITION BY q.vec_id
-          ORDER BY CAST(floor(1000000 * {dot_expr}) AS BIGINT) DESC,
-                   e.vec_id) AS rn_dot
-      FROM embeddings e JOIN qs q ON e.vec_id <> q.vec_id
+        {_dot(dialect, "e.embedding", "q.embedding")} AS dot_d,
+        e.nrm AS enrm, q.nrm AS qnrm
+      FROM embn e JOIN qs q ON e.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT query_id, vec_id,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY CAST(floor(1000000 * dot_d / (enrm * qnrm))
+                        AS BIGINT) DESC, vec_id) AS rn_cos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY CAST(floor(1000000 *
+                   (CAST(4 + vec_id % 5 AS DOUBLE) / 4 * dot_d))
+                        AS BIGINT) DESC,
+                   vec_id) AS rn_dot
+      FROM pd
     )
     SELECT query_id,
       CAST(sum(CASE WHEN rn_cos <= {_OVERLAP_K}
@@ -353,16 +375,22 @@ def q_cosine_dot_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _contrast_sql(dialect: str) -> str:
     div = " div " if dialect == "spark" else " // "
-    cos_eq = _cos_e6(dialect, "e.embedding", "q.embedding")
+    cos_eq = _cos_e6_pre(
+        dialect, "e.embedding", "q.embedding", "e.nrm", "q.nrm"
+    )
     return f"""
-    WITH qs AS (
-      SELECT vec_id, embedding FROM embeddings
+    WITH embn AS (
+      SELECT vec_id, embedding, {_norm(dialect, "embedding")} AS nrm
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, embedding, nrm FROM embn
       WHERE vec_id % {_OVERLAP_QUERY_MOD} = 0
     ),
     dists AS (
       SELECT q.vec_id AS query_id,
         1000000 - {cos_eq} AS dist_e6
-      FROM embeddings e JOIN qs q ON e.vec_id <> q.vec_id
+      FROM embn e JOIN qs q ON e.vec_id <> q.vec_id
     )
     SELECT query_id,
       CAST(count(*) AS BIGINT) AS n_corpus,

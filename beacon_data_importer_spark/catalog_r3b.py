@@ -1363,46 +1363,62 @@ def _fit_pq_codebooks(ev) -> list:
                     j * _PQK_DSUB : (j + 1) * _PQK_DSUB
                 ]
         for _ in range(_PQK_ITERS):
-            cent_df = spark.createDataFrame(
+            # Vectorized Arrow assignment (same rewrite as
+            # operators/kmeans.assign_clusters, see its docstring): the
+            # old per-row HOF fold (filter to the row's subspace, then
+            # aggregate/least over 16 (dist, cid) structs with
+            # (x−y)·(x−y) zip_with sums) is CodegenFallback —
+            # interpreted at ~µs per element.  The numpy loop replays
+            # the exact IEEE sequence (acc starts 0.0, terms added in
+            # ascending d; argmin's first-minimum index is the lowest
+            # cid on ties because codewords are walked cid-ascending),
+            # and row order is preserved so the (s, cluster) mean
+            # update sums in the same order as before.
+            import numpy as np
+            import pyarrow as pa
+
+            C = np.array(
                 [
-                    (
-                        [
-                            {"s": j, "cid": cid, "v": cents[(j, cid)]}
-                            for j in range(_PQK_M)
-                            for cid in range(_PQK_K)
-                        ],
-                    )
+                    [cents[(j, cid)] for cid in range(_PQK_K)]
+                    for j in range(_PQK_M)
                 ],
-                "cents array<struct<s:int,cid:int,v:array<double>>>",
+                dtype=np.float64,
             )
 
-            def sqd(a, b):
-                d = F.zip_with(
-                    a, b, lambda x, y: (x - y) * (x - y)
-                )
-                return F.aggregate(
-                    d, F.lit(0.0), lambda acc, x: acc + x
-                )
+            def _assign(batches, C=C):
+                for b in batches:
+                    n = b.num_rows
+                    if n == 0:
+                        continue
+                    s = np.asarray(b.column(0), dtype=np.int64)
+                    X = np.asarray(
+                        b.column(1).flatten(), dtype=np.float64
+                    ).reshape(n, _PQK_DSUB)
+                    cluster = np.empty(n, dtype=np.int32)
+                    for j in range(_PQK_M):
+                        mask = s == j
+                        if not mask.any():
+                            continue
+                        Xj = X[mask]
+                        D = np.empty((Xj.shape[0], _PQK_K))
+                        for c in range(_PQK_K):
+                            acc = np.zeros(Xj.shape[0])
+                            for d in range(_PQK_DSUB):
+                                t = Xj[:, d] - C[j, c, d]
+                                acc += t * t
+                            D[:, c] = acc
+                        cluster[mask] = D.argmin(axis=1)
+                    yield pa.record_batch(
+                        [
+                            b.column(0),
+                            b.column(1),
+                            pa.array(cluster, type=pa.int32()),
+                        ],
+                        names=["s", "sub", "cluster"],
+                    )
 
-            mine = F.filter(
-                F.col("cents"), lambda c: c["s"] == F.col("s")
-            )
-            best = F.aggregate(
-                mine,
-                F.struct(
-                    F.lit(float("inf")).alias("dist"),
-                    F.lit(-1).alias("cluster"),
-                ),
-                lambda acc, c: F.least(
-                    acc,
-                    F.struct(
-                        sqd(F.col("sub"), c["v"]).alias("dist"),
-                        c["cid"].alias("cluster"),
-                    ),
-                ),
-            )
-            assigned = subs.crossJoin(F.broadcast(cent_df)).select(
-                "s", "sub", best["cluster"].alias("cluster")
+            assigned = subs.select("s", "sub").mapInArrow(
+                _assign, "s int, sub array<double>, cluster int"
             )
             rows = (
                 assigned.groupBy("s", "cluster")

@@ -119,6 +119,29 @@ def _cos_e6(dialect: str, a: str, b: str) -> str:
     )
 
 
+def _norm(dialect: str, v: str) -> str:
+    """sqrt of the self-dot — the per-VECTOR factor of _cos_e6's
+    denominator, precomputable once per vector instead of once per
+    pair (r11 optimization round; guide §1.2 step 2)."""
+    return f"sqrt({_dot(dialect, v, v)})"
+
+
+def _cos_e6_pre(dialect: str, a: str, b: str, na: str, nb: str) -> str:
+    """_cos_e6 with precomputed norms: floor(1e6·dot/(na·nb)).
+
+    Bit-identical to _cos_e6 — sqrt(dot(v,v)) is the same double
+    wherever it is evaluated, and the denominator multiplication and
+    division keep the same operand order — but the pair stage pays ONE
+    interpreted array fold instead of three (the zip_with/aggregate
+    higher-order functions are CodegenFallback, so every fold is
+    interpreted at ~µs/element; in the pair-quadratic ANN audits the
+    two self-dot folds were ~2/3 of all task time)."""
+    return (
+        f"CAST(floor(1000000 * {_dot(dialect, a, b)}"
+        f" / ({na} * {nb})) AS BIGINT)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # binary_quantize_search
 # ---------------------------------------------------------------------------

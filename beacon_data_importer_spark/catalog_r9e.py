@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import query
-from .catalog_r8e import _cos_e6, _dot
+from .catalog_r8e import _cos_e6, _cos_e6_pre, _dot, _norm
 from .sources.parquet import read_table
 
 
@@ -42,18 +42,26 @@ _CENT_MOD = 100  # ivf_search's deterministic centroid rule
 
 
 def _cent_assign_ctes(dialect: str) -> str:
-    """cent + assign: the ``ivf_search``/``hard_negative_mining_ivf``
-    CTE pair (nearest-centroid map over the corpus)."""
-    cos_ec = _cos_e6(dialect, "e.embedding", "c.cvec")
+    """embn + cent + assign: the ``ivf_search``/``hard_negative_mining_ivf``
+    CTE pair (nearest-centroid map over the corpus), with per-vector
+    norms precomputed in ``embn`` (r11: one fold per pair instead of
+    three — see catalog_r8e._cos_e6_pre; downstream pair stages join
+    ``embn`` instead of ``embeddings`` to reuse ``nrm``)."""
+    cos_ec = _cos_e6_pre(
+        dialect, "e.embedding", "c.cvec", "e.nrm", "c.cnrm"
+    )
     return f"""
-    cent AS (SELECT vec_id AS cell_id, embedding AS cvec
-             FROM embeddings WHERE vec_id % {_CENT_MOD} = 0),
+    embn AS (SELECT vec_id, embedding,
+                    {_norm(dialect, "embedding")} AS nrm
+             FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, embedding AS cvec, nrm AS cnrm
+             FROM embn WHERE vec_id % {_CENT_MOD} = 0),
     assign AS (
       SELECT vec_id, cell_id FROM (
         SELECT e.vec_id, c.cell_id,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY {cos_ec} DESC, c.cell_id) AS rn
-        FROM embeddings e CROSS JOIN cent c
+        FROM embn e CROSS JOIN cent c
       ) t WHERE rn = 1
     )"""
 
@@ -119,8 +127,10 @@ _CURVE_K = 10
 def _curve_sql(dialect: str) -> str:
     spark = dialect == "spark"
     div = " div " if spark else " // "
-    cos_qc = _cos_e6(dialect, "q.qvec", "c.cvec")
-    cos_eq = _cos_e6(dialect, "e.embedding", "q.qvec")
+    cos_qc = _cos_e6_pre(dialect, "q.qvec", "c.cvec", "q.qnrm", "c.cnrm")
+    cos_eq = _cos_e6_pre(
+        dialect, "e.embedding", "q.qvec", "e.nrm", "q.qnrm"
+    )
     nps = ", ".join(f"({i})" for i in range(1, _CURVE_MAX_NPROBE + 1))
     nptab = (
         f"SELECT CAST(np AS BIGINT) AS np FROM VALUES {nps} AS t(np)"
@@ -129,7 +139,8 @@ def _curve_sql(dialect: str) -> str:
     )
     return f"""
     WITH {_cent_assign_ctes(dialect)},
-    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT embedding AS qvec, nrm AS qnrm FROM embn
+          WHERE vec_id = 0),
     cellrank AS (
       SELECT c.cell_id,
         CAST(row_number() OVER (ORDER BY {cos_qc} DESC, c.cell_id)
@@ -138,7 +149,7 @@ def _curve_sql(dialect: str) -> str:
     ),
     scored AS (
       SELECT e.vec_id, cr.rk, {cos_eq} AS sim_e6
-      FROM embeddings e
+      FROM embn e
       JOIN assign a ON a.vec_id = e.vec_id
       JOIN cellrank cr ON cr.cell_id = a.cell_id
       CROSS JOIN q

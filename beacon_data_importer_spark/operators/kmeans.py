@@ -26,38 +26,73 @@ def _sq_dist(a, b) -> "F.Column":
 
 def assign_clusters(df: DataFrame, centroids: list[tuple[int, list[float]]],
                     id_col: str, vec_col: str) -> DataFrame:
-    """Nearest-centroid assignment.  The centroids ride in as a one-row
-    broadcast DataFrame (array<struct<cid,v>>), NOT as plan literals: the
-    physical plan is then byte-identical across Lloyd iterations, so
-    whole-stage codegen compiles once and is cache-hit for every
-    subsequent iteration (the literal-unrolled form recompiled a
-    512-literal expression tree per iteration — measured ~1s/iter of
-    pure driver time at k=8×dim=64).  Still a narrow pass: broadcast
-    cross-join of a single row, argmin via a sequential ``aggregate``
-    fold over the centroid array, no shuffle."""
-    spark = df.sparkSession
-    cent_df = spark.createDataFrame(
-        [([{"cid": cid, "v": [float(x) for x in vec]} for cid, vec in centroids],)],
-        "cents array<struct<cid:int,v:array<double>>>",
+    """Nearest-centroid assignment as ONE vectorized Arrow pass.
+
+    Same math as the previous JVM expression fold, same bits:
+
+      * per (row, centroid): dist starts at 0.0 and accumulates
+        (x_d − c_d)² left-to-right over dims — the numpy loop below
+        (``acc += t*t`` with ascending d) replays the exact IEEE
+        sequence of the old ``aggregate(zip_with(...))`` fold (and of
+        the DuckDB oracle's ``list_dot_product(d, d)``; Math.pow(x, 2)
+        ≡ x·x for doubles — fdlibm special-cases the exponent);
+      * argmin: numpy's first-minimum index is the lowest cid on ties,
+        because ``centroids`` is ordered by cid — the tie rule the old
+        (dist, cid) struct-min encoded.  ``dist`` is the min entry
+        itself, bit-for-bit.
+
+    Why Arrow and not JVM expressions (guide §4.2): higher-order
+    functions are CodegenFallback — the interpreted fold costs ~µs per
+    element (measured ~39 s of task time per 5-iteration fit at
+    k=8×dim=64 over 2000 rows), and the unrolled 8×64-term arithmetic
+    exceeds janino's 64 KB method limit, so whole-stage codegen fails
+    and silently re-falls back to the interpreter on every execution.
+    The batch-vectorized numpy kernel does the same 1M flops in
+    milliseconds.  Row order is preserved (mapInArrow is a map), so
+    the downstream centroid-update ``avg`` consumes rows in the same
+    partition order as before — its float sum sequence is unchanged."""
+    import numpy as np
+    import pyarrow as pa
+
+    k = len(centroids)
+    dim = len(centroids[0][1])
+    C = np.array(
+        [[float(x) for x in vec] for _, vec in centroids], dtype=np.float64
     )
-    best = F.aggregate(
-        F.col("cents"),
-        F.struct(
-            F.lit(float("inf")).alias("dist"), F.lit(-1).alias("cluster")
-        ),
-        lambda acc, c: F.least(
-            acc,
-            F.struct(
-                _sq_dist(F.col(vec_col), c["v"]).alias("dist"),
-                c["cid"].alias("cluster"),
-            ),
-        ),
-    )
-    return df.crossJoin(F.broadcast(cent_df)).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        best["cluster"].alias("cluster"),
-        best["dist"].alias("dist"),
+    cids = np.array([int(cid) for cid, _ in centroids], dtype=np.int32)
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    id_t = src.schema["id"].dataType.simpleString()
+    vec_t = src.schema["vec"].dataType.simpleString()
+
+    def _assign(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            vec = b.column(1)
+            X = np.asarray(vec.flatten(), dtype=np.float64).reshape(n, dim)
+            D = np.empty((n, k), dtype=np.float64)
+            for j in range(k):
+                acc = np.zeros(n, dtype=np.float64)
+                Cj = C[j]
+                for d in range(dim):
+                    t = X[:, d] - Cj[d]
+                    acc += t * t
+                D[:, j] = acc
+            amin = D.argmin(axis=1)
+            yield pa.record_batch(
+                [
+                    b.column(0),
+                    vec,
+                    pa.array(cids[amin], type=pa.int32()),
+                    pa.array(D[np.arange(n), amin], type=pa.float64()),
+                ],
+                names=["id", "vec", "cluster", "dist"],
+            )
+
+    return src.mapInArrow(
+        _assign, f"id {id_t}, vec {vec_t}, cluster int, dist double"
     )
 
 
@@ -73,11 +108,23 @@ def kmeans_fit(
 
     The base projection is persisted for the duration of the fit (each
     iteration re-reads it; at warehouse scale this is the standard
-    "cache the training frame" move).  The centroid update collects the
-    k × dim per-dimension means directly — one hash-aggregate with
-    map-side partials, ~512 rows to the driver — instead of a second
-    grouped collect_list pass.
+    "cache the training frame" move).
+
+    Each iteration is ONE map-only Arrow job: the kernel assigns every
+    row to its nearest centroid (same IEEE sequence as assign_clusters
+    — see its docstring) and accumulates per-cluster (count, Σvec)
+    partials IN ROW ORDER (``np.add.at`` is sequential, matching the
+    per-group fold order of the hash aggregate this replaces), one
+    partial set per partition; the driver merges partials in partition
+    order and takes mean = Σ/count — the identical double division the
+    old ``avg`` evaluated.  k × (dim+2) values per partition cross the
+    boundary, nothing else.  (The earlier form planned a 64-avg
+    hash-aggregate + a centroid broadcast per iteration — ~0.4 s of
+    pure driver planning per Lloyd round, the dominant cost once the
+    assignment kernel was vectorized.)
     """
+    import numpy as np
+
     base = df.select(
         F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
     ).persist()
@@ -88,25 +135,58 @@ def kmeans_fit(
         centroids = [(i, list(map(float, r[1]))) for i, r in enumerate(init)]
 
         dim = len(centroids[0][1])
+        vsrc = base.select(F.col(vec_col).alias("vec"))
         for _ in range(max_iter):
-            assigned = assign_clusters(base, centroids, id_col, vec_col)
-            # elementwise mean per cluster as dim parallel avg aggs over
-            # vec[d] extracts — one hash-agg with map-side partials, k
-            # rows × dim cols to the driver.  (Earlier form: posexplode
-            # to (cluster, dim) then groupBy — that shuffled rows×dim
-            # exploded records where this shuffles k×dim partials.)
-            rows = (
-                assigned.groupBy("cluster")
-                .agg(*[F.avg(F.col("vec")[d]).alias(f"m{d}") for d in range(dim)])
-                .collect()
-            )
-            acc: dict[int, dict[int, float]] = {}
-            for r in rows:
-                acc[r.cluster] = {d: r[f"m{d}"] for d in range(dim)}
+            C = np.array([v for _, v in centroids], dtype=np.float64)
+
+            def _stats(batches, C=C, k=k, dim=dim):
+                import numpy as _np
+                import pyarrow as _pa
+
+                cnt = _np.zeros(k, dtype=_np.int64)
+                S = _np.zeros((k, dim), dtype=_np.float64)
+                for b in batches:
+                    n = b.num_rows
+                    if n == 0:
+                        continue
+                    X = _np.asarray(
+                        b.column(0).flatten(), dtype=_np.float64
+                    ).reshape(n, dim)
+                    D = _np.empty((n, k), dtype=_np.float64)
+                    for j in range(k):
+                        acc = _np.zeros(n, dtype=_np.float64)
+                        Cj = C[j]
+                        for d in range(dim):
+                            t = X[:, d] - Cj[d]
+                            acc += t * t
+                        D[:, j] = acc
+                    amin = D.argmin(axis=1)
+                    cnt += _np.bincount(amin, minlength=k)
+                    _np.add.at(S, amin, X)
+                yield _pa.record_batch(
+                    [
+                        _pa.array(_np.arange(k, dtype=_np.int32)),
+                        _pa.array(cnt),
+                        _pa.array([row.tolist() for row in S],
+                                  type=_pa.list_(_pa.float64())),
+                    ],
+                    names=["cluster", "n", "s"],
+                )
+
+            parts = vsrc.mapInArrow(
+                _stats, "cluster int, n bigint, s array<double>"
+            ).collect()
+            cnt = np.zeros(k, dtype=np.int64)
+            S = np.zeros((k, dim), dtype=np.float64)
+            for r in parts:
+                cnt[r.cluster] += r.n
+                S[r.cluster] += np.asarray(r.s)
             next_centroids = [
                 (
                     cid,
-                    [acc[cid][d] for d in range(len(vec))] if cid in acc else vec,
+                    [float(S[cid][d] / cnt[cid]) for d in range(dim)]
+                    if cnt[cid] > 0
+                    else vec,
                 )
                 for cid, vec in centroids
             ]

@@ -71,6 +71,16 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # Deployment-specific overrides without code edits (the "keep
+    # scale-dependent settings parameterised" contract): semicolon-
+    # separated key=value pairs, applied last so they win over the
+    # local-mode defaults above.  A cluster submit would instead pass
+    # --conf flags; this is the local equivalent for the bench/driver
+    # harness, which controls the process only through env vars.
+    for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
 
 
