@@ -372,17 +372,25 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF cell join (``ivf_search``) unchanged above this layer.
 
     Reference parity: beyond-reference embedding tier."""
-    e = read_table(spark, sf_dir, "embeddings")
+    from .operators.similarity import dot, norm
+
+    # Per-vector norms are computed ONCE per row before the pair cross
+    # join; each pair then pays a single interpreted fold instead of
+    # three (r11 optimization round — same rewrite as catalog_r8e's
+    # _cos_e6_pre; dot/(na·nb) keeps `cosine`'s exact operand order,
+    # so every double is bit-identical).
+    e = read_table(spark, sf_dir, "embeddings").withColumn(
+        "__enrm", norm("embedding")
+    )
     q = F.broadcast(
         e.filter(F.col("vec_id") % _HNM_QUERY_MOD == 0).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("__qvec"),
             F.col("label").alias("qlabel"),
+            F.col("__enrm").alias("__qnrm"),
         )
     )
-    from .operators.similarity import cosine
-
-    raw = cosine("embedding", "__qvec")
+    raw = dot("embedding", "__qvec") / (F.col("__enrm") * F.col("__qnrm"))
     scored = (
         e.crossJoin(q)
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -169,9 +169,13 @@ def _hnm_ivf_triples(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
     corpus = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # __enrm: per-vector norm computed once before the candidate join —
+    # the pair stage below then pays ONE fold per pair instead of three
+    # (r11 round; dot/(na·nb) keeps SIM.cosine's exact operand order,
+    # every double bit-identical).
     assigned = SIM.assign_cells(corpus, centroids).select(
         "vec_id", "embedding", "label", "cell_id"
-    )
+    ).withColumn("__enrm", SIM.norm("embedding"))
 
     packed = F.broadcast(
         centroids.agg(
@@ -189,6 +193,7 @@ def _hnm_ivf_triples(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qvec"),
         F.col("label").alias("qlabel"),
+        SIM.norm("embedding").alias("__qnrm"),
     )
     qcells = (
         queries.crossJoin(packed)
@@ -223,6 +228,7 @@ def _hnm_ivf_triples(
             "query_id",
             "__qvec",
             "qlabel",
+            "__qnrm",
             F.explode(F.transform("__probe", lambda s: s["cid"])).alias(
                 "cell_id"
             ),
@@ -237,7 +243,10 @@ def _hnm_ivf_triples(
             "qlabel",
             F.col("vec_id").alias("neighbor_id"),
             "label",
-            SIM.cosine("embedding", "__qvec").alias("__raw"),
+            (
+                SIM.dot("embedding", "__qvec")
+                / (F.col("__enrm") * F.col("__qnrm"))
+            ).alias("__raw"),
         )
     )
     w = Window.partitionBy(

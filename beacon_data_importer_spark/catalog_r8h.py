@@ -79,8 +79,33 @@ def _mmr_base_sql(dialect: str) -> tuple[str, str]:
     hint = "/*+ BROADCAST(q) */ " if spark else ""
     cos = _cos_e6(dialect, "emb", "qvec")
     pcos = _cos_e6(dialect, "a.emb", "b.emb")
-    shortlist = f"""
-    WITH qs AS (
+    if spark:
+        # spark side: norm once per vector → one interpreted fold per
+        # pair in ``rel`` (r11 round; bit-identical to _cos_e6 — see
+        # catalog_r8e._cos_e6_pre).  Duck twin keeps the plain form.
+        from .catalog_r8e import _cos_e6_pre, _norm as _nrm
+
+        src = f"""embn AS (
+      SELECT vec_id, embedding, {_nrm(dialect, "embedding")} AS nrm
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+      FROM embn WHERE vec_id % {_MMR_QUERY_MOD} = 0
+    ),
+    pairs AS (
+      SELECT {hint}q.query_id, e.vec_id, e.embedding AS emb,
+             e.nrm, q.qvec, q.qnrm
+      FROM embn e CROSS JOIN qs q
+      WHERE e.vec_id <> q.query_id
+    ),
+    rel AS (
+      SELECT query_id, vec_id, emb,
+        {_cos_e6_pre(dialect, "emb", "qvec", "nrm", "qnrm")} AS rel_e6
+      FROM pairs
+    ),"""
+    else:
+        src = f"""qs AS (
       SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
       WHERE vec_id % {_MMR_QUERY_MOD} = 0
     ),
@@ -91,7 +116,9 @@ def _mmr_base_sql(dialect: str) -> tuple[str, str]:
     ),
     rel AS (
       SELECT query_id, vec_id, emb, {cos} AS rel_e6 FROM pairs
-    ),
+    ),"""
+    shortlist = f"""
+    WITH {src}
     scored AS (
       SELECT query_id, vec_id, emb, rel_e6,
         row_number() OVER (PARTITION BY query_id
@@ -100,7 +127,25 @@ def _mmr_base_sql(dialect: str) -> tuple[str, str]:
     )
     SELECT query_id, vec_id, emb, rel_e6 FROM scored
     WHERE rn <= {_MMR_SHORTLIST}"""
-    pairsim = f"""
+    if spark:
+        # norm once per shortlist row, one fold per pair (r11 round;
+        # bit-identical to _cos_e6 — see catalog_r8e._cos_e6_pre)
+        from .catalog_r8e import _cos_e6_pre, _norm
+
+        pcos_pre = _cos_e6_pre(
+            dialect, "a.emb", "b.emb", "a.nrm", "b.nrm"
+        )
+        pairsim = f"""
+    WITH shortn AS (
+      SELECT query_id, vec_id, emb, {_norm(dialect, "emb")} AS nrm
+      FROM short
+    )
+    SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
+      {pcos_pre} AS sim_e6
+    FROM shortn a JOIN shortn b
+      ON b.query_id = a.query_id AND b.vec_id <> a.vec_id"""
+    else:
+        pairsim = f"""
     SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
       {pcos} AS sim_e6
     FROM short a JOIN short b
@@ -181,9 +226,11 @@ def _mmr_ivf_short(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
+    # __enrm once per vector → ONE fold per candidate pair below
+    # (r11 round; dot/(na·nb) keeps SIM.cosine's exact operand order).
     assigned = SIM.assign_cells(corpus, centroids).select(
         "vec_id", "embedding", "cell_id"
-    )
+    ).withColumn("__enrm", SIM.norm("embedding"))
     packed = F.broadcast(
         centroids.agg(
             F.array_sort(
@@ -199,6 +246,7 @@ def _mmr_ivf_short(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") % _MMR_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qvec"),
+        SIM.norm("embedding").alias("__qnrm"),
     )
     num, den = _MMR_RATIO
     qcells = (
@@ -229,6 +277,7 @@ def _mmr_ivf_short(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "__qvec",
+            "__qnrm",
             F.explode(F.transform("__probe", lambda s: s["cid"])).alias(
                 "cell_id"
             ),
@@ -241,7 +290,11 @@ def _mmr_ivf_short(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             F.col("embedding").alias("emb"),
-            F.floor(SIM.cosine("embedding", "__qvec") * 1e6)
+            F.floor(
+                SIM.dot("embedding", "__qvec")
+                / (F.col("__enrm") * F.col("__qnrm"))
+                * 1e6
+            )
             .cast("bigint")
             .alias("rel_e6"),
         )
