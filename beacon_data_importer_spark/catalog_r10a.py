@@ -70,14 +70,21 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _qn_sql(dialect: str) -> str:
+def _qn_sql(dialect: str, par: int | None = None) -> str:
+    # par: explicit repartition of the streamed pair side so the
+    # calendar-bounded O(n^2) expansion runs on all cores instead of
+    # the single AQE-coalesced partition (r11 round, guide §2;
+    # outputs are exact integers, so partitioning cannot change them).
+    src = (f"(SELECT /*+ REPARTITION({par}) */ * FROM day)"
+           if par else "day")
+
     div = " div " if dialect == "spark" else " // "
     return f"""
     WITH {_day_sql(dialect)},
     n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM day),
     pairs AS (
       SELECT abs(a.y - b.y) AS d
-      FROM day a JOIN day b ON b.t > a.t
+      FROM {src} a JOIN day b ON b.t > a.t
     ),
     ranked AS (
       SELECT d, row_number() OVER (ORDER BY d) AS r FROM pairs
@@ -112,7 +119,9 @@ def q_qn_scale_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: beyond-reference statistics tier."""
     _views(spark, sf_dir, "orders")
-    return spark.sql(_qn_sql("spark"))
+    return spark.sql(
+        _qn_sql("spark", par=spark.sparkContext.defaultParallelism)
+    )
 
 
 # ---------------------------------------------------------------------------

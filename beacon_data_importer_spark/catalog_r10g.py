@@ -138,7 +138,11 @@ def q_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dcor_sql(dialect: str) -> str:
+def _dcor_sql(dialect: str, par: int | None = None) -> str:
+    # par: parallelize the exact-integer pair expansion (see
+    # catalog_r10a._sn_sql; r11 round, guide §2)
+    src = (f"(SELECT /*+ REPARTITION({par}) */ * FROM day)"
+           if par else "day")
     spark = dialect == "spark"
     big = "DECIMAL(38,0)" if spark else "HUGEINT"
     div = " div " if spark else " // "
@@ -150,7 +154,7 @@ def _dcor_sql(dialect: str) -> str:
       SELECT {hint}a.t AS i,
         CAST(abs(a.t - b.t) AS BIGINT) AS da,
         CAST(abs(a.y - b.y) AS BIGINT) AS db
-      FROM day a CROSS JOIN day b
+      FROM {src} a CROSS JOIN day b
     ),
     rowsum AS (
       SELECT i,
@@ -221,7 +225,9 @@ def q_distance_correlation_lite(
 
     Reference parity: beyond-reference statistics tier."""
     _views(spark, sf_dir, "orders")
-    return spark.sql(_dcor_sql("spark"))
+    return spark.sql(
+        _dcor_sql("spark", par=spark.sparkContext.defaultParallelism)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1285,29 +1285,46 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_samp = samp.agg(F.count(F.lit(1)).alias("n_sample_docs"))
-    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
-    n_pred = pred.agg(F.count(F.lit(1)).alias("n_predicted_pairs"))
-    tpfp = predj.agg(
-        F.sum(F.when(F.col("good"), 1).otherwise(0)).alias("tp"),
-        F.sum(F.when(~F.col("good"), 1).otherwise(0)).alias("fp"),
+    # ONE full-outer join + ONE aggregate replaces the five separate
+    # aggregate branches (n_truth / n_pred / tp+fp / fn) that each
+    # re-evaluated the postings join and the LSH candidate chain —
+    # the old plan computed `inter` and `pred` three times each
+    # (r11 optimization round; guide §1.2 "compute each subtree once").
+    # Value-identical: n_pred == count(predj) because predj is pred
+    # inner-joined 1:1 to the per-sample-doc size frames; fn == truth
+    # rows with no pred match (the old left_anti); tp/fp keep the same
+    # `good` formula.
+    j = predj.withColumn("__p", F.lit(True)).join(
+        truth.withColumn("__t", F.lit(True)), ["a", "b"], "full_outer"
     )
-    fn = truth.join(pred, ["a", "b"], "left_anti").agg(
-        F.count(F.lit(1)).alias("fn")
+    counts = j.agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("n_truth_pairs"),
+        F.sum(F.when(F.col("__p"), 1).otherwise(0)).alias(
+            "n_predicted_pairs"
+        ),
+        F.sum(F.when(F.col("good"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("__p") & ~F.col("good"), 1).otherwise(0)).alias(
+            "fp"
+        ),
+        F.sum(
+            F.when(F.col("__t") & F.col("__p").isNull(), 1).otherwise(0)
+        ).alias("fn"),
     )
     return (
-        n_samp.crossJoin(n_truth)
-        .crossJoin(n_pred)
-        .crossJoin(tpfp)
-        .crossJoin(fn)
+        n_samp.crossJoin(counts)
         .select(
             F.col("n_sample_docs").cast("bigint").alias("n_sample_docs"),
-            F.col("n_truth_pairs").cast("bigint").alias("n_truth_pairs"),
-            F.col("n_predicted_pairs")
+            # coalesce(…, 0): the old per-branch count() aggregates
+            # returned 0 on empty inputs; the fused sum() returns NULL
+            F.coalesce(F.col("n_truth_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_truth_pairs"),
+            F.coalesce(F.col("n_predicted_pairs"), F.lit(0))
             .cast("bigint")
             .alias("n_predicted_pairs"),
             F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
             F.coalesce(F.col("fp"), F.lit(0)).cast("bigint").alias("fp"),
-            F.col("fn").cast("bigint").alias("fn"),
+            F.coalesce(F.col("fn"), F.lit(0)).cast("bigint").alias("fn"),
             F.expr(
                 "CAST(coalesce(tp,0)*1000000 DIV NULLIF(coalesce(tp,0)+coalesce(fp,0),0) AS BIGINT)"
             ).alias("precision_ppm"),

@@ -782,7 +782,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec", lambda x: x.cast("double") / SIM.norm(F.col("vec"))
         ).alias("uv"),
     )
-    l = asg.select(
+    # Explicit cluster-keyed repartition of the probe side: the tiny
+    # post-shuffle bytes otherwise make AQE coalesce the pair join to a
+    # SINGLE partition, serializing the within-cluster dot evaluation
+    # (measured ~3.9 s single-core at sf0.1; r11 round, guide §2).  The
+    # explicit count pins the join width; pair membership is per-row
+    # arithmetic, so partitioning cannot change the output.
+    l = asg.repartition(
+        spark.sparkContext.defaultParallelism, "cluster"
+    ).select(
         "cluster", F.col("vec_id").alias("a"), F.col("uv").alias("ua")
     )
     r = asg.select(

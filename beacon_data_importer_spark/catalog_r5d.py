@@ -213,7 +213,12 @@ def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(conv(substring(md5(concat(cast(o_orderkey as string), '|',"
         " cast(b as string))), 1, 15), 16, 10) AS BIGINT) % 1000000000"
     )
-    exploded = o.select(
+    # Explicit repartition before the ×B explode: the single-file orders
+    # scan is one input split, so the 4.8M md5 evaluations otherwise run
+    # in ONE task (measured 4.4 s single-core at sf0.1; r11 round, guide
+    # §2 / the _docs_parallel device).  Replica sums are exact integers,
+    # so partitioning cannot change any output bit.
+    exploded = o.repartition(spark.sparkContext.defaultParallelism).select(
         "o_orderkey",
         "prio",
         "x_c",
