@@ -1068,8 +1068,14 @@ def q_cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     depths = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)]))
+    # repartition the narrow key column before the ×d explode so the
+    # 1.8M md5 cell hashes run on all cores instead of the input's few
+    # file splits (r11 round, guide §2 / the _docs_parallel device);
+    # cell counts are exact integers, partitioning-proof.
     cells = (
-        li.select(F.col("l_partkey").alias("k"), depths.alias("d"))
+        li.select(F.col("l_partkey").alias("k"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("k", depths.alias("d"))
         .groupBy("d", cms_col(F.col("k"), F.col("d")).alias("col"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -233,13 +233,21 @@ def q_item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     it0 = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
-    ok = (
-        it0.groupBy("o")
-        .agg(F.count(F.lit(1)).alias("__w"))
-        .filter(F.col("__w") <= _CF_MAX_WIDTH)
-        .select("o")
+    # Width cap as a COUNT window over an explicitly basket-partitioned
+    # frame instead of aggregate+self-join (r11 round, guide §2.1): one
+    # explicit hash(o) exchange feeds the cap filter AND co-partitions
+    # both sides of the pair self-join below, which then needs no
+    # exchange at all; the explicit count also keeps the per-basket
+    # pair expansion parallel where AQE would coalesce the small
+    # shuffle to one task.  Same rows kept, same pairs generated.
+    it = (
+        it0.repartition(spark.sparkContext.defaultParallelism, "o")
+        .withColumn(
+            "__w", F.count(F.lit(1)).over(Window.partitionBy("o"))
+        )
+        .filter(F.col("__w") <= _CF_MAX_WIDTH)  # see _CF_MAX_WIDTH
+        .drop("__w")
     )
-    it = it0.join(ok, "o")  # width cap — see _CF_MAX_WIDTH
     pop = it.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     x = it.select("o", F.col("p").alias("a"))
     y = it.select(F.col("o").alias("o_r"), F.col("p").alias("b"))

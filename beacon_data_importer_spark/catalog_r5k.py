@@ -124,13 +124,21 @@ def q_sequential_purchase_rules(
             .alias("d")
         )
     )
-    ok = (
-        cp0.groupBy("c")
-        .agg(F.count(F.lit(1)).alias("__w"))
-        .filter(F.col("__w") <= _SEQ_MAX_WIDTH)
-        .select("c")
+    # Width cap as a COUNT window over an explicitly customer-
+    # partitioned frame instead of aggregate+self-join (r11 round,
+    # guide §2.1 — same rewrite as item_item_cf_topk): one explicit
+    # hash(c) exchange feeds the cap filter AND co-partitions both
+    # sides of the windowed pair self-join below; the explicit count
+    # keeps the per-customer pair expansion parallel where AQE would
+    # coalesce the small shuffle.  Same rows kept, same pairs.
+    cp = (
+        cp0.repartition(spark.sparkContext.defaultParallelism, "c")
+        .withColumn(
+            "__w", F.count(F.lit(1)).over(Window.partitionBy("c"))
+        )
+        .filter(F.col("__w") <= _SEQ_MAX_WIDTH)  # see _SEQ_MAX_WIDTH
+        .drop("__w")
     )
-    cp = cp0.join(ok, "c")  # width cap — see _SEQ_MAX_WIDTH
     base = cp.groupBy("p").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cust")
     )

@@ -215,6 +215,66 @@ def _bqr_sql(dialect: str) -> str:
     div = " div " if spark else " // "
     ham = _hamming(dialect, "p.w0", "p.w1", "q.q0", "q.q1")
     cos = _cos_e6(dialect, "emb", "qvec")
+    if spark:
+        # spark side: per-vector norm computed once in packedn/qsn, the
+        # rerank and brute-truth pair stages then pay ONE fold per pair
+        # instead of three (r11 round; bit-identical — see _cos_e6_pre).
+        # The DuckDB twin below keeps the plain form.
+        cosp = _cos_e6_pre(dialect, "emb", "qvec", "nrm", "qnrm")
+        return f"""
+    WITH {_bq_packed(dialect)},
+    packedn AS (
+      SELECT vec_id, embedding, w0, w1,
+        {_norm(dialect, "embedding")} AS nrm
+      FROM packed
+    ),
+    qsn AS (
+      SELECT query_id, qvec, q0, q1,
+        {_norm(dialect, "qvec")} AS qnrm
+      FROM qs
+    ),
+    d AS (
+      SELECT {hint}q.query_id, p.vec_id, q.qvec, q.qnrm,
+        p.embedding AS emb, p.nrm, {ham} AS hamming
+      FROM packedn p CROSS JOIN qsn q
+      WHERE p.vec_id <> q.query_id
+    ),
+    short AS (
+      SELECT query_id, vec_id, qvec, qnrm, emb, nrm FROM (
+        SELECT query_id, vec_id, qvec, qnrm, emb, nrm,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY hamming, vec_id) AS rn
+        FROM d
+      ) s WHERE rn <= {_SHORTLIST}
+    ),
+    rerank AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY {cosp} DESC, vec_id) AS rn
+        FROM short
+      ) s WHERE rn <= {_TOPK}
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY {cosp} DESC, vec_id) AS rn
+        FROM (
+          SELECT {hint}q.query_id, p.vec_id, q.qvec, q.qnrm,
+            p.embedding AS emb, p.nrm
+          FROM packedn p CROSS JOIN qsn q
+          WHERE p.vec_id <> q.query_id
+        ) a
+      ) s WHERE rn <= {_TOPK}
+    )
+    SELECT t.query_id,
+      CAST(count(r.vec_id) AS BIGINT) AS n_matched,
+      CAST((count(r.vec_id) * 1000000){div}{_TOPK} AS BIGINT) AS recall_ppm
+    FROM truth t
+    LEFT JOIN rerank r ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+    GROUP BY t.query_id
+    """
     return f"""
     WITH {_bq_packed(dialect)},
     d AS (
@@ -318,6 +378,58 @@ def _jl_sql(dialect: str) -> str:
     spark = dialect == "spark"
     hint = "/*+ BROADCAST(q) */ " if spark else ""
     div = " div " if spark else " // "
+    if spark:
+        # spark side: per-vector norms (full-dim AND 16-dim sketch)
+        # computed once in proj/qs; both pair rankings then pay ONE
+        # fold per pair instead of three (r11 round; bit-identical —
+        # see _cos_e6_pre).  DuckDB twin keeps the plain form.
+        pcos = _cos_e6_pre(dialect, "pv", "qp", "pn", "qpn")
+        tcos = _cos_e6_pre(dialect, "emb", "qv", "tn", "qtn")
+        return f"""
+    WITH proj0 AS (
+      SELECT vec_id, embedding, {_jl_proj(dialect)} AS pv
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id, embedding, pv,
+        {_norm(dialect, "embedding")} AS tn,
+        {_norm(dialect, "pv")} AS pn
+      FROM proj0
+    ),
+    qs AS (
+      SELECT vec_id AS query_id, embedding AS qv, pv AS qp,
+        tn AS qtn, pn AS qpn
+      FROM proj WHERE vec_id % {_QUERY_MOD} = 0
+    ),
+    pairs AS (
+      SELECT {hint}q.query_id, p.vec_id, p.pv, q.qp, p.pn, q.qpn,
+        p.embedding AS emb, q.qv, p.tn, q.qtn
+      FROM proj p CROSS JOIN qs q
+      WHERE p.vec_id <> q.query_id
+    ),
+    sketch AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY {pcos} DESC, vec_id) AS rn
+        FROM pairs
+      ) s WHERE rn <= {_TOPK}
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY {tcos} DESC, vec_id) AS rn
+        FROM pairs
+      ) s WHERE rn <= {_TOPK}
+    )
+    SELECT t.query_id,
+      CAST(count(r.vec_id) AS BIGINT) AS n_matched,
+      CAST((count(r.vec_id) * 1000000){div}{_TOPK} AS BIGINT) AS recall_ppm
+    FROM truth t
+    LEFT JOIN sketch r ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+    GROUP BY t.query_id
+    """
     pcos = _cos_e6(dialect, "pv", "qp")
     tcos = _cos_e6(dialect, "emb", "qv")
     return f"""
