@@ -66,6 +66,73 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# shared: Arrow kernel over the calendar-bounded day frame (r11 round)
+# ---------------------------------------------------------------------------
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division — Spark ``div`` ≡ DuckDB ``//``
+    (both round toward zero; Python ``//`` floors, so negative
+    quotients need the sign fix-up)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+#: int64 cells per kernel chunk buffer (≈2 MB).  The kernels below cap
+#: their working set at a few of these instead of materializing n×n
+#: matrices: measured on this sandbox, FIRST-TOUCH page faults on fresh
+#: large allocations are lazily backed at 0.5–2.5 ms/page (≈130 MB of
+#: numpy temporaries cost 10–20 s of wall on a cold run, reproduced
+#: with pure numpy outside Spark), so a small reused buffer is the
+#: difference between a ~1 s kernel and a random multi-second stall.
+_KERNEL_CHUNK = 1 << 18
+
+
+def _day_kernel(spark: SparkSession, kernel, schema: str) -> DataFrame:
+    """One single-partition Arrow pass over the (t, y) day frame.
+
+    The O(n²) nested-order-statistic estimators (Qn / Sn / repeated
+    median) used to materialize the C(n,2) pair frame through a BNLJ
+    and sort it in a window — ~5.8M rows through one task at sf0.1
+    (guide §4: the pair frame exists only to pick exact-integer order
+    statistics out of it).  Every value here is an exact BIGINT, so a
+    numpy replay that picks the same order statistics is bit-identical
+    by construction — no IEEE sequencing to preserve, unlike the
+    float kernels in operators/kmeans.py.  The day aggregate (the only
+    data-sized stage) stays distributed SQL; only the calendar-bounded
+    (t, y) rows — ~2.4k for the 7-year TPC-H calendar, regardless of
+    scale factor — enter the kernel, and each kernel bounds its live
+    buffers to O(``_KERNEL_CHUNK``) cells (see note there)."""
+    day = spark.sql(f"WITH {_day_sql('spark')} SELECT t, y FROM day")
+    return day.coalesce(1).mapInArrow(kernel, schema)
+
+
+def _gather_ty(batches):
+    """Collect the (t, y) day rows of one partition into int64 arrays."""
+    import numpy as np
+
+    ts, ys = [], []
+    for b in batches:
+        ts.append(
+            b.column(b.schema.get_field_index("t")).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        ys.append(
+            b.column(b.schema.get_field_index("y")).to_numpy(
+                zero_copy_only=False
+            )
+        )
+    if not ts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return (
+        np.concatenate(ts).astype(np.int64),
+        np.concatenate(ys).astype(np.int64),
+    )
+
+
+# ---------------------------------------------------------------------------
 # qn_scale_estimator
 # ---------------------------------------------------------------------------
 
@@ -117,10 +184,61 @@ def q_qn_scale_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (BOUNDED_FRAME_AUDITED).  The only volume-bearing exchange
     is the daily aggregate, which map-side combines.
 
+    r11: the C(n,2) pair expansion + global rank is ONE Arrow kernel
+    pass over the day frame (guide §4; see ``_day_kernel`` — exact
+    integers, so numpy's k-th order statistic is bit-identical to the
+    SQL row_number pick).  The kernel never materializes the pair set:
+    the k-th smallest |yᵢ−yⱼ| is min{x : #pairs(d ≤ x) ≥ k}, found by
+    a value-space binary search with an O(n log n) sorted two-pointer
+    count per probe — O(n) working memory (see ``_day_kernel`` on why
+    bounding fresh allocations matters here).  The DuckDB oracle keeps
+    the pure-SQL form.
+
     Reference parity: beyond-reference statistics tier."""
     _views(spark, sf_dir, "orders")
-    return spark.sql(
-        _qn_sql("spark", par=spark.sparkContext.defaultParallelism)
+
+    def _qn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        t, y = _gather_ty(batches)
+        n = len(y)
+        if n < 2:
+            return
+        ys = np.sort(y)
+        pos = np.arange(n, dtype=np.int64)
+        h = n // 2 + 1
+        k = (h * (h - 1)) // 2  # ((n div 2 + 1) * (n div 2)) div 2
+
+        def n_pairs_le(x: int) -> int:
+            # pairs i<j with ys[j]-ys[i] <= x: for each j, the i's are
+            # [searchsorted(ys, ys[j]-x), j)
+            return int((pos - np.searchsorted(ys, ys - x)).sum())
+
+        lo, hi = 0, int(ys[-1] - ys[0])
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if n_pairs_le(mid) >= k:
+                hi = mid
+            else:
+                lo = mid + 1
+        raw = lo
+        yield pa.RecordBatch.from_pydict(
+            {
+                "n_days": [n],
+                "k_order": [k],
+                "qn_raw": [raw],
+                "qn_scaled": [_tdiv(_QN_D_E6 * raw, 1_000_000)],
+            },
+            schema=pa.schema(
+                [(c, pa.int64())
+                 for c in ("n_days", "k_order", "qn_raw", "qn_scaled")]
+            ),
+        )
+
+    return _day_kernel(
+        spark, _qn,
+        "n_days bigint, k_order bigint, qn_raw bigint, qn_scaled bigint",
     )
 
 
@@ -166,13 +284,59 @@ def q_sn_scale_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     High median = (⌊m/2⌋+1)-th, low median = ⌈n/2⌉-th — the original
     paper's convention, replayed identically in both engines.
 
-    Scale: same calendar-bounded pair frame as ``qn_scale_estimator``;
-    the inner medians shuffle on i (balanced by construction — every
-    day has exactly n−1 pairs, no skew possible).
+    Scale: same calendar-bounded pair frame as ``qn_scale_estimator``.
+
+    r11: both median layers are ONE Arrow kernel pass (guide §4; see
+    ``_day_kernel``).  The per-i high median over j≠i is read off the
+    FULL distance-matrix row at 0-index m·div·2+1: the row's diagonal
+    contributes exactly one extra 0 — the global minimum — so dropping
+    it shifts every rank past it by one (exact integers; duplicate
+    zeros from tied y's don't disturb the pick).  Rows stream through
+    one reused ``_KERNEL_CHUNK``-bounded buffer, never the n×n matrix
+    (see ``_day_kernel`` on why fresh allocations are capped).  The
+    DuckDB oracle keeps the pure-SQL window form; outputs are
+    bit-identical.
 
     Reference parity: beyond-reference statistics tier."""
     _views(spark, sf_dir, "orders")
-    return spark.sql(_sn_sql("spark"))
+
+    def _sn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        t, y = _gather_ty(batches)
+        n = len(y)
+        if n < 2:
+            return
+        m = n - 1
+        idx = m // 2 + 1  # (m div 2 + 1)-th of row-minus-diagonal
+        hm = np.empty(n, dtype=np.int64)
+        rows = _KERNEL_CHUNK // n or 1
+        buf = np.empty((min(rows, n), n), dtype=np.int64)
+        for s in range(0, n, rows):
+            e = min(s + rows, n)
+            D = buf[: e - s]
+            np.subtract(y[None, :], y[s:e, None], out=D)
+            np.abs(D, out=D)
+            D.partition(idx, axis=1)
+            hm[s:e] = D[:, idx]
+        q = (n + 1) // 2 - 1  # lowmed, 0-indexed
+        raw = int(np.partition(hm, q)[q])
+        yield pa.RecordBatch.from_pydict(
+            {
+                "n_days": [n],
+                "sn_raw": [raw],
+                "sn_scaled": [_tdiv(_SN_C_E6 * raw, 1_000_000)],
+            },
+            schema=pa.schema(
+                [(c, pa.int64())
+                 for c in ("n_days", "sn_raw", "sn_scaled")]
+            ),
+        )
+
+    return _day_kernel(
+        spark, _sn, "n_days bigint, sn_raw bigint, sn_scaled bigint"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -475,12 +639,70 @@ def q_repeated_median_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     so only the n-row outer median and the n-row intercept median
     need a global order.  One ppm floor per pair slope, exact after.
 
-    Scale: calendar-bounded pair frame, balanced per-i partitions
-    (exactly n−1 pairs each).
+    Scale: calendar-bounded pair frame.
+
+    r11: both median layers are ONE Arrow kernel pass (guide §4; see
+    ``_day_kernel``).  Pair slopes are TRUNCATING integer division
+    (Spark ``div`` ≡ DuckDB ``//`` — sign-fixed |num|//|den|, since
+    numpy ``//`` floors); the j=i diagonal is masked with the int64
+    max sentinel so the per-i median rank r ≤ m = n−1 never reaches
+    it.  The DuckDB oracle keeps the pure-SQL window form; outputs
+    are bit-identical exact integers.
 
     Reference parity: beyond-reference statistics tier."""
     _views(spark, sf_dir, "orders")
-    return spark.sql(_siegel_sql("spark"))
+
+    def _siegel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        t, y = _gather_ty(batches)
+        n = len(y)
+        if n < 2:
+            return
+        m = n - 1
+        r = (m + 1) // 2  # 1-indexed inner median among the m slopes
+        med_i = np.empty(n, dtype=np.int64)
+        rows = _KERNEL_CHUNK // n or 1
+        num = np.empty((min(rows, n), n), dtype=np.int64)
+        den = np.empty_like(num)
+        neg = np.empty(num.shape, dtype=bool)
+        for s in range(0, n, rows):
+            e = min(s + rows, n)
+            a, b, ng = num[: e - s], den[: e - s], neg[: e - s]
+            np.subtract(y[None, :], y[s:e, None], out=a)
+            a *= 1_000_000
+            np.subtract(t[None, :], t[s:e, None], out=b)
+            b[b == 0] = 1
+            # truncating div = sign-adjusted |num| // |den|
+            np.not_equal(a < 0, b < 0, out=ng)
+            np.abs(a, out=a)
+            np.abs(b, out=b)
+            a //= b
+            np.negative(a, where=ng, out=a)
+            a[np.arange(e - s), np.arange(s, e)] = np.iinfo(np.int64).max
+            a.partition(r - 1, axis=1)
+            med_i[s:e] = a[:, r - 1]
+        ro = (n + 1) // 2  # 1-indexed outer median
+        slope = int(np.partition(med_i, ro - 1)[ro - 1])
+        res = y * 1_000_000 - slope * t
+        res_med = int(np.partition(res, ro - 1)[ro - 1])
+        yield pa.RecordBatch.from_pydict(
+            {
+                "n_days": [n],
+                "slope_e6": [slope],
+                "intercept": [_tdiv(res_med, 1_000_000)],
+            },
+            schema=pa.schema(
+                [(c, pa.int64())
+                 for c in ("n_days", "slope_e6", "intercept")]
+            ),
+        )
+
+    return _day_kernel(
+        spark, _siegel,
+        "n_days bigint, slope_e6 bigint, intercept bigint",
+    )
 
 
 # ---------------------------------------------------------------------------

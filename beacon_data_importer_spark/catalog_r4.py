@@ -1048,26 +1048,32 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     at which half the volume trades", which an unweighted median like
     exact_quantiles' misstates): one running-weight window over a
     totally-ordered sort, then the first row whose cumulative weight
-    reaches half the total.  All integer arithmetic (cents × cents),
-    one exchange on the group key shared by both windows and the final
-    aggregation."""
+    reaches half the total.  All integer arithmetic (cents × cents).
+
+    r11 (guide §2.2): the Spark side cumulates the per-PRICE weight
+    HISTOGRAM instead of the row stream — the selected value is
+    min price p with 2·W(≤p) ≥ total, and the row form's within-price
+    tie-break rows can only satisfy the filter if the price's LAST row
+    does, so the histogram pick is the identical value (exact
+    integers).  The volume-bearing stage becomes a map-side
+    combinable (flag, price) sum; the window sorts the bounded
+    distinct-price frame.  The DuckDB oracle keeps the row form."""
     li = read_table(spark, sf_dir, "lineitem")
     base = li.select(
         F.col("l_returnflag").alias("returnflag"),
         cents(F.col("l_extendedprice")).alias("price_c"),
         cents(F.col("l_quantity")).alias("wt"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    win = Window.partitionBy("returnflag").orderBy(
-        "price_c", "l_orderkey", "l_linenumber"
+    hist = base.groupBy("returnflag", "price_c").agg(
+        F.sum("wt").alias("cw")
     )
+    win = Window.partitionBy("returnflag").orderBy("price_c")
     tot = Window.partitionBy("returnflag")
-    c = base.select(
+    c = hist.select(
         "returnflag",
         "price_c",
-        F.sum("wt").over(win).alias("cumw"),
-        F.sum("wt").over(tot).alias("total"),
+        F.sum("cw").over(win).alias("cumw"),
+        F.sum("cw").over(tot).alias("total"),
     )
     return (
         c.filter(2 * F.col("cumw") >= F.col("total"))

@@ -308,6 +308,73 @@ def _levene_sql(dialect: str) -> str:
     """
 
 
+def _levene_spark_hist_sql() -> str:
+    """Spark-side histogram form (r11 round, guide §2.2: shuffle the
+    bounded (g, v) dollar histogram, not the row stream).  The group
+    median is the smallest v whose cumulative histogram count reaches
+    rank (ng+1) div 2 — the same VALUE the row_number window picked
+    (tie-break columns only ordered rows WITHIN one v; the rank-r
+    value is tie-invariant), and the z-moment sums Σc·z / Σc·z² are
+    the per-row sums regrouped by value — exact integers, so
+    bit-identical.  The per-row ranking window over the full lineitem
+    stream is gone; the only volume-bearing stage is the map-side
+    combinable (g, v) count.  The DuckDB oracle keeps the pure
+    row_number form."""
+    big = "DECIMAL(38,0)"
+    return f"""
+    WITH x AS (
+      SELECT l_returnflag AS g,
+        CAST(round(l_extendedprice * 100) AS BIGINT) div 100 AS v
+      FROM lineitem
+    ),
+    hist AS (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY g, v
+    ),
+    cum AS (
+      SELECT g, v,
+        sum(c) OVER (PARTITION BY g ORDER BY v) AS cc,
+        sum(c) OVER (PARTITION BY g) AS ng
+      FROM hist
+    ),
+    med AS (
+      SELECT g, min(CASE WHEN cc >= (ng + 1) div 2 THEN v END) AS medv
+      FROM cum GROUP BY g
+    ),
+    zh AS (
+      SELECT h.g, abs(h.v - m.medv) AS z, h.c
+      FROM hist h JOIN med m ON m.g = h.g
+    ),
+    grp AS (
+      SELECT g, CAST(sum(c) AS {big}) AS n,
+        CAST(sum(CAST(z AS {big}) * c) AS {big}) AS s,
+        CAST(sum(CAST(z AS {big}) * z * c) AS {big}) AS q
+      FROM zh GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS {big}) AS nt, CAST(sum(s) AS {big}) AS st,
+        CAST(count(*) AS BIGINT) AS k,
+        CAST(sum(q - (s * s) div n) AS {big}) AS ssw
+      FROM grp
+    ),
+    ssb AS (
+      SELECT CAST(sum(
+        ((g.s * 1000) div g.n - (t.st * 1000) div t.nt)
+        * ((g.s * 1000) div g.n - (t.st * 1000) div t.nt)
+        * g.n
+      ) AS {big}) AS ssb_e6
+      FROM grp g CROSS JOIN tot t
+    )
+    SELECT CAST(t.nt AS BIGINT) AS n_items, t.k AS n_groups,
+      CAST((CAST(b.ssb_e6 div (t.k - 1) AS {big}) * 1000000)
+           div ((t.ssw * 1000000) div (t.nt - t.k)) AS BIGINT)
+        AS f_ppm,
+      ((CAST(b.ssb_e6 div (t.k - 1) AS {big}) * 1000000)
+       div ((t.ssw * 1000000) div (t.nt - t.k)) > 2995732)
+        AS significant_95
+    FROM tot t CROSS JOIN ssb b
+    """
+
+
 @query(
     "levene_test",
     registered=False,  # driver-proven green in CORRECTNESS_r08; slot rotated (see catalog.py docstring)
@@ -327,12 +394,13 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values coarsen to whole dollars so Σz² stays comfortably inside
     DECIMAL(38,0).
 
-    The per-group ranking window (3 groups) is the volume-bearing
-    step; at cluster scale it takes the winsorized_mean_revenue
-    shape — global_rank minus broadcast group offsets (same total
-    order, contiguous groups)."""
+    r11: the Spark side runs the HISTOGRAM form (``_levene_spark_hist_sql``
+    — the mood_median_test device): medians and z-moments come off the
+    bounded (g, dollar) count frame instead of a per-row ranking window
+    over the full stream; bit-identical exact integers, and the one
+    volume-bearing stage map-side combines."""
     _views(spark, sf_dir, "lineitem")
-    return spark.sql(_levene_sql("spark"))
+    return spark.sql(_levene_spark_hist_sql())
 
 
 # ---------------------------------------------------------------------------

@@ -858,6 +858,23 @@ def main() -> None:
     qs["rename_project"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Same rationale for the Python-worker/Arrow path (r11, disclosed in
+    # OPTIMIZATION_r11.md): the first mapInArrow/ArrowEvalPython query
+    # otherwise pays worker spawn + numpy/pyarrow import once per app —
+    # measured 5–20 s of one-time cost on this sandbox (episodic
+    # first-touch fault stalls multiply the import), landing on whichever
+    # Arrow-path query happens to run first.  One-time cost, same class
+    # as JIT/classloading; per-query numbers should measure the plans.
+
+    def _arrow_warm(batches):
+        import numpy  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        yield from batches
+
+    spark.range(0, 32, 1, 32).mapInArrow(_arrow_warm, "id bigint").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}

@@ -188,6 +188,43 @@ def test_siegel_brute(spark, days):
     assert (r.n_days, r.slope_e6, r.intercept) == (n, slope, intercept)
 
 
+def test_day_kernel_chunked_path(spark, days, monkeypatch):
+    """r11: the Sn / repeated-median Arrow kernels stream row CHUNKS
+    through one reused buffer (memory-bounded by ``_KERNEL_CHUNK``).
+    At sf0.001 (~90 days) the whole frame fits one chunk, so force a
+    tiny chunk size and re-assert the brute values — exercises the
+    multi-chunk boundary logic (partial last chunk, per-chunk diagonal
+    offsets) that full-scale runs hit at n > 512 days.  Kernels are
+    nested functions, so cloudpickle captures the patched global."""
+    from beacon_data_importer_spark import catalog_r10a
+
+    n = len(days)
+    monkeypatch.setattr(catalog_r10a, "_KERNEL_CHUNK", 3 * n + 1)
+
+    ys = [y for _, y in days]
+    hms = [
+        _himed([abs(ys[i] - ys[j]) for j in range(n) if j != i])
+        for i in range(n)
+    ]
+    r = _one(spark, "sn_scale_estimator")
+    assert (r.n_days, r.sn_raw) == (n, _lowmed(hms))
+
+    med_i = []
+    for i, (ti, yi) in enumerate(days):
+        med_i.append(
+            _lowmed(
+                [
+                    _idiv((yj - yi) * 1_000_000, tj - ti)
+                    for j, (tj, yj) in enumerate(days)
+                    if j != i
+                ]
+            )
+        )
+    slope = _lowmed(med_i)
+    r = _one(spark, "repeated_median_slope")
+    assert (r.slope_e6, r.n_days) == (slope, n)
+
+
 def test_yuen_brute(spark, con):
     rows = con.execute(
         """
