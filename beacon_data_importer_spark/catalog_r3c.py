@@ -1258,56 +1258,48 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production scale (VERDICT r3 "What's wrong" #3).  At sf0.1 AQE
     # still picks broadcast on its own (PLAN_AUDIT); at 100 TB it can
     # demote to a shuffle join when the sample outgrows the threshold.
-    truth = (
-        inter.join(sx, "a")
-        .join(sy, "b")
-        .filter(
-            2 * F.col("i") >= F.col("ns_a") + F.col("ns_b") - F.col("i")
-        )
-        .select("a", "b")
-    )
     pred = (
         corpus_candidate_pairs(spark, sf_dir)
         .filter((F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 0))
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     )
-    predj = (
-        pred.join(inter, ["a", "b"], "left")
+    n_samp = samp.agg(F.count(F.lit(1)).alias("n_sample_docs"))
+    # ONE full-outer join of the intersection counts with the LSH
+    # predictions, sized once, judged once (r11 optimization round,
+    # second pass; guide §1.2 "compute each subtree once"): the earlier
+    # predj/truth formulation still evaluated the postings join and the
+    # per-doc size frames TWICE (once under each full-outer side —
+    # plan-verified, no ReuseExchange).  Value-identical:
+    #   thr := 2·coalesce(i,0) ≥ ns_a + ns_b − coalesce(i,0)
+    # is the old `good` for predicted pairs, and for a pair NOT in
+    # `inter` (i = 0) it is always false (set sizes ≥ 1), so
+    # sum(thr) == count(truth), sum(__p ∧ thr) == tp,
+    # sum(__p ∧ ¬thr) == fp, sum(thr ∧ ¬__p) == fn (truth with no
+    # prediction — the old left_anti).  Every pair id is a sample doc,
+    # so the inner size joins keep all rows exactly as before.
+    j = (
+        inter.join(pred.withColumn("__p", F.lit(True)), ["a", "b"], "full_outer")
         .join(sx, "a")
         .join(sy, "b")
-        .select(
-            "a",
-            "b",
-            (
-                2 * F.coalesce(F.col("i"), F.lit(0))
-                >= F.col("ns_a") + F.col("ns_b") - F.coalesce(F.col("i"), F.lit(0))
-            ).alias("good"),
+        .withColumn(
+            "__thr",
+            2 * F.coalesce(F.col("i"), F.lit(0))
+            >= F.col("ns_a") + F.col("ns_b") - F.coalesce(F.col("i"), F.lit(0)),
         )
     )
-    n_samp = samp.agg(F.count(F.lit(1)).alias("n_sample_docs"))
-    # ONE full-outer join + ONE aggregate replaces the five separate
-    # aggregate branches (n_truth / n_pred / tp+fp / fn) that each
-    # re-evaluated the postings join and the LSH candidate chain —
-    # the old plan computed `inter` and `pred` three times each
-    # (r11 optimization round; guide §1.2 "compute each subtree once").
-    # Value-identical: n_pred == count(predj) because predj is pred
-    # inner-joined 1:1 to the per-sample-doc size frames; fn == truth
-    # rows with no pred match (the old left_anti); tp/fp keep the same
-    # `good` formula.
-    j = predj.withColumn("__p", F.lit(True)).join(
-        truth.withColumn("__t", F.lit(True)), ["a", "b"], "full_outer"
-    )
     counts = j.agg(
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("n_truth_pairs"),
+        F.sum(F.when(F.col("__thr"), 1).otherwise(0)).alias("n_truth_pairs"),
         F.sum(F.when(F.col("__p"), 1).otherwise(0)).alias(
             "n_predicted_pairs"
         ),
-        F.sum(F.when(F.col("good"), 1).otherwise(0)).alias("tp"),
-        F.sum(F.when(F.col("__p") & ~F.col("good"), 1).otherwise(0)).alias(
+        F.sum(F.when(F.col("__p") & F.col("__thr"), 1).otherwise(0)).alias(
+            "tp"
+        ),
+        F.sum(F.when(F.col("__p") & ~F.col("__thr"), 1).otherwise(0)).alias(
             "fp"
         ),
         F.sum(
-            F.when(F.col("__t") & F.col("__p").isNull(), 1).otherwise(0)
+            F.when(F.col("__thr") & F.col("__p").isNull(), 1).otherwise(0)
         ).alias("fn"),
     )
     return (

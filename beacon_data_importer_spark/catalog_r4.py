@@ -1220,12 +1220,33 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("returnflag"),
         cents(F.col("l_extendedprice")).alias("price_c"),
     )
-    w = Window.partitionBy("returnflag").orderBy("price_c")
-    wn = Window.partitionBy("returnflag")
+    # Histogram form (r11 optimization round; the levene_test device,
+    # guide §2.2 "shuffle the bounded histogram, not the row stream"):
+    # the exact median and the rank of the sketch's answer are both
+    # order statistics, so they read off the cumulated per-(flag,
+    # price) COUNT histogram — the only full-stream stage left is a
+    # map-side-combinable groupBy; the old row_number window sorted the
+    # entire stream inside 3 returnflag partitions (three serial
+    # tasks).  Value-identical: the old filter 2·rk ≤ n+1 kept ranks
+    # 1..(n+1) div 2, so max(price) over it is the value AT rank
+    # r* = (n+1) div 2 — exactly the max histogram value whose first
+    # rank cum−c+1 is ≤ r* (⟺ 2·(cum−c) < n, all-integer; row_number's
+    # tie resolution cannot change which VALUE holds a rank);
+    # rank_approx == count(price ≤ approx_p50) == the cumulative count
+    # at the largest value ≤ approx_p50.
+    hist = base.groupBy("returnflag", "price_c").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("returnflag")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumh = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n_g", F.sum("c").over(Window.partitionBy("returnflag"))
+    )
     exact = (
-        base.withColumn("rk", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wn))
-        .filter(2 * F.col("rk") <= F.col("n") + 1)
+        cumh.filter(2 * (F.col("cum") - F.col("c")) < F.col("n_g"))
         .groupBy("returnflag")
         .agg(F.max("price_c").alias("exact_p50_cents"))
     )
@@ -1236,11 +1257,13 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank of the approx answer must lie within ±5% of n/2
     joined = exact.join(approx, "returnflag")
     rank_of_approx = (
-        base.alias("b")
-        .join(joined.select("returnflag", "approx_p50"), "returnflag")
+        cumh.join(
+            F.broadcast(joined.select("returnflag", "approx_p50")),
+            "returnflag",
+        )
         .filter(F.col("price_c") <= F.col("approx_p50"))
         .groupBy("returnflag")
-        .agg(F.count(F.lit(1)).alias("rank_approx"))
+        .agg(F.sum("c").alias("rank_approx"))
     )
     return (
         joined.join(rank_of_approx, "returnflag")

@@ -785,12 +785,26 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
+    # ONE custkey exchange feeds the whole query (r11 optimization
+    # round; guide §2.4 "two operations keyed the same way share one
+    # exchange"): every downstream operator clusters on custkey or a
+    # superset — pos.distinct() on (custkey, partkey), the candidate
+    # distinct on (custkey, neg_partkey), the LEFT ANTI join, both
+    # per-customer aggregates and the final join.  HashPartitioning on
+    # custkey satisfies all of them, so the explicit repartition
+    # replaces FIVE exchanges (plan-verified: 7 → 2).  The explicit
+    # partition count keeps the md5 candidate generation parallel under
+    # AQE (the batch-5 device); custkey is uniform, no hot key.
+    width = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
     pos = (
         o.join(li, li["l_orderkey"] == o["o_orderkey"])
         .select(
             F.col("o_custkey").alias("custkey"),
             F.col("l_partkey").alias("partkey"),
         )
+        .repartition(width, "custkey")
         .distinct()
     )
     mx = p.agg(F.max("p_partkey").alias("maxpk"))

@@ -372,64 +372,92 @@ def _mmr_greedy(spark: SparkSession, short_df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F  # noqa: F401 (parity import)
 
     _, ps = _mmr_base_sql("spark")
-    short = short_df.persist()
+    # localCheckpoint, not persist: the shortlist feeds the pairsim SQL
+    # AND the cogroup directly; checkpointing materializes it once and
+    # needs no unpersist hand-off to the (lazy) caller.
+    short = short_df.localCheckpoint()
     short.createOrReplaceTempView("short")
-    psim = spark.sql(ps).persist()
-    psim.createOrReplaceTempView("psim")
-    lam = _MMR_LAMBDA10
+    psim = spark.sql(ps)
+    lam, k = _MMR_LAMBDA10, _MMR_PICKS
 
-    picked = [
-        (r.query_id, 1, r.vec_id, (lam * r.rel_e6) // 10)
-        for r in spark.sql(
-            """
-            SELECT query_id, vec_id, rel_e6 FROM (
-              SELECT query_id, vec_id, rel_e6,
-                row_number() OVER (PARTITION BY query_id
-                                   ORDER BY rel_e6 DESC, vec_id) AS rn
-              FROM short) s WHERE rn = 1
-            """
-        ).collect()
-    ]
-    for step in range(2, _MMR_PICKS + 1):
-        spark.createDataFrame(
-            [(q, v) for q, _, v, _ in picked],
-            "query_id bigint, vec_id bigint",
-        ).createOrReplaceTempView("sel")
-        picks = spark.sql(
-            f"""
-            SELECT query_id, vec_id,
-              CAST(({lam} * rel_e6 - {10 - lam} * maxsim_e6) div 10
-                   AS BIGINT) AS sc
-            FROM (
-              SELECT c.query_id, c.vec_id, c.rel_e6, c.maxsim_e6,
-                row_number() OVER (PARTITION BY c.query_id
-                  ORDER BY ({lam} * c.rel_e6
-                            - {10 - lam} * c.maxsim_e6) div 10 DESC,
-                           c.vec_id) AS rn
-              FROM (
-                SELECT s.query_id, s.vec_id, s.rel_e6,
-                  max(p.sim_e6) AS maxsim_e6
-                FROM short s
-                JOIN psim p ON p.query_id = s.query_id
-                  AND p.id_a = s.vec_id
-                JOIN sel l ON l.query_id = s.query_id
-                  AND l.vec_id = p.id_b
-                WHERE NOT EXISTS (
-                  SELECT 1 FROM sel x
-                  WHERE x.query_id = s.query_id
-                    AND x.vec_id = s.vec_id)
-                GROUP BY s.query_id, s.vec_id, s.rel_e6
-              ) c
-            ) r WHERE rn = 1
-            """
-        ).collect()
-        picked += [(r.query_id, step, r.vec_id, r.sc) for r in picks]
-    short.unpersist()
-    psim.unpersist()
-    return spark.createDataFrame(
-        picked,
-        "query_id bigint, pick_rank bigint, neighbor_id bigint,"
-        " mmr_score_e6 bigint",
+    # r11 optimization round: the greedy used to run as a 4-step DRIVER
+    # loop (collect each step's Q picks, re-plan the next step against a
+    # temp view — ~10 sequential jobs, ~3 s of scheduling latency at
+    # sf0.1 for µs of per-query work).  Each query's greedy depends only
+    # on ITS ≤20 shortlist rows and their ≤20×19 pairwise sims, so the
+    # whole selection is one cogrouped-map pass (guide §4.2: Spark does
+    # the distribution, the kernel does the bounded per-group loop) —
+    # fully distributed over queries, no driver round-trips, which is
+    # also the shape that survives a large query set.  Arithmetic is
+    # EXACT-integer and replays the SQL form bit-for-bit: pick 1's
+    # score is Python floor-div (the old driver loop's `//`), later
+    # steps use Spark `div` truncation toward zero for both the ranking
+    # key and the reported score, ties break on lowest vec_id, and a
+    # candidate enters a step only if it has a pairwise-sim row to at
+    # least one picked vector (the old inner join's behavior).
+    def _greedy(short_pdf, psim_pdf):
+        import pandas as pd
+
+        out = {
+            "query_id": [],
+            "pick_rank": [],
+            "neighbor_id": [],
+            "mmr_score_e6": [],
+        }
+        if len(short_pdf) == 0:
+            return pd.DataFrame(out)
+        q = int(short_pdf["query_id"].iloc[0])
+        cand = {
+            int(v): int(r)
+            for v, r in zip(short_pdf["vec_id"], short_pdf["rel_e6"])
+        }
+        sim = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(
+                psim_pdf["id_a"], psim_pdf["id_b"], psim_pdf["sim_e6"]
+            )
+        }
+
+        def sdiv10(x: int) -> int:  # Spark SQL `div`: trunc toward zero
+            return -((-x) // 10) if x < 0 else x // 10
+
+        first = max(cand.items(), key=lambda kv: (kv[1], -kv[0]))
+        picked = [first[0]]
+        out["query_id"].append(q)
+        out["pick_rank"].append(1)
+        out["neighbor_id"].append(first[0])
+        out["mmr_score_e6"].append((lam * first[1]) // 10)
+        for step in range(2, k + 1):
+            best = None
+            for v, rel in cand.items():
+                if v in picked:
+                    continue
+                sims = [
+                    sim[(v, p)] for p in picked if (v, p) in sim
+                ]
+                if not sims:
+                    continue
+                sc = sdiv10(lam * rel - (10 - lam) * max(sims))
+                if best is None or (sc, -v) > (best[1], -best[0]):
+                    best = (v, sc)
+            if best is None:
+                break
+            picked.append(best[0])
+            out["query_id"].append(q)
+            out["pick_rank"].append(step)
+            out["neighbor_id"].append(best[0])
+            out["mmr_score_e6"].append(best[1])
+        return pd.DataFrame(out)
+
+    return (
+        short.select("query_id", "vec_id", "rel_e6")
+        .groupBy("query_id")
+        .cogroup(psim.groupBy("query_id"))
+        .applyInPandas(
+            _greedy,
+            "query_id bigint, pick_rank bigint, neighbor_id bigint,"
+            " mmr_score_e6 bigint",
+        )
     )
 
 
