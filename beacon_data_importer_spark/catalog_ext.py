@@ -633,10 +633,14 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep1 = (
         with_fp.join(keep_ids, ["fp", "doc_id"])
         .select("doc_id", "text", "n_tokens")
-        .persist()
+        # localCheckpoint, not persist (r11): cheaper materialization
+        # boundary for string/array frames — see catalog_r3b's curate
+        .localCheckpoint()
     )
 
-    sigs = DD.minhash_signatures(keep1, "text", "doc_id", NUM_HASHES).persist()
+    sigs = DD.minhash_signatures(
+        keep1, "text", "doc_id", NUM_HASHES
+    ).localCheckpoint()
     pairs = DD.lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND, MAX_BUCKET)
     sim = DD.minhash_similarity(pairs, sigs)
     rem = (

@@ -365,10 +365,14 @@ def q_boilerplate_shingle_fraction(
     filter; the remaining shuffles partition by shingle and by doc_id,
     both well-spread keys.  No doc×doc work anywhere."""
     d = _docs_parallel(spark, sf_dir)
+    # localCheckpoint, not persist (r11 optimization round): building
+    # the columnar cache for an array<string> column costs ~10× the
+    # checkpoint's row-block write (measured 4.9 s vs 0.5 s for the
+    # token frame at sf0.1) — the multi-consumer reuse is identical.
     per_doc = d.select(
         "doc_id",
         F.array_distinct(DD._shingles(F.col("text"), 3)).alias("sh"),
-    ).persist()
+    ).localCheckpoint()
     exploded = per_doc.select("doc_id", F.explode("sh").alias("g"))
     freq = (
         exploded.groupBy("g")
@@ -580,7 +584,11 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.mean_word_length_t(t).alias("__mwl"),
         TX.alpha_word_fraction_t(t).alias("__awf"),
         TX.top_ngram_char_fraction_t(t, 2).alias("__t2g"),
-    ).persist()
+        # localCheckpoint, not persist (r11): same materialization
+        # boundary, but the columnar-cache build for the __toks
+        # array<string> column alone cost ~4.9 s/run at sf0.1 vs 0.5 s
+        # for the checkpoint's row blocks.
+    ).localCheckpoint()
     q1 = sig.filter(
         TX.gopher_keep_from_signals(
             F.col("__n"), F.col("__mwl"), F.col("__awf"), F.col("__t2g")
@@ -622,11 +630,13 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q3 = (
         with_fp.join(keep_ids, ["fp", "doc_id"])
         .select("doc_id", "text", "n")
-        .persist()
+        .localCheckpoint()
     )
 
     # -- 4. transitive near-dup cluster-keep --
-    sigs = DD.minhash_signatures(q3, "text", "doc_id", NUM_HASHES).persist()
+    sigs = DD.minhash_signatures(
+        q3, "text", "doc_id", NUM_HASHES
+    ).localCheckpoint()
     pairs = DD.lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND, MAX_BUCKET)
     labels = connected_components(symmetrize(pairs, "id_a", "id_b"))
     m = q3.join(F.broadcast(labels), q3.doc_id == labels.v, "left").select(
@@ -1351,100 +1361,101 @@ def _fit_pq_codebooks(ev) -> list:
             ).alias("e"),
         )
         .select("vec_id", F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
-        .persist()
+        # localCheckpoint, not persist (r11): the iterative Lloyd loop
+        # re-scans this array<double> frame every iteration; the
+        # columnar-cache build for array columns costs ~10x the
+        # checkpoint's row-block write and the blocks GC-release.
+        .localCheckpoint()
     )
-    try:
-        init_rows = ev.orderBy("vec_id").limit(_PQK_K).collect()
-        cents: dict[tuple[int, int], list[float]] = {}
-        for cid, r in enumerate(init_rows):
-            full = [float(x) for x in r.ev]
-            for j in range(_PQK_M):
-                cents[(j, cid)] = full[
-                    j * _PQK_DSUB : (j + 1) * _PQK_DSUB
-                ]
-        for _ in range(_PQK_ITERS):
-            # Vectorized Arrow assignment (same rewrite as
-            # operators/kmeans.assign_clusters, see its docstring): the
-            # old per-row HOF fold (filter to the row's subspace, then
-            # aggregate/least over 16 (dist, cid) structs with
-            # (x−y)·(x−y) zip_with sums) is CodegenFallback —
-            # interpreted at ~µs per element.  The numpy loop replays
-            # the exact IEEE sequence (acc starts 0.0, terms added in
-            # ascending d; argmin's first-minimum index is the lowest
-            # cid on ties because codewords are walked cid-ascending),
-            # and row order is preserved so the (s, cluster) mean
-            # update sums in the same order as before.
-            import numpy as np
-            import pyarrow as pa
+    init_rows = ev.orderBy("vec_id").limit(_PQK_K).collect()
+    cents: dict[tuple[int, int], list[float]] = {}
+    for cid, r in enumerate(init_rows):
+        full = [float(x) for x in r.ev]
+        for j in range(_PQK_M):
+            cents[(j, cid)] = full[
+                j * _PQK_DSUB : (j + 1) * _PQK_DSUB
+            ]
+    for _ in range(_PQK_ITERS):
+        # Vectorized Arrow assignment (same rewrite as
+        # operators/kmeans.assign_clusters, see its docstring): the
+        # old per-row HOF fold (filter to the row's subspace, then
+        # aggregate/least over 16 (dist, cid) structs with
+        # (x−y)·(x−y) zip_with sums) is CodegenFallback —
+        # interpreted at ~µs per element.  The numpy loop replays
+        # the exact IEEE sequence (acc starts 0.0, terms added in
+        # ascending d; argmin's first-minimum index is the lowest
+        # cid on ties because codewords are walked cid-ascending),
+        # and row order is preserved so the (s, cluster) mean
+        # update sums in the same order as before.
+        import numpy as np
+        import pyarrow as pa
 
-            C = np.array(
-                [
-                    [cents[(j, cid)] for cid in range(_PQK_K)]
-                    for j in range(_PQK_M)
-                ],
-                dtype=np.float64,
-            )
+        C = np.array(
+            [
+                [cents[(j, cid)] for cid in range(_PQK_K)]
+                for j in range(_PQK_M)
+            ],
+            dtype=np.float64,
+        )
 
-            def _assign(batches, C=C):
-                for b in batches:
-                    n = b.num_rows
-                    if n == 0:
+        def _assign(batches, C=C):
+            for b in batches:
+                n = b.num_rows
+                if n == 0:
+                    continue
+                s = np.asarray(b.column(0), dtype=np.int64)
+                X = np.asarray(
+                    b.column(1).flatten(), dtype=np.float64
+                ).reshape(n, _PQK_DSUB)
+                cluster = np.empty(n, dtype=np.int32)
+                for j in range(_PQK_M):
+                    mask = s == j
+                    if not mask.any():
                         continue
-                    s = np.asarray(b.column(0), dtype=np.int64)
-                    X = np.asarray(
-                        b.column(1).flatten(), dtype=np.float64
-                    ).reshape(n, _PQK_DSUB)
-                    cluster = np.empty(n, dtype=np.int32)
-                    for j in range(_PQK_M):
-                        mask = s == j
-                        if not mask.any():
-                            continue
-                        Xj = X[mask]
-                        D = np.empty((Xj.shape[0], _PQK_K))
-                        for c in range(_PQK_K):
-                            acc = np.zeros(Xj.shape[0])
-                            for d in range(_PQK_DSUB):
-                                t = Xj[:, d] - C[j, c, d]
-                                acc += t * t
-                            D[:, c] = acc
-                        cluster[mask] = D.argmin(axis=1)
-                    yield pa.record_batch(
-                        [
-                            b.column(0),
-                            b.column(1),
-                            pa.array(cluster, type=pa.int32()),
-                        ],
-                        names=["s", "sub", "cluster"],
-                    )
-
-            assigned = subs.select("s", "sub").mapInArrow(
-                _assign, "s int, sub array<double>, cluster int"
-            )
-            rows = (
-                assigned.groupBy("s", "cluster")
-                .agg(
-                    *[
-                        F.avg(F.col("sub")[d]).alias(f"m{d}")
-                        for d in range(_PQK_DSUB)
-                    ]
+                    Xj = X[mask]
+                    D = np.empty((Xj.shape[0], _PQK_K))
+                    for c in range(_PQK_K):
+                        acc = np.zeros(Xj.shape[0])
+                        for d in range(_PQK_DSUB):
+                            t = Xj[:, d] - C[j, c, d]
+                            acc += t * t
+                        D[:, c] = acc
+                    cluster[mask] = D.argmin(axis=1)
+                yield pa.record_batch(
+                    [
+                        b.column(0),
+                        b.column(1),
+                        pa.array(cluster, type=pa.int32()),
+                    ],
+                    names=["s", "sub", "cluster"],
                 )
-                .collect()
-            )
-            seen = set()
-            for r in rows:
-                cents[(r.s, r.cluster)] = [
-                    r[f"m{d}"] for d in range(_PQK_DSUB)
+
+        assigned = subs.select("s", "sub").mapInArrow(
+            _assign, "s int, sub array<double>, cluster int"
+        )
+        rows = (
+            assigned.groupBy("s", "cluster")
+            .agg(
+                *[
+                    F.avg(F.col("sub")[d]).alias(f"m{d}")
+                    for d in range(_PQK_DSUB)
                 ]
-                seen.add((r.s, r.cluster))
-            # empty clusters keep their previous centroid (kmeans_fit
-            # semantics)
-        return [
-            (j, cid, cents[(j, cid)])
-            for j in range(_PQK_M)
-            for cid in range(_PQK_K)
-        ]
-    finally:
-        subs.unpersist()
+            )
+            .collect()
+        )
+        seen = set()
+        for r in rows:
+            cents[(r.s, r.cluster)] = [
+                r[f"m{d}"] for d in range(_PQK_DSUB)
+            ]
+            seen.add((r.s, r.cluster))
+        # empty clusters keep their previous centroid (kmeans_fit
+        # semantics)
+    return [
+        (j, cid, cents[(j, cid)])
+        for j in range(_PQK_M)
+        for cid in range(_PQK_K)
+    ]
 
 
 @query(

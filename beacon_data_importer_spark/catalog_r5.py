@@ -940,28 +940,43 @@ def q_bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             portable_hash64(col.cast("string"), seed=seed), F.lit(_BLOOM_M)
         )
 
-    bits = (
+    # Set-bit membership as two BROADCAST HASH left-joins on the
+    # distinct bit-position frame (r11 optimization round, guide §1.2):
+    # the previous broadcast collect_set + array_contains probed a
+    # ~6k-element array LINEARLY twice per order row (~2·6k compares ×
+    # orders — the whole query's cost).  The joined set is the same
+    # distinct union of both seeds' positions, so `pass` is
+    # value-identical; the oracle keeps its set form.
+    bitset = (
         dim.select(pos(F.col("c_custkey"), _BLOOM_SEEDS[0]).alias("pos"))
         .unionAll(
             dim.select(pos(F.col("c_custkey"), _BLOOM_SEEDS[1]).alias("pos"))
         )
-        .agg(F.collect_set("pos").alias("bs"))
+        .distinct()
+    )
+    h0 = F.broadcast(
+        bitset.select(F.col("pos").alias("__p0"), F.lit(True).alias("__h0"))
+    )
+    h1 = F.broadcast(
+        bitset.select(F.col("pos").alias("__p1"), F.lit(True).alias("__h1"))
     )
     probe = (
-        o.crossJoin(F.broadcast(bits))
+        o.select(
+            "o_custkey",
+            pos(F.col("o_custkey"), _BLOOM_SEEDS[0]).alias("__q0"),
+            pos(F.col("o_custkey"), _BLOOM_SEEDS[1]).alias("__q1"),
+        )
+        .join(h0, F.col("__q0") == F.col("__p0"), "left")
+        .join(h1, F.col("__q1") == F.col("__p1"), "left")
         .join(
             F.broadcast(dim.withColumn("__m", F.lit(True))),
-            o["o_custkey"] == dim["c_custkey"],
+            F.col("o_custkey") == dim["c_custkey"],
             "left",
         )
         .select(
             (
-                F.array_contains(
-                    "bs", pos(F.col("o_custkey"), _BLOOM_SEEDS[0])
-                )
-                & F.array_contains(
-                    "bs", pos(F.col("o_custkey"), _BLOOM_SEEDS[1])
-                )
+                F.coalesce(F.col("__h0"), F.lit(False))
+                & F.coalesce(F.col("__h1"), F.lit(False))
             ).alias("pass"),
             F.coalesce(F.col("__m"), F.lit(False)).alias("member"),
         )

@@ -118,12 +118,16 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
     )
+    # Nested transform so the merge-rank replace CHAIN runs ONCE per
+    # word (r11 optimization round, guide §1.2): the single-lambda form
+    # evaluated _bpe_merge_col twice per word — once under each length()
+    # — doubling the dominant per-row work.  Same values.
     tok_counts = F.transform(
-        words,
-        lambda x: (
+        F.transform(words, _bpe_merge_col),
+        lambda m: (
             (
-                F.length(_bpe_merge_col(x))
-                - F.length(F.replace(_bpe_merge_col(x), F.lit("|"), F.lit("")))
+                F.length(m)
+                - F.length(F.replace(m, F.lit("|"), F.lit("")))
             )
             / F.lit(2)
         ).cast("long"),

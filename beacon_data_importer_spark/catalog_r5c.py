@@ -706,7 +706,17 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (_, expr) in enumerate(_ENC_COLS_SQL)
         ],
     )
-    runs = wide
+    # Explicit width on the shared window exchange (r11 optimization
+    # round; the batch-5 device): the ~17 MB l_orderkey shuffle is
+    # below the AQE advisory size, so size-based coalescing ran all
+    # five window sorts in ONE task (profiled: 11 tasks/run, wall ≈
+    # taskTime).  An explicit keyed repartition is AQE-exempt and
+    # satisfies every window's distribution — same single exchange,
+    # now parallel.
+    runs = wide.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"),
+        "l_orderkey",
+    )
     for i in range(len(_ENC_COLS_SQL)):
         w_i = Window.partitionBy("l_orderkey").orderBy(
             "l_linenumber", f"__v{i}"

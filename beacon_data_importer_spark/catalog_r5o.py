@@ -105,18 +105,21 @@ def q_bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
     c = read_table(spark, sf_dir, "customer")
+    # Aggregate lineitem by order BEFORE the joins (r11 optimization
+    # round, guide §2.3 "aggregate before you shuffle"): the reward is
+    # per-order, so the map-side-combinable groupBy runs on the scan
+    # and the joins carry one row per order instead of one per line.
+    # (segment, priority) are functionally dependent on the order key,
+    # so the old 3-key post-join groupBy produced the identical rows.
+    rew = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        (
+            F.lit(1)
+            - F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        ).alias("reward")
+    )
     subj = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        rew.join(o, "o_orderkey")
         .join(c, c["c_custkey"] == o["o_custkey"])
-        .groupBy("o_orderkey", "c_mktsegment", "o_orderpriority")
-        .agg(
-            (
-                F.lit(1)
-                - F.max(
-                    F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-                )
-            ).alias("reward")
-        )
         .select(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_orderpriority").alias("action"),

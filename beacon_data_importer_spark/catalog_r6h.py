@@ -266,71 +266,48 @@ def q_bradley_terry_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "supplier"):
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
     big = _DEC
-    base = spark.sql(
+    # r11 optimization round: the MM loop ran as ~12 driver-dispatched
+    # Spark jobs (one localCheckpoint per 25-row iterate) — pure
+    # scheduling latency for CONSTANT-size work.  The volume-bearing
+    # pair expansion stays in Spark; the ≤N(N−1) directed win matrix is
+    # collected ONCE (bounded by nations², a constant) and the {it}
+    # MM iterations run in driver Python with the identical all-integer
+    # arithmetic (every operand positive, so Python // == SQL div) —
+    # value-identical to the old per-iterate SQL, oracle-verified.
+    base_rows = spark.sql(
         f"WITH {_BT_LINES_SQL},{_BT_MATCHES_SQL}"
         " SELECT i, j, wins_i, wins_j FROM pairs"
-    ).localCheckpoint()
-    base.createOrReplaceTempView("__bt_games_dir")
-    games = spark.sql(
-        """
-        SELECT i, j, CAST(wins_i + wins_j AS BIGINT) AS games
-        FROM __bt_games_dir
-        UNION ALL
-        SELECT j AS i, i AS j, CAST(wins_i + wins_j AS BIGINT) AS games
-        FROM __bt_games_dir
-        """
-    ).localCheckpoint()
-    teams = spark.sql(
-        """
-        SELECT i AS nat, CAST(sum(w) AS BIGINT) AS wins
-        FROM (SELECT i, wins_i AS w FROM __bt_games_dir
-              UNION ALL
-              SELECT j AS i, wins_j AS w FROM __bt_games_dir) t
-        GROUP BY i
-        """
-    ).localCheckpoint()
-    games.createOrReplaceTempView("__bt_games")
-    teams.createOrReplaceTempView("__bt_teams")
-    r = teams.select(
-        "nat", F.lit(1_000_000).cast("bigint").alias("r")
-    ).localCheckpoint()
+    ).collect()
+    games: dict[tuple[int, int], int] = {}
+    wins: dict[int, int] = {}
+    for row in base_rows:
+        i, j, wi, wj = int(row.i), int(row.j), int(row.wins_i), int(row.wins_j)
+        g = wi + wj
+        games[(i, j)] = games.get((i, j), 0) + g
+        games[(j, i)] = games.get((j, i), 0) + g
+        wins[i] = wins.get(i, 0) + wi
+        wins[j] = wins.get(j, 0) + wj
+    opp: dict[int, list[int]] = {}
+    for (i, j) in games:
+        opp.setdefault(i, []).append(j)
+    r = {nat: 1_000_000 for nat in wins}
     for _ in range(_BT_ITERS):
-        r.createOrReplaceTempView("__bt_r")
-        raw = spark.sql(
-            f"""
-            SELECT t.nat,
-                   CAST(CAST(t.wins AS {big}) * 1000000000000
-                        div sum(CAST(g.games AS {big}) * 1000000000000
-                                div (ri.r + rj.r))
-                        AS BIGINT) AS r
-            FROM __bt_teams t
-            JOIN __bt_games g ON g.i = t.nat
-            JOIN __bt_r ri ON ri.nat = g.i
-            JOIN __bt_r rj ON rj.nat = g.j
-            GROUP BY t.nat, t.wins
-            """
-        ).localCheckpoint()
-        raw.createOrReplaceTempView("__bt_raw")
-        r = spark.sql(
-            f"""
-            SELECT nat, CAST(CAST(r AS {big}) * {_BT_TOTAL}
-                             div (SELECT sum(r) FROM __bt_raw)
-                             AS BIGINT) AS r
-            FROM __bt_raw
-            """
-        ).localCheckpoint()
-    r.createOrReplaceTempView("__bt_final")
-    return spark.sql(
-        """
-        SELECT CAST(t.nat AS BIGINT) AS nation, t.wins,
-               CAST(sum(g.games) AS BIGINT) AS games,
-               rf.r AS rating_ppm
-        FROM __bt_teams t
-        JOIN __bt_games g ON g.i = t.nat
-        JOIN __bt_final rf ON rf.nat = t.nat
-        GROUP BY t.nat, t.wins, rf.r
-        ORDER BY t.nat
-        """
+        raw = {
+            nat: (wins[nat] * 1_000_000_000_000)
+            // sum(
+                (games[(nat, j)] * 1_000_000_000_000) // (r[nat] + r[j])
+                for j in opp[nat]
+            )
+            for nat in wins
+        }
+        tot = sum(raw.values())
+        r = {nat: (v * _BT_TOTAL) // tot for nat, v in raw.items()}
+    out = [
+        (nat, wins[nat], sum(games[(nat, j)] for j in opp[nat]), r[nat])
+        for nat in sorted(wins)
+    ]
+    return spark.createDataFrame(
+        out, "nation bigint, wins bigint, games bigint, rating_ppm bigint"
     )
 
 

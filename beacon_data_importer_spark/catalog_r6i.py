@@ -189,18 +189,19 @@ def q_best_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    labeled = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("o_orderkey", "o_totalprice")
-        .agg(
-            F.max(
-                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-            ).alias("y")
+    # Aggregate lineitem by order BEFORE the join (r11 optimization
+    # round, guide §2.3): y is per-order, so the map-side-combinable
+    # groupBy runs on the scan and the join carries one row per order
+    # instead of one per line; o_totalprice is functionally dependent
+    # on the key, so the old post-join 2-key groupBy made the same rows.
+    ylab = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "y"
         )
-        .select(
-            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
-            "y",
-        )
+    )
+    labeled = ylab.join(o, "o_orderkey").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+        "y",
     )
     by_val = labeled.groupBy("x").agg(
         F.sum("y").cast("bigint").alias("c1"),

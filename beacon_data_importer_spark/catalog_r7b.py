@@ -424,14 +424,18 @@ def q_propensity_caliper_match(
         .withColumn("d", F.abs(F.col("ts") - F.col("cs")))
         .filter(F.col("d") <= _CALIPER_C)
     )
-    w = Window.partitionBy("treated_key").orderBy("d", "control_key")
+    # argmin as min(struct(d, control_key)) (r11 optimization round,
+    # guide §2.3 "aggregate before you shuffle"): the row_number window
+    # shuffled + sorted the full candidate stream; the struct-min
+    # aggregate partial-combines map-side and picks the SAME (distance,
+    # control key)-lexicographic winner per treated order.
     return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        cand.groupBy("treated_key")
+        .agg(F.min(F.struct("d", "control_key")).alias("__m"))
         .select(
             "treated_key",
-            "control_key",
-            F.col("d").cast("bigint").alias("score_diff_cents"),
+            F.col("__m.control_key").alias("control_key"),
+            F.col("__m.d").cast("bigint").alias("score_diff_cents"),
         )
     )
 

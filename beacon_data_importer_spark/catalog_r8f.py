@@ -147,18 +147,12 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The token-array frame feeds the bigram stream TWICE (LM training
     # groupBys + per-doc scoring join) and the vocab count once: left
     # as a CTE, Catalyst re-inlines it and the regex tokenization runs
-    # 3× (measured 14 s warm at sf0.1 → ~5 s cached).  Cache the
-    # previous call's handle out first so back-to-back runs don't
-    # stack storage.
-    global _LM_TOK_CACHE
-    if _LM_TOK_CACHE is not None:
-        _LM_TOK_CACHE.unpersist()
-    _LM_TOK_CACHE = spark.sql(tok_sql).persist()
-    _LM_TOK_CACHE.createOrReplaceTempView("tok")
+    # 3× (measured 14 s warm at sf0.1 → ~5 s cached).  localCheckpoint,
+    # not persist (r11): the columnar-cache build for the array<string>
+    # column is ~10× the checkpoint's row-block write, and the blocks
+    # are GC-released — no cross-run handle bookkeeping needed.
+    spark.sql(tok_sql).localCheckpoint().createOrReplaceTempView("tok")
     return spark.sql(rest)
-
-
-_LM_TOK_CACHE = None
 
 
 # ---------------------------------------------------------------------------

@@ -261,12 +261,15 @@ def _pq_dist_sql(dialect: str) -> str:
       WHERE e.vec_id < {_PQ_K}
     ),
     mind AS (
-      SELECT vec_id, s, d2 FROM (
-        SELECT e.vec_id, cw.s, {d2(sub, "cw.w")} AS d2,
-               row_number() OVER (PARTITION BY e.vec_id, cw.s
-                 ORDER BY {d2(sub, "cw.w")}, cw.c) AS rn
+      {'''SELECT vec_id, s, min(struct(d2, c)).d2 AS d2 FROM (
+        SELECT e.vec_id, cw.s, cw.c, ''' + d2(sub, "cw.w") + ''' AS d2
         FROM emb e CROSS JOIN cw
-      ) t WHERE rn = 1
+      ) t GROUP BY vec_id, s''' if spark else '''SELECT vec_id, s, d2 FROM (
+        SELECT e.vec_id, cw.s, ''' + d2(sub, "cw.w") + ''' AS d2,
+               row_number() OVER (PARTITION BY e.vec_id, cw.s
+                 ORDER BY ''' + d2(sub, "cw.w") + ''', cw.c) AS rn
+        FROM emb e CROSS JOIN cw
+      ) t WHERE rn = 1'''}
     ),
     fl AS (
       SELECT s, CAST(floor(1000000 * d2) AS BIGINT) AS d2_e6 FROM mind
