@@ -613,8 +613,13 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
+    # materialize the gram arrays before exploding (r11 round): an
+    # inline complex array expression under explode drops Generate out
+    # of codegen — the 3-gram transform ran interpreted per doc (the
+    # dedup_eval lesson, catalog_r3c)
+    gr = q1.select("doc_id", grams.alias("__g3")).localCheckpoint()
     contam = (
-        q1.select("doc_id", F.explode(grams).alias("g"))
+        gr.select("doc_id", F.explode("__g3").alias("g"))
         .join(evg, "g")
         .select("doc_id")
         .distinct()

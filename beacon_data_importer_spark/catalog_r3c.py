@@ -1238,19 +1238,26 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs_parallel(spark, sf_dir)
     samp = d.filter(F.col("doc_id") % 2 == 0)
+    # localCheckpoint (r11 optimization round, third pass): exploding an
+    # INLINE complex array expression drops Generate out of whole-stage
+    # codegen — the shingle transform ran interpreted per doc in the
+    # postings stage (measured 5.3 s vs 0.2 s exploding the same arrays
+    # from a materialized column; a repartition barrier does NOT help,
+    # the optimizer hoists the projection above the exchange).  The
+    # checkpoint also serves the two consumers (sizes + postings) once.
     shd = samp.select(
         F.col("doc_id").alias("id"),
         F.array_distinct(_shingles(F.col("text"))).alias("sh"),
-    )
+    ).localCheckpoint()
     sizes = shd.select("id", F.size("sh").alias("ns"))
     post = shd.select("id", F.explode("sh").alias("g"))
-    pa = post.select(F.col("g"), F.col("id").alias("a"))
-    pb = post.select(F.col("g").alias("g_r"), F.col("id").alias("b"))
-    inter = (
-        pa.join(pb, (F.col("g") == F.col("g_r")) & (F.col("a") < F.col("b")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    # Arrow pair-expansion kernel instead of the postings self-join
+    # (r11 optimization round, second pass — operators/pairgen.py):
+    # value-identical (a, b, i) counts, pair stream combined
+    # batch-locally before the one aggregate exchange.
+    from .operators.pairgen import posting_pair_counts
+
+    inter = posting_pair_counts(post, "g", "id")
     sx = sizes.select(F.col("id").alias("a"), F.col("ns").alias("ns_a"))
     sy = sizes.select(F.col("id").alias("b"), F.col("ns").alias("ns_b"))
     # No broadcast hints on sx/sy: the per-doc size frames grow with the

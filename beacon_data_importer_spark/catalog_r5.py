@@ -3034,20 +3034,19 @@ def q_prefix_filter_jaccard_join(
         )
         .select("id", "g")
     )
-    # the prefix stream feeds BOTH sides of the self-join — checkpoint
-    # once or the postings+freq+window pipeline executes twice
-    prefix = prefix.localCheckpoint()
+    # the prefix stream used to feed BOTH sides of a g-keyed self-join;
+    # the Arrow pair-expansion kernel (operators/pairgen.py, r11 round)
+    # generates the candidate pairs from one g-keyed collect_list
+    # instead — same distinct (id_a < id_b) pair set (a pair appears
+    # iff it shares a prefix token; i ≥ 1 ⟺ membership).
+    from .operators.pairgen import posting_pair_counts
+
     cands = (
-        prefix.select(F.col("id").alias("id_a"), "g")
-        .join(
-            prefix.select(F.col("id").alias("id_b"), F.col("g").alias("g2")),
-            (F.col("g") == F.col("g2")) & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
-        .distinct()
+        posting_pair_counts(prefix, "g", "id")
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         # materialize once (feeds the verify join) ...
         .localCheckpoint()
-        # ... then RE-WIDEN: the distinct's AQE-coalesced output is ONE
+        # ... then RE-WIDEN: the aggregate's AQE-coalesced output is ONE
         # partition of narrow pairs, which would serialize the verify's
         # per-pair array intersections (measured 7 s -> 1.1 s at sf0.1)
         .repartition(width)

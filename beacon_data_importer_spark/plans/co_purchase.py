@@ -56,70 +56,19 @@ def co_purchase_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         width = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
         )
-        grouped = (
+        pos = (
             li.join(o, li["l_orderkey"] == o["o_orderkey"])
             .select(
                 F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
             )
             .repartition(width, "p")
             .distinct()
-            .groupBy("p")
-            .agg(F.array_sort(F.collect_list("c")).alias("cs"))
-            .select("cs")
         )
+        from ..operators.pairgen import posting_pair_counts
 
-        def gen_pairs(batches):
-            import numpy as np
-            import pyarrow as pa
-
-            for batch in batches:
-                col = batch.column(0)
-                offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-                    col.offset : col.offset + len(col) + 1
-                ]
-                vals = col.values.to_numpy(zero_copy_only=False)
-                outs_a, outs_b = [], []
-                for i in range(len(col)):
-                    s, e = offs[i], offs[i + 1]
-                    m = e - s
-                    if m < 2:
-                        continue
-                    cs = vals[s:e]
-                    iu, ju = np.triu_indices(m, k=1)
-                    outs_a.append(cs[iu])
-                    outs_b.append(cs[ju])
-                if not outs_a:
-                    continue
-                pa_ = np.concatenate(outs_a)
-                pb_ = np.concatenate(outs_b)
-                if len(pa_) and pa_.max() < (1 << 31) and pb_.max() < (1 << 31):
-                    # local combine: (a, b) packs into one uint64, so
-                    # duplicate pairs across parts in this batch ship as
-                    # one partial count (keys here are 31-bit-safe; the
-                    # guard falls back to raw pairs if ever not)
-                    k = pa_.astype(np.uint64) << np.uint64(32) | pb_.astype(
-                        np.uint64
-                    )
-                    uk, cnt = np.unique(k, return_counts=True)
-                    pa_ = (uk >> np.uint64(32)).astype(np.int64)
-                    pb_ = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
-                else:
-                    cnt = np.ones(len(pa_), dtype=np.int64)
-                yield pa.record_batch(
-                    [
-                        pa.array(pa_.astype(np.int64)),
-                        pa.array(pb_.astype(np.int64)),
-                        pa.array(cnt.astype(np.int64)),
-                    ],
-                    names=["a", "b", "n"],
-                )
-
-        pairs = grouped.mapInArrow(
-            gen_pairs, "a bigint, b bigint, n bigint"
-        )
         edges = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("n").cast("bigint").alias("shared"))
+            posting_pair_counts(pos, "p", "c", repartition=False)
+            .select("a", "b", F.col("i").alias("shared"))
             .filter(F.col("shared") >= MIN_SHARED)
         )
         per_session[key] = edges.localCheckpoint()
