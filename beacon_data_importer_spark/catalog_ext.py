@@ -624,7 +624,11 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.lit(10) * punct < F.lit(3) * F.length(text))
     )
 
-    with_fp = filt.withColumn("fp", TX.fingerprint("text"))
+    # checkpoint so the fingerprint regexp+md5 runs ONCE per doc (r11
+    # round; with_fp feeds the keep-id aggregate AND the join below)
+    with_fp = filt.withColumn(
+        "fp", TX.fingerprint("text")
+    ).localCheckpoint()
     keep_ids = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     # keep1 feeds BOTH the signature build and the final anti-join —
     # persisted so the source scan + quality filter + fingerprint dedup

@@ -627,7 +627,10 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q2 = q1.join(contam, "doc_id", "left_anti").select("doc_id", "text", "n")
 
     # -- 3. exact dedup (canonical fingerprint first-wins) --
-    with_fp = q2.withColumn("fp", TX.fingerprint("text"))
+    # checkpoint so the canonical-fingerprint regexp+md5 runs ONCE per
+    # doc (r11 round): with_fp feeds both the keep-id aggregate and the
+    # join below, and nothing else bounds the double evaluation
+    with_fp = q2.withColumn("fp", TX.fingerprint("text")).localCheckpoint()
     keep_ids = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     # q3 feeds the signature build AND the final cluster-keep join;
     # persist so stages 1-3 run once (at warehouse scale: a staged

@@ -379,8 +379,13 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three (r11 optimization round — same rewrite as catalog_r8e's
     # _cos_e6_pre; dot/(na·nb) keeps `cosine`'s exact operand order,
     # so every double is bit-identical).
-    e = read_table(spark, sf_dir, "embeddings").withColumn(
-        "__enrm", norm("embedding")
+    # explicit repartition: the local embeddings table is ONE input
+    # split (single row group), which would run the Q×N fold CPU below
+    # on a single core (r11 round; no-op shape at warehouse scale)
+    e = (
+        read_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .withColumn("__enrm", norm("embedding"))
     )
     q = F.broadcast(
         e.filter(F.col("vec_id") % _HNM_QUERY_MOD == 0).select(
