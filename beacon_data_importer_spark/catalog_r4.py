@@ -1220,33 +1220,69 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("returnflag"),
         cents(F.col("l_extendedprice")).alias("price_c"),
     )
-    # Histogram form (r11 optimization round; the levene_test device,
-    # guide §2.2 "shuffle the bounded histogram, not the row stream"):
-    # the exact median and the rank of the sketch's answer are both
-    # order statistics, so they read off the cumulated per-(flag,
-    # price) COUNT histogram — the only full-stream stage left is a
-    # map-side-combinable groupBy; the old row_number window sorted the
-    # entire stream inside 3 returnflag partitions (three serial
-    # tasks).  Value-identical: the old filter 2·rk ≤ n+1 kept ranks
-    # 1..(n+1) div 2, so max(price) over it is the value AT rank
-    # r* = (n+1) div 2 — exactly the max histogram value whose first
-    # rank cum−c+1 is ≤ r* (⟺ 2·(cum−c) < n, all-integer; row_number's
-    # tie resolution cannot change which VALUE holds a rank);
-    # rank_approx == count(price ≤ approx_p50) == the cumulative count
-    # at the largest value ≤ approx_p50.
-    hist = base.groupBy("returnflag", "price_c").agg(
-        F.count(F.lit(1)).alias("c")
+    # Two-phase exact median over the (flag, price) COUNT histogram
+    # (r11 optimization round; guide §2.2 + §2.5 — the distributed
+    # exact-quantile shape): the old row_number window sorted the full
+    # stream inside 3 returnflag partitions, and even the flat
+    # histogram cumulation kept a ~460k-row window in 3 serial tasks.
+    # Now: (1) the histogram groupBy runs behind an explicit keyed
+    # repartition (the single-split scan otherwise builds the 460k-
+    # entry partial hash map on ONE core), (2) a BOUNDED per-(flag,
+    # price-bucket) rollup is cumulated (few hundred rows), (3) the
+    # one bucket containing rank r* = (n+1) div 2 is located per flag,
+    # and (4) only THAT bucket's histogram slice is cumulated to pick
+    # the value whose first rank cum−c+1 ≤ r* — the same VALUE the
+    # row_number form selected (tie resolution cannot move a rank
+    # across values).  rank_approx == count(price ≤ approx_p50) is a
+    # plain conditional aggregate over the histogram — no window.
+    width = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
     )
-    wcum = (
+    hist = (
+        base.repartition(width, "returnflag", "price_c")
+        .groupBy("returnflag", "price_c")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    _QSA_B = 1 << 20  # ~$10.5k bucket width in cents → few hundred buckets
+    hb = hist.groupBy(
+        "returnflag", F.expr(f"price_c div {_QSA_B}").alias("b")
+    ).agg(F.sum("c").alias("bc"))
+    wb = (
+        Window.partitionBy("returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hbc = hb.withColumn("bcum", F.sum("bc").over(wb)).withColumn(
+        "n_g", F.sum("bc").over(Window.partitionBy("returnflag"))
+    )
+    tgt = (
+        hbc.withColumn("rstar", F.expr("(n_g + 1) div 2"))
+        .filter(F.col("bcum") >= F.col("rstar"))
+        .groupBy("returnflag")
+        .agg(F.min(F.struct("b", "bc", "bcum", "rstar")).alias("m"))
+        .select(
+            "returnflag",
+            F.col("m.b").alias("b"),
+            (F.col("m.bcum") - F.col("m.bc")).alias("prev_cum"),
+            F.col("m.rstar").alias("rstar"),
+        )
+    )
+    wv = (
         Window.partitionBy("returnflag")
         .orderBy("price_c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cumh = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
-        "n_g", F.sum("c").over(Window.partitionBy("returnflag"))
-    )
     exact = (
-        cumh.filter(2 * (F.col("cum") - F.col("c")) < F.col("n_g"))
+        hist.join(
+            F.broadcast(tgt),
+            (hist["returnflag"] == tgt["returnflag"])
+            & (F.expr(f"price_c div {_QSA_B}") == tgt["b"]),
+        )
+        .drop(tgt["returnflag"])
+        .withColumn("wcum", F.sum("c").over(wv))
+        .filter(
+            F.col("prev_cum") + F.col("wcum") - F.col("c") < F.col("rstar")
+        )
         .groupBy("returnflag")
         .agg(F.max("price_c").alias("exact_p50_cents"))
     )
@@ -1257,7 +1293,7 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank of the approx answer must lie within ±5% of n/2
     joined = exact.join(approx, "returnflag")
     rank_of_approx = (
-        cumh.join(
+        hist.join(
             F.broadcast(joined.select("returnflag", "approx_p50")),
             "returnflag",
         )
