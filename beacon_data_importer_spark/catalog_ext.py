@@ -16,7 +16,7 @@ from .operators import dedup as DD
 from .operators import multimodal as MM
 from .operators import similarity as SIM
 from .operators import text as TX
-from .sources.parquet import read_table
+from .sources.parquet import read_table, read_table_parallel
 
 NUM_HASHES = 16
 BANDS = 4
@@ -85,15 +85,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _docs_parallel(
     spark: SparkSession, sf_dir: str, n: int | None = None
 ) -> DataFrame:
-    """documents scan repartitioned to the core count: the testdata is a
-    single small parquet file (one input split), which would serialize
-    the CPU-heavy hashing onto one core.  At warehouse scale the source
-    has many splits and this repartition is a no-op to omit.  ``n``
+    """documents scan repartitioned to the core count ONLY when the
+    source is under-split (r12: gated on the actual scan split count —
+    see sources/parquet.read_table_parallel; at warehouse scale the
+    gate sees splits >= cores and inserts NO Exchange).  ``n``
     overrides the partition count (Python-batched operators want fewer
     partitions locally — per-partition Arrow/worker overhead dominates
     small inputs)."""
-    d = read_table(spark, sf_dir, "documents")
-    return d.repartition(n or spark.sparkContext.defaultParallelism, "doc_id")
+    from .sources.parquet import read_table_parallel
+
+    return read_table_parallel(spark, sf_dir, "documents", n)
 
 
 @query(
@@ -291,7 +292,9 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file scan = one input split; the map-only fold needs an
     # explicit repartition locally or all cosines run on one core (the
     # _docs_parallel rationale — a no-op to omit on a many-split source)
-    corpus = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # r12: split-gated (sources/parquet.read_table_parallel) — the
+    # explicit repartition exists only when the source is under-split
+    corpus = read_table_parallel(spark, sf_dir, "embeddings")
     assigned = SIM.assign_cells(corpus, centroids)
     return assigned.select("vec_id", "cell_id", "cell_sim_e6")
 
@@ -642,7 +645,10 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    sigs = DD.minhash_signatures(
+    # r12: Arrow signature kernel (bit-identical; tests/test_text_arrow)
+    from .operators.text_arrow import minhash_signatures_arrow
+
+    sigs = minhash_signatures_arrow(
         keep1, "text", "doc_id", NUM_HASHES
     ).localCheckpoint()
     pairs = DD.lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND, MAX_BUCKET)

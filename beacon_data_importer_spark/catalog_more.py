@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from .catalog import cents, query
 from .operators import similarity as SIM
-from .sources.parquet import read_table
+from .sources.parquet import read_table, read_table_parallel
 
 # ---------------------------------------------------------------------------
 # join families
@@ -382,7 +382,9 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus on vec_id: a full-corpus shuffle for nothing).  The
     # repartition parallelizes the fold across cores locally
     # (single-file scan = one split; no-op on a many-split source).
-    corpus = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # r12: split-gated (sources/parquet.read_table_parallel) — the
+    # explicit repartition exists only when the source is under-split
+    corpus = read_table_parallel(spark, sf_dir, "embeddings")
     assigned = SIM.assign_cells(corpus, centroids).select(
         "vec_id", "embedding", "cell_id"
     )

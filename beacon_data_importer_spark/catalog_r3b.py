@@ -50,7 +50,8 @@ from .catalog_ext import (
 from .operators import dedup as DD
 from .operators import similarity as SIM
 from .operators.graph import connected_components, symmetrize
-from .sources.parquet import read_table
+from .operators.text_arrow import minhash_signatures_arrow
+from .sources.parquet import read_table, read_table_parallel
 
 # ---------------------------------------------------------------------------
 # shared DuckDB fragments
@@ -285,8 +286,9 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chash = corpus.select(F.md5("text").alias("h")).distinct()
 
-    csig = DD.minhash_signatures(corpus, "text", "doc_id", NUM_HASHES)
-    nsig = DD.minhash_signatures(batch, "text", "doc_id", NUM_HASHES)
+    # r12: Arrow signature kernel (bit-identical; tests/test_text_arrow)
+    csig = minhash_signatures_arrow(corpus, "text", "doc_id", NUM_HASHES)
+    nsig = minhash_signatures_arrow(batch, "text", "doc_id", NUM_HASHES)
     cband = DD.lsh_bands(csig, BANDS, ROWS_PER_BAND).select("band", "bucket")
     nband = DD.lsh_bands(nsig, BANDS, ROWS_PER_BAND)
     near_ids = (
@@ -642,7 +644,7 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # -- 4. transitive near-dup cluster-keep --
-    sigs = DD.minhash_signatures(
+    sigs = minhash_signatures_arrow(
         q3, "text", "doc_id", NUM_HASHES
     ).localCheckpoint()
     pairs = DD.lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND, MAX_BUCKET)
@@ -762,7 +764,9 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
-    corpus = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # r12: split-gated (sources/parquet.read_table_parallel) — the
+    # explicit repartition exists only when the source is under-split
+    corpus = read_table_parallel(spark, sf_dir, "embeddings")
     assigned = SIM.assign_cells(corpus, centroids).select(
         "vec_id", "embedding", "cell_id"
     )
@@ -1001,7 +1005,9 @@ def q_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell_id"),
         F.col("embedding").cast("array<double>").alias("cvec"),
     )
-    corpus = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # r12: split-gated (sources/parquet.read_table_parallel) — the
+    # explicit repartition exists only when the source is under-split
+    corpus = read_table_parallel(spark, sf_dir, "embeddings")
     assigned = SIM.assign_cells(corpus, centroids, centroid_vec="cvec").select(
         "vec_id", "embedding", "cell_id"
     )

@@ -75,6 +75,7 @@ from pyspark.sql import functions as F
 
 from .catalog import query
 from .catalog_ext import _docs_parallel
+from .operators.pairgen import posting_pair_counts
 from .sources.parquet import read_table
 
 # ---------------------------------------------------------------------------
@@ -2874,26 +2875,38 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row basket count broadcast; top-k is a TakeOrdered with a
     fully deterministic (support, confidence, a, b) order."""
     li = read_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
-    ).distinct()
-    # PIN the self-join's width (the resample_interpolate rationale):
-    # the postings are narrow rows, so size-based AQE coalescing
-    # (parallelismFirst=false) would starve the CPU-heavy basket pair
-    # expansion; an explicit repartition on the basket key is exempt,
-    # feeds BOTH join sides, and satisfies the join's distribution.
     width = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
     )
-    items = items.repartition(width, "o")
+    # ONE explicit basket-keyed exchange (r12, guide §2.3/§2.4): the
+    # distinct, the basket count, and the pair kernel's collect_list
+    # all cluster on the basket key, so they share this exchange (an
+    # explicit count is AQE-exempt — keeps the CPU-heavy pair
+    # expansion parallel, the r11 width-pin rationale).
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
+        )
+        .repartition(width, "o")
+        .distinct()
+    )
     nb = items.select("o").distinct().agg(F.count(F.lit(1)).alias("n"))
     freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("nf"))
-    xl = items.select(F.col("o"), F.col("item").alias("a"))
-    yr = items.select(F.col("o").alias("o_r"), F.col("item").alias("b"))
-    pairs = (
-        xl.join(yr, (F.col("o") == F.col("o_r")) & (F.col("a") != F.col("b")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("nab"))
+    # per-basket pair expansion via the shared Arrow posting-pair
+    # kernel (operators/pairgen.py, r12 — the self-join shipped the
+    # raw ~9M-row pair stream into the (a, b) aggregate exchange;
+    # the kernel emits batch-combined partial counts instead).  The
+    # kernel yields undirected a < b counts; the directional rule
+    # table is its symmetric closure — count(a→b) == count(b→a) ==
+    # shared-basket count, exactly the self-join's multiset.
+    und = posting_pair_counts(items, "o", "item", repartition=False)
+    pairs = und.select(
+        "a", "b", F.col("i").alias("nab")
+    ).unionByName(
+        und.select(
+            F.col("b").alias("a"), F.col("a").alias("b"),
+            F.col("i").alias("nab"),
+        )
     )
     fa = freq.select(F.col("item").alias("a"), F.col("nf").alias("nf_a"))
     fb = freq.select(F.col("item").alias("b"), F.col("nf").alias("nf_b"))

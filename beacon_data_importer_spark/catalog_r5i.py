@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from .catalog import cents, query
 from .operators import similarity as SIM
 from .operators.order import global_ntile
-from .sources.parquet import read_table
+from .sources.parquet import read_table, read_table_parallel
 
 # ---------------------------------------------------------------------------
 # ann_ndcg_audit
@@ -160,7 +160,9 @@ def q_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
-    corpus = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # r12: split-gated (sources/parquet.read_table_parallel) — the
+    # explicit repartition exists only when the source is under-split
+    corpus = read_table_parallel(spark, sf_dir, "embeddings")
     assigned = SIM.assign_cells(corpus, centroids).select(
         "vec_id", "embedding", "cell_id"
     )

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from .catalog import query
 from .catalog_r6c import _HNM_QUERY_MOD
 from .operators import similarity as SIM
-from .sources.parquet import read_table
+from .sources.parquet import read_table, read_table_parallel
 
 # ---------------------------------------------------------------------------
 # hard_negative_mining_ivf
@@ -168,7 +168,9 @@ def _hnm_ivf_triples(
     centroids = e.filter(F.col("vec_id") % _HNM_CENT_MOD == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
-    corpus = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # r12: split-gated (sources/parquet.read_table_parallel) — the
+    # explicit repartition exists only when the source is under-split
+    corpus = read_table_parallel(spark, sf_dir, "embeddings")
     # __enrm: per-vector norm computed once before the candidate join —
     # the pair stage below then pays ONE fold per pair instead of three
     # (r11 round; dot/(na·nb) keeps SIM.cosine's exact operand order,

@@ -46,24 +46,11 @@ from .catalog_r8d import _day_sql, _resid_ctes
 from .sources.parquet import read_table
 
 
-def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
-    for t in tables:
-        df = read_table(spark, sf_dir, t)
-        if t in ("documents", "embeddings"):
-            # r11 optimization round: the local testdata is ONE
-            # single-row-group parquet file per table (one input
-            # split), which serializes scan-side CPU — regex/shingle
-            # folds over text, cosine folds over vectors — onto a
-            # single core.  An explicit repartition keeps that work on
-            # every core (a no-op shape at warehouse scale, where
-            # sources have many splits).  Per-row values are
-            # partitioning-invariant and this tier's aggregates floor
-            # per row first, so results are unchanged (oracle-gated).
-            df = df.repartition(
-                spark.sparkContext.defaultParallelism,
-                "doc_id" if t == "documents" else "vec_id",
-            )
-        df.createOrReplaceTempView(t)
+# ONE shared _views (r12 round): documents/embeddings route through the
+# split-gated parallel scan — repartition only when the source has fewer
+# scan splits than cores (sources/parquet.py register_views), so no
+# Exchange is inserted at warehouse scale.
+from .sources.parquet import register_views as _views  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

@@ -366,8 +366,12 @@ def staged_fuzzy_pairs(
     key = (stage_key, k, coarse_key, strategy)
     per_session = _STAGE.setdefault(spark, {})
     if key not in per_session:
-        pairs = candidate_pairs(
-            df, id_col, name_col, k=k, coarse_key=coarse_key, strategy=strategy
-        )
-        per_session[key] = pairs.localCheckpoint()
+        from ..plans.staging_meter import staged_build
+
+        with staged_build(f"fuzzy_pairs|{stage_key}|{strategy}"):
+            pairs = candidate_pairs(
+                df, id_col, name_col, k=k, coarse_key=coarse_key,
+                strategy=strategy,
+            )
+            per_session[key] = pairs.localCheckpoint()
     return per_session[key]

@@ -26,6 +26,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _ragged_pair_indices(starts, counts):
+    """Vectorized C(m, 2) pair indices for RAGGED groups — no per-group
+    Python loop (r12: the per-group ``np.triu_indices`` loop dominated
+    on many-tiny-group inputs like order baskets, ~30 µs of Python per
+    group × 150k groups).  Given group start offsets and sizes, returns
+    (ia, ib): absolute indices into the flat value array for every
+    within-group ordered pair (i < j), via two integer ``np.repeat``
+    levels (group → first index i with multiplicity m−1−i → j)."""
+    import numpy as np
+
+    n1 = counts - 1  # per-group count of first-index values
+    tot1 = int(n1.sum())
+    if tot1 <= 0:
+        return None, None
+    gi = np.repeat(np.arange(len(counts)), n1)
+    i_loc = np.arange(tot1, dtype=np.int64) - np.repeat(
+        np.cumsum(n1) - n1, n1
+    )
+    w = counts[gi] - 1 - i_loc  # number of j's for each (group, i)
+    totp = int(w.sum())
+    pair_sel = np.repeat(np.arange(tot1), w)
+    j_loc = (
+        np.arange(totp, dtype=np.int64)
+        - np.repeat(np.cumsum(w) - w, w)
+        + i_loc[pair_sel]
+        + 1
+    )
+    base = starts[gi[pair_sel]]
+    return base + i_loc[pair_sel], base + j_loc
+
+
 def _gen_pairs(batches):
     import numpy as np
     import pyarrow as pa
@@ -34,22 +65,15 @@ def _gen_pairs(batches):
         col = batch.column(0)
         offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
             col.offset : col.offset + len(col) + 1
-        ]
+        ].astype(np.int64)
         vals = col.values.to_numpy(zero_copy_only=False)
-        outs_a, outs_b = [], []
-        for i in range(len(col)):
-            s, e = offs[i], offs[i + 1]
-            m = e - s
-            if m < 2:
-                continue
-            cs = vals[s:e]
-            iu, ju = np.triu_indices(m, k=1)
-            outs_a.append(cs[iu])
-            outs_b.append(cs[ju])
-        if not outs_a:
+        counts = offs[1:] - offs[:-1]
+        keep = counts >= 2
+        ia, ib = _ragged_pair_indices(offs[:-1][keep], counts[keep])
+        if ia is None:
             continue
-        pa_ = np.concatenate(outs_a)
-        pb_ = np.concatenate(outs_b)
+        pa_ = vals[ia]
+        pb_ = vals[ib]
         if len(pa_) and pa_.max() < (1 << 31) and pb_.max() < (1 << 31):
             # local combine: (a, b) packs into one uint64, so duplicate
             # pairs across keys in this batch ship as one partial count

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.parquet import read_table
+from .staging_meter import staged_build
 
 #: minimum shared distinct parts for a customer pair to form an edge
 #: (the sparsity knob triangle_count established: ≥3 gives 14.8k edges
@@ -71,7 +72,8 @@ def co_purchase_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", "b", F.col("i").alias("shared"))
             .filter(F.col("shared") >= MIN_SHARED)
         )
-        per_session[key] = edges.localCheckpoint()
+        with staged_build(f"co_purchase_edges|{sf_dir}"):
+            per_session[key] = edges.localCheckpoint()
     return per_session[key]
 
 

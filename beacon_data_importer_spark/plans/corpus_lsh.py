@@ -29,7 +29,9 @@ from ..catalog_ext import (
     ROWS_PER_BAND,
     _docs_parallel,
 )
-from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+from ..operators.dedup import lsh_candidate_pairs
+from ..operators.text_arrow import minhash_signatures_arrow
+from .staging_meter import staged_build
 
 _STAGE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
@@ -40,9 +42,13 @@ def corpus_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = _STAGE.setdefault(spark, {})
     key = ("sigs", sf_dir)
     if key not in per_session:
-        d = _docs_parallel(spark, sf_dir)
-        sigs = minhash_signatures(d, "text", "doc_id", NUM_HASHES)
-        per_session[key] = sigs.localCheckpoint()
+        with staged_build(f"corpus_sigs|{sf_dir}"):
+            d = _docs_parallel(spark, sf_dir)
+            # r12: Arrow kernel — bit-identical to the SQL form
+            # (tests/test_text_arrow.py), one vectorized pass instead
+            # of the interpreted per-shingle md5+conv+fold chain
+            sigs = minhash_signatures_arrow(d, "text", "doc_id", NUM_HASHES)
+            per_session[key] = sigs.localCheckpoint()
     return per_session[key]
 
 
@@ -53,8 +59,9 @@ def corpus_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("pairs", sf_dir)
     if key not in per_session:
         sigs = corpus_signatures(spark, sf_dir)
-        pairs = lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND, MAX_BUCKET)
-        per_session[key] = pairs.localCheckpoint()
+        with staged_build(f"corpus_pairs|{sf_dir}"):
+            pairs = lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND, MAX_BUCKET)
+            per_session[key] = pairs.localCheckpoint()
     return per_session[key]
 
 
@@ -73,10 +80,11 @@ def corpus_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = _STAGE.setdefault(spark, {})
     key = ("shingle_sets", sf_dir)
     if key not in per_session:
-        d = _docs_parallel(spark, sf_dir)
-        shd = d.select(
-            F.col("doc_id").alias("id"),
-            F.array_distinct(_shingles(F.col("text"))).alias("s"),
-        )
-        per_session[key] = shd.localCheckpoint()
+        with staged_build(f"corpus_shingle_sets|{sf_dir}"):
+            d = _docs_parallel(spark, sf_dir)
+            shd = d.select(
+                F.col("doc_id").alias("id"),
+                F.array_distinct(_shingles(F.col("text"))).alias("s"),
+            )
+            per_session[key] = shd.localCheckpoint()
     return per_session[key]

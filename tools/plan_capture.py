@@ -1,7 +1,8 @@
-"""Capture .explain("formatted") for named queries into plans/r11/.
+"""Capture .explain("formatted") for named queries into plans/r<N>/.
 
 Usage: python tools/plan_capture.py <suffix> query [query ...]
-       (suffix is "before" or "after"; writes plans/r11/<query>_<suffix>.txt)
+       (suffix is "before" or "after"; writes plans/$SPARK_GRAFT_PLAN_DIR/<query>_<suffix>.txt,
+       SPARK_GRAFT_PLAN_DIR default r12)
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 """
 
@@ -28,7 +29,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    outdir = os.path.join(REPO, "plans", "r11")
+    outdir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r12")
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         if name not in qs:
